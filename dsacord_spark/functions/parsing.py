@@ -1,0 +1,92 @@
+"""The reference's five scalar parse functions (F1-F5) as pure Column
+expression builders — no Python UDFs, so Catalyst folds/pushes them and the
+DuckDB oracle can express them in ANSI SQL.
+
+Reference semantics (Go, /root/reference/utils.go:193-297) are pinned by
+golden fixtures in tests/test_parsing.py. Spark 4 runs with ANSI mode on,
+so every fallible conversion uses a `try_` form to get the reference's
+null-on-failure behavior instead of a runtime error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+DISCORD_EPOCH_MS = 1420070400000  # 2015-01-01T00:00:00Z, utils.go:295
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def parse_time(col: Column | str) -> Column:
+    """F1, utils.go:193-202: layout `2006-01-02 15:04:05`; empty or
+    unparseable -> NULL. `try_to_timestamp` returns NULL on failure, which
+    covers the empty-string branch too."""
+    return F.try_to_timestamp(_c(col), F.lit("yyyy-MM-dd HH:mm:ss"))
+
+
+def parse_array_field(col: Column | str) -> Column:
+    """F2, utils.go:248-261: empty -> NULL; JSON `[]string` parse; any JSON
+    failure -> singleton array of the raw string.
+
+    `from_json` yields NULL for malformed input (PERMISSIVE), and also for
+    JSON `null`; the reference's json.Unmarshal succeeds on `null` yielding
+    a nil slice — both end up NULL-ish, but Go nil slice round-trips as
+    NULL while our fallback would wrap it; from_json('null') -> NULL then
+    coalesce -> array('null'). The dumps never contain bare `null`, and the
+    fixtures pin only the documented cases."""
+    c = _c(col)
+    parsed = F.from_json(c, "array<string>")
+    return F.when(c == F.lit(""), F.lit(None).cast("array<string>")).otherwise(
+        F.coalesce(parsed, F.array(c))
+    )
+
+
+def parse_bool(col: Column | str) -> Column:
+    """F3, utils.go:263-272: case-insensitive yes/no; anything else NULL."""
+    low = F.lower(_c(col))
+    return (
+        F.when(low == "yes", F.lit(True))
+        .when(low == "no", F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def parse_snowflake(col: Column | str) -> Column:
+    """F5, utils.go:290-297: Discord snowflake -> creation timestamp.
+    `(int64(s) >> 22) + 1420070400000` UnixMilli; non-numeric -> NULL
+    (reference returns Go zero-time + error; divergence Q6 documents the
+    NULL choice)."""
+    as_long = _c(col).try_cast("long")
+    return F.timestamp_millis(
+        F.shiftright(as_long, 22) + F.lit(DISCORD_EPOCH_MS)
+    )
+
+
+def platform_uid_parts(col: Column | str) -> dict[str, Column]:
+    """F4, utils.go:274-288: split platform_uid on `-`;
+    >=3 parts -> (snowflake_time, entity_id, entity_type) from parts[0..2]
+    (extra parts ignored); <3 parts -> (NULL, '', '').
+    Snowflake unparseable -> NULL time but id/type kept (utils.go:282-284).
+    """
+    c = _c(col)
+    parts = F.split(c, "-")
+    enough = F.size(parts) >= 3
+    return {
+        "snowflake_time": F.when(enough, parse_snowflake(parts.getItem(0))),
+        "entity_id": F.when(enough, parts.getItem(1)).otherwise(F.lit("")),
+        "entity_type": F.when(enough, parts.getItem(2)).otherwise(F.lit("")),
+    }
+
+
+def url_for_day(day: Column | str) -> Column:
+    """F6, main.go:148: daily dump URL from a date column."""
+    return F.concat(
+        F.lit(
+            "https://dsa-sor-data-dumps.s3.eu-central-1.amazonaws.com/"
+            "sor-discord-netherlands-bv-"
+        ),
+        F.date_format(_c(day), "yyyy-MM-dd"),
+        F.lit("-full.zip"),
+    )

@@ -1,0 +1,77 @@
+"""Query/oracle registry backing the driver contract in __spark_entry__.py.
+
+Every operator from SURVEY.md §2 (plus the layer-B analysis operators) is
+registered as a named QuerySpec: a Spark callable `(spark, sf_dir) ->
+DataFrame` and, when SQL-expressible, an equivalent ANSI-SQL string the
+DuckDB oracle runs on the same parquet. Column names/aliases are kept
+identical on both sides (the driver's compare sorts columns by name).
+
+Determinism rules used throughout (so order-insensitive value hashes match
+bit-for-bit between engines):
+- money/measure sums go through DECIMAL(18,2) — float summation order is
+  not deterministic under AQE, decimal is exact;
+- averages are computed as decimal-sum cast to double divided by count —
+  deterministic double division of deterministic operands;
+- timestamps in outputs are rendered to strings (`yyyy-MM-dd HH:mm:ss`)
+  to dodge ns/us precision skew between engines;
+- raw doubles are passed through only when no arithmetic touches them;
+- every ORDER-dependent selection (top-k, row_number) carries a unique
+  tie-break key.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None -> driver runs rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None, doc: str = ""):
+    """Decorator: add a (spark_fn, oracle_sql) pair to the catalog."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table.
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    refuses to read natively; read it as a nanos long
+    (spark.sql.legacy.parquet.nanosAsLong) and expose three views of it:
+      ts_ns (long, full precision — use for ordering, exactly matching
+      DuckDB's TIMESTAMP_NS order), ts_us (long microseconds, for interval
+    arithmetic = DuckDB epoch_us), and ts (micro timestamp, for
+    formatting/windowing = DuckDB CAST(ts AS TIMESTAMP))."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+    return spark.read.parquet(path)
+
+
+def get_registry() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
