@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- brute-force top-k cosine: exact baseline; cross join bounded to a small
+  query set. At 100 TB this is only viable query-side (k queries x N docs
+  shards, each partition computes local top-k then the driver merges).
+- LSH-bucketed ANN (random hyperplanes): the scale path — corpus and
+  queries are bucketed by an h-bit signature, the join is bucket-equality
+  (co-partitioned shuffle, no cross join), then exact cosine within
+  buckets only.
+- label-blocked near-dup: pairwise cosine restricted to a blocking key.
+
+Hyperplanes are deterministic ±1 masks derived from md5 (so the SQL
+oracle reproduces them); all accumulation is sequential left-to-right in
+double precision (see functions/vectors.py) for cross-engine parity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from dsacord_spark.functions.vectors import cosine
+
+
+def hyperplane_masks(n_planes: int, dim: int, seed: str = "dsacord-lsh") -> list[list[int]]:
+    """Deterministic ±1 hyperplane masks: sign of bit (i-th) of
+    md5(seed|plane|chunk). Pure data — the same lists are embedded in the
+    oracle SQL."""
+    masks = []
+    for p in range(n_planes):
+        bits: list[int] = []
+        chunk = 0
+        while len(bits) < dim:
+            h = hashlib.md5(f"{seed}|{p}|{chunk}".encode()).digest()
+            for byte in h:
+                for k in range(8):
+                    bits.append(1 if (byte >> k) & 1 else -1)
+            chunk += 1
+        masks.append(bits[:dim])
+    return masks
+
+
+def hyperplane_bucket(vec: Column, masks: list[list[int]]) -> Column:
+    """Bucket id in [0, 2^n_planes): bit p set iff dot(vec, mask_p) > 0."""
+    bucket = None
+    for p, mask in enumerate(masks):
+        dot_p = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(m)) for m in mask]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (excluding self).
+    queries must have columns (q_id, q_vec)."""
+    pairs = queries.crossJoin(emb).filter(F.col("q_id") != F.col(id_col))
+    scored = pairs.select(
+        "q_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("q_vec"), F.col(vec_col)).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    masks: list[list[int]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's hyperplane bucket.
+    The bucket join is an equi-join (shuffle/broadcast by bucket id) — at
+    scale the corpus is written bucketed so queries probe one partition."""
+    emb_b = emb.withColumn("bucket", hyperplane_bucket(F.col(vec_col), masks))
+    q_b = queries.withColumn("bucket", hyperplane_bucket(F.col("q_vec"), masks))
+    pairs = q_b.join(emb_b, "bucket").filter(F.col("q_id") != F.col(id_col))
+    scored = pairs.select(
+        "q_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("q_vec"), F.col(vec_col)).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def blocked_near_dup_pairs(
+    emb: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs within a blocking key (equi-join on the
+    block, never an unbounded cross join)."""
+    a = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "blk",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,417 @@
+"""Layer-B operator catalog: text analysis, dedup family, similarity
+search over the `documents` and `embeddings` tables (the LLM-data-pipeline
+surface the north star adds on top of the reference's ETL semantics).
+
+Every oracle SQL string here is *generated from the same constants* as the
+Spark implementation (md5-based hashes, LCG permutation pairs, md5-derived
+hyperplane masks), so even the LSH-based probabilistic operators are
+bit-reproducible in DuckDB — a much stronger check than rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dsacord_spark.functions.hashing import (
+    MERSENNE_31,
+    _perm_constants,
+    md5_long_sql,
+)
+from dsacord_spark.functions.text import (
+    LANG_MARKERS,
+    TOKEN_RE,
+    doc_fingerprint,
+    lang_id,
+    lang_scores,
+    punct_ratio,
+    quality_score,
+    regex_tokens,
+    token_count,
+    tokens,
+)
+from dsacord_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    SIMHASH_BITS,
+)
+from dsacord_spark.operators.similarity import (
+    blocked_near_dup_pairs,
+    brute_force_topk,
+    hyperplane_masks,
+    lsh_topk,
+)
+from dsacord_spark.plans.registry import register, table
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect), kept in lockstep with the Spark
+# column builders in functions/text.py.
+# ---------------------------------------------------------------------------
+
+# tokens(): whitespace split of trimmed text, empties dropped
+_TOKS_SQL = (
+    "list_filter(string_split_regex(trim({c}), '\\s+'), x -> x <> '')"
+)
+
+
+def _stop_hits_sql(c: str, words: list[str]) -> str:
+    pat = "\\b(" + "|".join(words) + ")\\b"
+    return f"len(regexp_extract_all(lower({c}), '{pat}'))"
+
+
+def _ngr_cte(n: int = 3) -> str:
+    """CTE producing (doc, ng): distinct word n-grams per document."""
+    return f"""
+    toks AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t FROM documents),
+    ngr AS (
+      SELECT DISTINCT doc_id AS doc, array_to_string(t[i:i+{n - 1}], ' ') AS ng
+      FROM toks, unnest(generate_series(1, greatest(len(t)-{n - 1}, 1))) AS u(i)
+    )"""
+
+
+def _jaccard_tail_sql(threshold: float, cand: str | None) -> str:
+    """sizes/inter/jaccard over the `ngr` CTE; optionally restricted to a
+    candidate-pair CTE named `cand`."""
+    inter_src = (
+        "FROM ngr a JOIN ngr b ON a.ng = b.ng AND a.doc < b.doc"
+        if cand is None
+        else "FROM cand c JOIN ngr a ON a.doc = c.doc_a "
+        "JOIN ngr b ON b.doc = c.doc_b AND a.ng = b.ng"
+    )
+    return f"""
+    sizes AS (SELECT doc, count(*) AS sz FROM ngr GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      {inter_src}
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold}"""
+
+
+def _perm_min_sql(i: int, a: int, b: int) -> str:
+    h = md5_long_sql("ng")
+    return f"MIN(({a} * (({h}) % {MERSENNE_31}) + {b}) % {MERSENNE_31}) AS m{i}"
+
+
+def _vec_d(expr: str) -> str:
+    return f"CAST({expr} AS DOUBLE[])"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({_vec_d(a)}, {_vec_d(b)})"
+        f" / (sqrt(list_dot_product({_vec_d(a)}, {_vec_d(a)}))"
+        f" * sqrt(list_dot_product({_vec_d(b)}, {_vec_d(b)})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_EN = LANG_MARKERS["en"]
+
+
+def _lang_id_sql(c: str) -> str:
+    scores = {lang: _stop_hits_sql(c, ws) for lang, ws in LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+_FPRINT_SQL = md5_long_sql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+_TOKS_TEXT = _TOKS_SQL.format(c="text")
+
+
+@register(
+    "text_stats",
+    sql=f"""
+    SELECT doc_id,
+           len({_TOKS_TEXT}) AS n_tokens,
+           len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_regex_tokens,
+           round(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio,
+           {_FPRINT_SQL} AS fingerprint
+    FROM documents
+    """,
+    doc="Token counts (whitespace + BPE-ish regex), punctuation ratio, md5 fingerprint.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.size(regex_tokens("text")).alias("n_regex_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "text_quality",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len({_TOKS_SQL.format(c='text')}) AS DOUBLE) AS n_tok,
+             CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS pr,
+             CAST({_stop_hits_sql('text', _EN)} AS DOUBLE) AS sw
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST((CASE WHEN n_tok >= 5 AND n_tok <= 5000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN pr < 0.2 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN sw / greatest(n_tok, 1.0) > 0.01 THEN 0.3 ELSE 0.0 END)
+           AS DOUBLE) AS quality
+    FROM t
+    """,
+    doc="Heuristic quality score: length band + punctuation + stopword ratio.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", quality_score("text").alias("quality"))
+
+
+@register(
+    "text_lang_breakdown",
+    sql=f"""
+    SELECT lang, {_lang_id_sql('text')} AS lang_guess, count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+    doc="Language-ID heuristic (stopword n-gram hits) vs the labeled lang column.",
+)
+def text_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", lang_id("text").alias("lang_guess")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "text_token_topk",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t FROM documents)
+    SELECT tk AS token, count(*) AS cnt
+    FROM toks, unnest(t) AS u(tk)
+    GROUP BY tk ORDER BY cnt DESC, token ASC LIMIT 20
+    """,
+    doc="Global token frequency top-20 (explode -> hash agg -> top-k).",
+)
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+# Synthesized exact duplicates: every 10th doc re-appears under a shifted id
+# (the raw table has no exact dups).
+_AUG_SQL = """
+    aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    )"""
+
+
+@register(
+    "dedup_exact",
+    sql=f"""
+    WITH {_AUG_SQL.strip()}
+    SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM aug GROUP BY text HAVING count(*) > 1
+    """,
+    doc="Exact dedup by content hash-groupBy (synthesized duplicate rows).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    dups = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    aug = d.select("doc_id", "text").unionByName(dups.select("doc_id", "text"))
+    return exact_duplicate_groups(aug, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    sql="WITH " + _ngr_cte(3).strip() + "," + _jaccard_tail_sql(0.5, cand=None),
+    doc="Exact trigram-Jaccard pairs >= 0.5 via inverted-index self-join.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+def _minhash_sql(n_perm: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    rows = n_perm // bands
+    perms = _perm_constants(n_perm)
+    mins = ",\n             ".join(
+        _perm_min_sql(i, a, b) for i, (a, b) in enumerate(perms)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc, {j} AS band_idx, {h} AS band_hash FROM sig".format(
+            j=j,
+            h=md5_long_sql(
+                "concat_ws(',', "
+                + ", ".join([str(j)] + [f"m{j * rows + r}" for r in range(rows)])
+                + ")"
+            ),
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH {_ngr_cte(3).strip()},
+    sig AS (SELECT doc, {mins} FROM ngr GROUP BY doc),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc < b.doc),
+    {_jaccard_tail_sql(threshold, cand='cand').strip()}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    sql=_minhash_sql(32, 8, 0.5),
+    doc="MinHash(32)-LSH(8 bands) candidates + exact Jaccard verify >= 0.5. "
+    "Deterministic md5-based permutations make even the LSH stage oracle-checkable.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, n_perm=32, bands=8, threshold=0.5)
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    h = md5_long_sql("tk")
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN (({h}) >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS s{bit}"
+        for bit in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s{bit} > 0 THEN CAST({1 << bit} AS BIGINT) ELSE 0 END)"
+        for bit in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t FROM documents),
+    tok AS (SELECT DISTINCT doc_id AS doc, tk FROM toks, unnest(t) AS u(tk)),
+    sums AS (SELECT doc, {bit_sums} FROM tok GROUP BY doc),
+    sig AS (SELECT doc, {sim} AS simhash FROM sums)
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register(
+    "dedup_simhash",
+    sql=_simhash_sql(3),
+    doc="SimHash(60-bit) pairs with hamming <= 3. Spark uses banded candidates "
+    "(pigeonhole: 4 bands -> recall 1), oracle brute-forces — provably equal.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3, n_bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_bruteforce_topk",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q_id, e.vec_id AS neighbor_id,
+             {_cos_sql('q_vec', 'e.embedding')} AS cos
+      FROM q, embeddings e WHERE e.vec_id <> q_id),
+    ranked AS (
+      SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT q_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="Exact top-10 cosine neighbors for 5 query vectors (brute-force baseline).",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return brute_force_topk(e, q, k=10)
+
+
+_MASKS = hyperplane_masks(n_planes=4, dim=64)
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for p, mask in enumerate(_MASKS):
+        lits = "[" + ", ".join(f"{float(m):.1f}" for m in mask) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({_vec_d(vec)}, {lits}) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "ann_lsh_topk",
+    sql=f"""
+    WITH eb AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM eb WHERE vec_id < 5),
+    scored AS (
+      SELECT q_id, e.vec_id AS neighbor_id,
+             {_cos_sql('q_vec', 'e.embedding')} AS cos
+      FROM q JOIN eb e USING (bucket) WHERE e.vec_id <> q_id),
+    ranked AS (
+      SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT q_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="ANN top-5 via random-hyperplane LSH buckets (16 buckets, md5-derived "
+    "masks) — the 100 TB path: bucket equi-join instead of cross join.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_topk(e, q, _MASKS, k=5)
+
+
+@register(
+    "dedup_embedding_blocked",
+    sql=f"""
+    SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.45
+    """,
+    doc="Embedding near-dup pairs (cos >= 0.45) within a blocking key — "
+    "equi-join on the block, never an unbounded cross join.",
+)
+def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return blocked_near_dup_pairs(e, block_col="label", threshold=0.45)

@@ -9,6 +9,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 import dsacord_spark.plans.relational  # noqa: F401  (registers layer A)
+import dsacord_spark.plans.analysis  # noqa: F401  (registers layer B)
 from dsacord_spark.plans.registry import QuerySpec, get_registry
 
 
