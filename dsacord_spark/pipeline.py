@@ -1,0 +1,85 @@
+"""End-to-end batch pipeline — the Spark formulation of the reference's
+whole program (/root/reference/main.go:58-171, SURVEY §3.1):
+
+config -> validate -> URL table (S1) -> stage ZIPs with backoff (S2) ->
+extract nested ZIPs/CSVs (S3-S5) -> typed transform (P1/F1-F5) ->
+quarantine split (Q5) -> dedup -> sink (K1-K4) -> run metrics (O5).
+
+The reference's channel/goroutine topology disappears: Spark schedules
+the staged-file partitions; per-day error isolation (O3) lives in the
+stager's returned error list; metrics come from df.observe instead of a
+racy atomic counter (Q2 divergence).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dsacord_spark.config import Config
+from dsacord_spark.sinks.jdbc import dedup_batch
+from dsacord_spark.sinks.parquet import write_decisions_parquet
+from dsacord_spark.sources.stager import stage_range
+from dsacord_spark.sources.urlgen import url_table
+from dsacord_spark.sources.zipsource import read_staged_zips
+from dsacord_spark.transform import decisions_transform, split_quarantine, with_dq_metrics
+
+
+@dataclass
+class RunMetrics:
+    """O5 (main.go:156-165): rows, elapsed, quarantined; exact, not
+    over-counted (Q2)."""
+
+    rows_written: int = 0
+    rows_quarantined: int = 0
+    elapsed_s: float = 0.0
+    day_errors: list[str] = field(default_factory=list)
+
+
+def run_backfill(
+    spark: SparkSession,
+    cfg: Config,
+    sink=None,
+    opener=None,
+) -> RunMetrics:
+    """One-shot date-range run (== `./dsacord --from --to ...`).
+
+    `sink(valid_df) -> int` writes the deduped valid rows and returns the
+    written count; defaults to the date-partitioned parquet sink under
+    cfg.landing_dir + '/decisions'. `opener` injects the HTTP transport
+    (tests use fakes; production uses urllib)."""
+    t0 = time.monotonic()
+    warnings = cfg.validate()
+    for w in warnings:
+        print(f"warning: {w}")
+
+    urls = [
+        (r["dt"], r["url"])
+        for r in url_table(spark, cfg.date_from, cfg.date_to, cfg.workers).collect()
+    ]
+    staged = stage_range(urls, cfg.landing_dir, **({"opener": opener} if opener else {}))
+    metrics = RunMetrics(day_errors=[e for _, e in staged if e])
+
+    if not any(p for p, _ in staged):
+        metrics.elapsed_s = time.monotonic() - t0
+        return metrics
+
+    wire = read_staged_zips(spark, cfg.landing_dir)
+    typed = decisions_transform(wire)
+    valid, quarantined = split_quarantine(typed)
+    deduped = dedup_batch(valid)
+
+    if sink is None:
+        out = cfg.landing_dir.rstrip("/") + "/decisions"
+
+        def sink(df: DataFrame) -> int:
+            n = df.count()
+            write_decisions_parquet(df, out, mode="overwrite")
+            return n
+
+    metrics.rows_written = sink(deduped)
+    metrics.rows_quarantined = quarantined.count()
+    metrics.elapsed_s = time.monotonic() - t0
+    return metrics

@@ -750,6 +750,100 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P1 — the full wide typed transform (utils.go:184-247) exercised through
+# the oracle: wire-shaped string columns are synthesized from `orders`,
+# run through decisions_transform (which also fills the MISSING wire
+# columns with NULL — the header-guard path), and projected back to
+# comparable scalars.
+# ---------------------------------------------------------------------------
+@register(
+    "decisions_wide_transform",
+    sql="""
+    WITH wire AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS uuid,
+             CASE o_orderkey % 3
+               WHEN 0 THEN '["VIS_REMOVED","VIS_OTHER"]'
+               WHEN 1 THEN '' ELSE 'bare' END AS decision_visibility,
+             CASE o_orderkey % 2 WHEN 0
+               THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') ELSE 'nope' END AS content_date,
+             CASE o_orderkey % 4 WHEN 0 THEN 'Yes' WHEN 1 THEN 'NO'
+               WHEN 2 THEN '' ELSE 'maybe' END AS automated_detection,
+             CASE o_orderkey % 5 WHEN 4 THEN 'zz-7-user'
+               ELSE CAST(1175882496000000000 + o_orderkey * 4194304 AS VARCHAR)
+                    || '-' || CAST(o_custkey AS VARCHAR) || '-message' END AS platform_uid,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS created_at
+      FROM orders),
+    parts AS (SELECT *, string_split(platform_uid, '-') AS p FROM wire)
+    SELECT uuid,
+           CASE WHEN decision_visibility = '' THEN NULL
+                ELSE array_to_string(
+                  COALESCE(TRY_CAST(TRY_CAST(decision_visibility AS JSON) AS VARCHAR[]),
+                           [decision_visibility]), '|')
+           END AS visibility_joined,
+           strftime(try_strptime(content_date, '%Y-%m-%d %H:%M:%S'),
+                    '%Y-%m-%d %H:%M:%S') AS content_date_parsed,
+           CASE WHEN lower(automated_detection) = 'yes' THEN TRUE
+                WHEN lower(automated_detection) = 'no' THEN FALSE END AS automated_detection,
+           CASE WHEN len(p) >= 3 THEN
+             strftime(epoch_ms((TRY_CAST(p[1] AS BIGINT) >> 22) + 1420070400000),
+                      '%Y-%m-%d %H:%M:%S') END AS snowflake_time,
+           CASE WHEN len(p) >= 3 THEN p[2] ELSE '' END AS entity_id,
+           CASE WHEN len(p) >= 3 THEN p[3] ELSE '' END AS entity_type,
+           strftime(try_strptime(created_at, '%Y-%m-%d %H:%M:%S'),
+                    '%Y-%m-%d %H:%M:%S') AS created_at_parsed,
+           CAST(NULL AS VARCHAR) AS category,
+           CAST(NULL AS BOOLEAN) AS incompatible_content_illegal
+    FROM parts
+    """,
+    doc="P1: full 36->40 wide transform incl. missing-column guard (utils.go:184-247).",
+)
+def decisions_wide_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.transform import decisions_transform
+
+    o = table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    wire = o.select(
+        key.cast("string").alias("uuid"),
+        F.when(key % 3 == 0, F.lit('["VIS_REMOVED","VIS_OTHER"]'))
+        .when(key % 3 == 1, F.lit(""))
+        .otherwise(F.lit("bare"))
+        .alias("decision_visibility"),
+        F.when(key % 2 == 0, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(F.lit("nope"))
+        .alias("content_date"),
+        F.when(key % 4 == 0, F.lit("Yes"))
+        .when(key % 4 == 1, F.lit("NO"))
+        .when(key % 4 == 2, F.lit(""))
+        .otherwise(F.lit("maybe"))
+        .alias("automated_detection"),
+        F.when(key % 5 == 4, F.lit("zz-7-user"))
+        .otherwise(
+            F.concat(
+                (F.lit(1175882496000000000) + key * 4194304).cast("string"),
+                F.lit("-"),
+                F.col("o_custkey").cast("string"),
+                F.lit("-message"),
+            )
+        )
+        .alias("platform_uid"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("created_at"),
+    )
+    typed = decisions_transform(wire)  # remaining 30 wire columns: missing->NULL
+    return typed.select(
+        "uuid",
+        F.array_join("decision_visibility", "|").alias("visibility_joined"),
+        _ts_str(F.col("content_date")).alias("content_date_parsed"),
+        "automated_detection",
+        _ts_str(F.col("snowflake_time")).alias("snowflake_time"),
+        "entity_id",
+        "entity_type",
+        _ts_str(F.col("created_at")).alias("created_at_parsed"),
+        "category",  # proves the missing-column guard fills NULL
+        "incompatible_content_illegal",  # Q4: always NULL
+    )
+
+
+# ---------------------------------------------------------------------------
 # F7/F9 incidental string/math surface (utils.go: lower/split/trim, shift).
 # ---------------------------------------------------------------------------
 @register(

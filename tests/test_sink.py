@@ -1,0 +1,148 @@
+"""K1-K4 sink semantics against a real (sqlite) database through the
+DB-API seam: strategy triple, within-batch dedup, DDL/SQL generation.
+sqlite speaks the same `ON CONFLICT (k) DO UPDATE SET c = EXCLUDED.c`
+dialect, and raises 'UNIQUE constraint failed' which the 23505 sniffer
+(main.go:196 equivalent) recognizes."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from dsacord_spark.sinks.jdbc import (
+    create_table_ddl,
+    dedup_batch,
+    insert_sql,
+    is_unique_violation,
+    table_size_sql,
+    upsert_sql,
+    write_batch,
+)
+
+
+def _sqlite_factory(db_path: str):
+    """Connection factory usable inside foreachPartition (pickled to the
+    Python worker): adapts paramstyle %s -> ?."""
+
+    class Cur:
+        def __init__(self, cur):
+            self._cur = cur
+
+        def executemany(self, sql, rows):
+            self._cur.executemany(sql.replace("%s", "?"), rows)
+
+    class Conn:
+        def __init__(self):
+            self._c = sqlite3.connect(db_path, timeout=30)
+
+        def cursor(self):
+            return Cur(self._c.cursor())
+
+        def commit(self):
+            self._c.commit()
+
+        def rollback(self):
+            self._c.rollback()
+
+        def close(self):
+            self._c.close()
+
+    return Conn
+
+
+def _make_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "uuid string, account_type string, created_at string"
+    )
+
+
+@pytest.fixture()
+def db(tmp_path):
+    path = str(tmp_path / "sink.db")
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE decisions (uuid TEXT PRIMARY KEY, account_type TEXT, created_at TEXT)"
+    )
+    con.commit()
+    con.close()
+    return path
+
+
+def _all(db):
+    con = sqlite3.connect(db)
+    rows = sorted(con.execute("SELECT uuid, account_type FROM decisions").fetchall())
+    con.close()
+    return rows
+
+
+def test_error_strategy_plain_insert(spark, db):
+    df = _make_df(spark, [("a", "t1", "2025-01-01 00:00:00"), ("b", "t2", None)])
+    write_batch(df, _sqlite_factory(db), strategy="error", num_partitions=1)
+    assert _all(db) == [("a", "t1"), ("b", "t2")]
+
+
+def test_error_strategy_raises_on_duplicate(spark, db):
+    df = _make_df(spark, [("a", "t1", None)])
+    write_batch(df, _sqlite_factory(db), strategy="error", num_partitions=1)
+    with pytest.raises(Exception, match="UNIQUE|23505|foreachPartition|Py4J"):
+        write_batch(df, _sqlite_factory(db), strategy="error", num_partitions=1)
+
+
+def test_upsert_on_conflict_retries_unit_as_upsert(spark, db):
+    write_batch(
+        _make_df(spark, [("a", "old", "2025-01-01 00:00:00")]),
+        _sqlite_factory(db),
+        strategy="error",
+        num_partitions=1,
+    )
+    # overlapping second unit: optimistic insert fails -> whole-unit upsert
+    df = _make_df(
+        spark,
+        [("a", "new", "2025-01-02 00:00:00"), ("c", "t3", "2025-01-02 00:00:00")],
+    )
+    write_batch(df, _sqlite_factory(db), strategy="upsert-on-conflict", num_partitions=1)
+    assert _all(db) == [("a", "new"), ("c", "t3")]
+
+
+def test_always_upsert_dedups_within_batch(spark, db):
+    # same uuid twice in one epoch: keep-latest by created_at, single stmt row
+    df = _make_df(
+        spark,
+        [
+            ("a", "older", "2025-01-01 00:00:00"),
+            ("a", "newer", "2025-06-01 00:00:00"),
+            ("b", "t", None),
+        ],
+    )
+    write_batch(df, _sqlite_factory(db), strategy="always-upsert", num_partitions=1)
+    assert _all(db) == [("a", "newer"), ("b", "t")]
+
+
+def test_dedup_batch_keeps_latest(spark):
+    df = _make_df(
+        spark,
+        [("a", "older", "2025-01-01 00:00:00"), ("a", "newer", "2025-06-01 00:00:00")],
+    )
+    out = dedup_batch(df).collect()
+    assert len(out) == 1 and out[0]["account_type"] == "newer"
+
+
+def test_sql_generation():
+    ddl = create_table_ddl()
+    assert "CREATE TABLE IF NOT EXISTS decisions" in ddl[0]
+    assert "uuid text PRIMARY KEY" in ddl[0]
+    assert "decision_visibility text[]" in ddl[0]  # real arrays (Q1 divergence)
+    assert any("idx_decisions_entity_id" in s for s in ddl[1:])
+    ins = insert_sql("t", ["uuid", "x"])
+    assert ins == "INSERT INTO t (uuid, x) VALUES (%s, %s)"
+    ups = upsert_sql("t", ["uuid", "x"])
+    assert "ON CONFLICT (uuid) DO UPDATE SET x = EXCLUDED.x" in ups
+    assert "uuid = EXCLUDED" not in ups  # key not updated
+    assert "pg_total_relation_size" in table_size_sql()
+
+
+def test_unique_violation_sniffer():
+    assert is_unique_violation(Exception("ERROR: SQLSTATE 23505 dup"))
+    assert is_unique_violation(sqlite3.IntegrityError("UNIQUE constraint failed: t.u"))
+    assert not is_unique_violation(Exception("connection refused"))

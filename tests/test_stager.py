@@ -1,0 +1,94 @@
+"""S2 stager semantics (quirk Q8): 403 permanent, other errors retried
+with backoff, per-day error isolation. Fake transport — no network."""
+
+from __future__ import annotations
+
+import io
+import urllib.error
+
+import pytest
+
+from dsacord_spark.sources.stager import (
+    BackoffPolicy,
+    PermanentDownloadError,
+    download_with_backoff,
+    stage_day,
+)
+
+
+class FakeResponse(io.BytesIO):
+    def __init__(self, data: bytes, status: int = 200):
+        super().__init__(data)
+        self.status = status
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def scripted_opener(script):
+    calls = []
+
+    def opener(url):
+        calls.append(url)
+        item = script.pop(0)
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    opener.calls = calls
+    return opener
+
+
+def no_sleep_policy(tries=4):
+    p = BackoffPolicy(max_tries=tries)
+    p.sleep = lambda _: None
+    return p
+
+
+def test_retry_then_success():
+    opener = scripted_opener(
+        [
+            urllib.error.HTTPError("u", 500, "boom", None, None),
+            urllib.error.URLError("conn reset"),
+            FakeResponse(b"zipbytes"),
+        ]
+    )
+    out = download_with_backoff("http://x/y.zip", opener=opener, policy=no_sleep_policy())
+    assert out == b"zipbytes"
+    assert len(opener.calls) == 3
+
+
+def test_403_is_permanent_no_retry():
+    opener = scripted_opener([urllib.error.HTTPError("u", 403, "forbidden", None, None)])
+    with pytest.raises(PermanentDownloadError, match="forbidden or does not exist"):
+        download_with_backoff("http://x/y.zip", opener=opener, policy=no_sleep_policy())
+    assert len(opener.calls) == 1  # no retry after 403
+
+
+def test_exhausted_retries_raise():
+    opener = scripted_opener([urllib.error.URLError("down")] * 4)
+    with pytest.raises(RuntimeError, match="failed after retries"):
+        download_with_backoff("http://x/y.zip", opener=opener, policy=no_sleep_policy(4))
+
+
+def test_stage_day_isolates_errors_and_writes_atomically(tmp_path):
+    ok_opener = scripted_opener([FakeResponse(b"DATA")])
+    path, err = stage_day(
+        "http://x/d.zip", "2025-01-01", str(tmp_path), opener=ok_opener,
+        policy=no_sleep_policy(),
+    )
+    assert err is None
+    assert open(path, "rb").read() == b"DATA"
+    assert "dt=2025-01-01" in path
+
+    bad_opener = scripted_opener(
+        [urllib.error.HTTPError("u", 403, "forbidden", None, None)]
+    )
+    path2, err2 = stage_day(
+        "http://x/d2.zip", "2025-01-02", str(tmp_path), opener=bad_opener,
+        policy=no_sleep_policy(),
+    )
+    assert path2 == "" and "forbidden" in err2  # error returned, not raised
