@@ -1,0 +1,263 @@
+"""Advanced relational operators (as-of join, range join, grouping sets,
+rollup, percentiles, range window frames) and the multimodal plumbing
+queries. Fills out the SURVEY §2.4-2.7 matrix beyond the basics."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from dsacord_spark.plans.registry import register, table
+
+_D = "decimal(18,2)"
+
+
+def _dec(c) -> F.Column:
+    return (F.col(c) if isinstance(c, str) else c).cast(_D)
+
+
+def _ts_str(c) -> F.Column:
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+# ---------------------------------------------------------------------------
+# As-of join (SURVEY §2.4 "range/as-of"): for each lineitem shipment, the
+# most recent reference rate at or before the ship date. Spark has no
+# native ASOF JOIN; the composition is inequality-join + keep-latest
+# window. Scale: the rate table is tiny -> broadcast nested-loop is the
+# right plan; for big-big as-of, union both sides and run a last_value
+# window over the merged time order instead.
+# ---------------------------------------------------------------------------
+@register(
+    "join_asof_rates",
+    sql="""
+    WITH rates AS (
+      SELECT o_orderdate AS rate_date, MIN(o_totalprice) AS rate
+      FROM orders WHERE o_orderkey % 97 = 0 GROUP BY o_orderdate)
+    SELECT l.l_orderkey, l.l_linenumber,
+           strftime(l.l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts,
+           strftime(r.rate_date, '%Y-%m-%d %H:%M:%S') AS rate_ts,
+           r.rate
+    FROM lineitem l ASOF JOIN rates r ON r.rate_date <= l.l_shipdate
+    """,
+    doc="As-of join: inequality join + keep-latest window (DuckDB native ASOF oracle).",
+)
+def join_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    rates = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .groupBy(F.col("o_orderdate").alias("rate_date"))
+        .agg(F.min("o_totalprice").alias("rate"))
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
+    # key the keep-latest window on a physical row id so every left row
+    # gets exactly one as-of match (same cardinality as a native ASOF JOIN)
+    l = l.withColumn("__rid", F.monotonically_increasing_id())
+    joined = l.join(
+        F.broadcast(rates), F.col("rate_date") <= F.col("l_shipdate"), "inner"
+    )
+    w = W.partitionBy("__rid").orderBy(F.col("rate_date").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            _ts_str(F.col("l_shipdate")).alias("ship_ts"),
+            _ts_str(F.col("rate_date")).alias("rate_ts"),
+            "rate",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (non-equi) join: bucket lineitems by quantity bands.
+# ---------------------------------------------------------------------------
+@register(
+    "join_range_buckets",
+    sql="""
+    WITH buckets(lo, hi, band) AS (VALUES (0, 10, 'low'), (10, 25, 'mid'), (25, 100, 'high'))
+    SELECT band, COUNT(*) AS n,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+    FROM lineitem JOIN buckets ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+    doc="Non-equi range join (broadcast nested loop on a literal bucket table).",
+)
+def join_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    buckets = spark.createDataFrame(
+        [(0, 10, "low"), (10, 25, "mid"), (25, 100, "high")], "lo int, hi int, band string"
+    )
+    return (
+        l.join(
+            F.broadcast(buckets),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup (SURVEY §2.5 A3).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_grouping_sets",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="GROUPING SETS with grouping() flags.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_rollup",
+    sql="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(_dec("l_quantity")).alias("sum_qty")
+    )
+
+
+# approx_count_distinct is inherently engine-specific (HLL seeds differ) —
+# registered with no oracle: the driver records the weaker rows-only check.
+@register(
+    "agg_approx_distinct",
+    sql=None,
+    doc="approx_count_distinct (HLL) per status — rows-only check by design.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    sql="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact interpolated percentiles (Spark percentile == DuckDB quantile_cont).",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frame: trailing 1-hour sum per user (value-based frame on
+# the microsecond epoch, identical in both engines).
+# ---------------------------------------------------------------------------
+@register(
+    "window_range_frame",
+    sql="""
+    SELECT event_id, user_id,
+           SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS trailing_1h_value
+    FROM events
+    """,
+    doc="RANGE frame over event-time: trailing 1h per-user sum.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc())
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(_dec("value")).over(w).alias("trailing_1h_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + pandas-UDF decode stubs).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_binary_stats",
+    sql="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="Binary column stats: opaque media bytes with typed metadata.",
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.multimodal.binary import synthesize_media
+
+    d = table(spark, sf_dir, "documents")
+    media = synthesize_media(d)
+    return media.select(
+        "media_id",
+        "modality",
+        F.octet_length("data").alias("n_bytes"),
+        F.md5(F.col("data")).alias("content_md5"),
+    )
+
+
+@register(
+    "multimodal_decode_meta",
+    sql=None,  # pandas-UDF decode stub: rows-only check (decode is faked)
+    doc="mapInPandas image-decode stub -> typed metadata + feature vector.",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.multimodal.binary import decode_images, synthesize_media
+
+    d = table(spark, sf_dir, "documents")
+    media = synthesize_media(d).filter(F.col("modality") == "image")
+    return decode_images(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    sql=None,  # flat-map frame sampling stub: rows-only check
+    doc="Video frame-sampling stub: one row per sampled frame via mapInPandas.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.multimodal.binary import sample_frames, synthesize_media
+
+    d = table(spark, sf_dir, "documents")
+    return sample_frames(synthesize_media(d))
