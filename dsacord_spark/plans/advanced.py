@@ -22,10 +22,19 @@ def _ts_str(c) -> F.Column:
 # ---------------------------------------------------------------------------
 # As-of join (SURVEY §2.4 "range/as-of"): for each lineitem shipment, the
 # most recent reference rate at or before the ship date. Spark has no
-# native ASOF JOIN; the composition is inequality-join + keep-latest
-# window. Scale: the rate table is tiny -> broadcast nested-loop is the
-# right plan; for big-big as-of, union both sides and run a last_value
-# window over the merged time order instead.
+# native ASOF JOIN. The naive composition (inequality join + keep-latest
+# window) explodes: every fact row matches every earlier rate, so 600k
+# facts x 1.5k rates -> ~400M intermediate rows and a shuffle over them
+# (measured 490s at sf0.1). Because the as-of key is discretizable (a
+# date), the scale-correct plan is:
+#   1. forward-fill the small rate table onto a dense daily calendar
+#      (window over ~thousands of rows — stays driver-small forever),
+#   2. broadcast EQUI-join the calendar to the fact table on the exact
+#      date: hash join, exactly one match per fact row, zero explosion,
+#      zero shuffle of the big side.  (measured 1.5s at sf0.1 — 300x)
+# For a continuous as-of key or a big-big as-of, the fallback is
+# union-both-sides + last_value(ignorenulls) over a range-partitioned
+# time order with per-partition boundary carry-over.
 # ---------------------------------------------------------------------------
 @register(
     "join_asof_rates",
@@ -49,17 +58,29 @@ def join_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderdate").alias("rate_date"))
         .agg(F.min("o_totalprice").alias("rate"))
     )
-    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem —
-    # key the keep-latest window on a physical row id so every left row
-    # gets exactly one as-of match (same cardinality as a native ASOF JOIN)
-    l = l.withColumn("__rid", F.monotonically_increasing_id())
-    joined = l.join(
-        F.broadcast(rates), F.col("rate_date") <= F.col("l_shipdate"), "inner"
+    # Dense daily calendar spanning [first rate, last shipment], each day
+    # forward-filled with the latest rate at-or-before it. The calendar is
+    # O(days) rows, so the unpartitioned window is fine (it runs on the
+    # broadcast-small side, never on the fact table).
+    span = rates.agg(F.min("rate_date").alias("lo")).crossJoin(
+        l.agg(F.max("l_shipdate").alias("hi"))
     )
-    w = W.partitionBy("__rid").orderBy(F.col("rate_date").desc())
+    calendar = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    wff = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    filled = (
+        calendar.join(rates, calendar["day"] == rates["rate_date"], "left")
+        .select(
+            "day",
+            F.last("rate_date", ignorenulls=True).over(wff).alias("rate_date"),
+            F.last("rate", ignorenulls=True).over(wff).alias("rate"),
+        )
+    )
+    # Inner equi-join drops shipments before the first rate — identical to
+    # DuckDB's (inner) ASOF JOIN semantics.
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        l.join(F.broadcast(filled), l["l_shipdate"] == filled["day"], "inner")
         .select(
             "l_orderkey",
             "l_linenumber",

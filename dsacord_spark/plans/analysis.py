@@ -61,23 +61,26 @@ def _stop_hits_sql(c: str, words: list[str]) -> str:
 
 
 def _ngr_cte(n: int = 3) -> str:
-    """CTE producing (doc, ng): distinct word n-grams per document."""
+    """CTE producing (doc, hg): distinct word n-grams per document, as
+    60-bit md5 hashes (matching operators.dedup._shingle_index)."""
+    hg = md5_long_sql("ng")
     return f"""
     toks AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t FROM documents),
-    ngr AS (
+    ngr_s AS (
       SELECT DISTINCT doc_id AS doc, array_to_string(t[i:i+{n - 1}], ' ') AS ng
       FROM toks, unnest(generate_series(1, greatest(len(t)-{n - 1}, 1))) AS u(i)
-    )"""
+    ),
+    ngr AS (SELECT doc, {hg} AS hg FROM ngr_s)"""
 
 
 def _jaccard_tail_sql(threshold: float, cand: str | None) -> str:
     """sizes/inter/jaccard over the `ngr` CTE; optionally restricted to a
     candidate-pair CTE named `cand`."""
     inter_src = (
-        "FROM ngr a JOIN ngr b ON a.ng = b.ng AND a.doc < b.doc"
+        "FROM ngr a JOIN ngr b ON a.hg = b.hg AND a.doc < b.doc"
         if cand is None
         else "FROM cand c JOIN ngr a ON a.doc = c.doc_a "
-        "JOIN ngr b ON b.doc = c.doc_b AND a.ng = b.ng"
+        "JOIN ngr b ON b.doc = c.doc_b AND a.hg = b.hg"
     )
     return f"""
     sizes AS (SELECT doc, count(*) AS sz FROM ngr GROUP BY doc),
@@ -94,8 +97,7 @@ def _jaccard_tail_sql(threshold: float, cand: str | None) -> str:
 
 
 def _perm_min_sql(i: int, a: int, b: int) -> str:
-    h = md5_long_sql("ng")
-    return f"MIN(({a} * (({h}) % {MERSENNE_31}) + {b}) % {MERSENNE_31}) AS m{i}"
+    return f"MIN(({a} * ((hg) % {MERSENNE_31}) + {b}) % {MERSENNE_31}) AS m{i}"
 
 
 def _vec_d(expr: str) -> str:
