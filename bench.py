@@ -15,6 +15,116 @@ import os
 import sys
 import time
 
+BASELINE_ROWS_PER_S = 37_950  # reference README end-to-end run (BASELINE.md)
+
+
+def _build_ingest_fixture(landing: str, days: int, rows_per_csv: int) -> int:
+    """Deterministic zip-of-zips-of-csv landing dir shaped exactly like the
+    reference's daily dumps (one dt=YYYY-MM-DD dir per day, each day.zip
+    holding a nested zip of two CSVs plus one plain CSV). Generation is NOT
+    part of the timed run. Returns total rows written (incl. quarantine
+    rows and duplicates, mirroring real dump content)."""
+    import csv as _csv
+    import io
+    import zipfile
+    from datetime import date, timedelta
+    from pathlib import Path
+
+    from dsacord_spark.schema import CSV_COLUMNS
+
+    idx = {c: i for i, c in enumerate(CSV_COLUMNS)}
+
+    def _csv_part(day: int, part: int, n: int) -> str:
+        buf = io.StringIO()
+        w = _csv.writer(buf, quoting=_csv.QUOTE_ALL)
+        w.writerow(CSV_COLUMNS)
+        for i in range(n):
+            rec = [""] * len(CSV_COLUMNS)
+            # ~1% empty uuids (quarantine path), ~2% cross-file duplicates
+            rec[idx["uuid"]] = (
+                "" if i % 97 == 0 else f"u-{day}-{part if i % 53 else 0}-{i}"
+            )
+            rec[idx["decision_visibility"]] = (
+                '["DECISION_VISIBILITY_CONTENT_REMOVED"]'
+            )
+            rec[idx["category"]] = f"STATEMENT_CATEGORY_{i % 7}"
+            rec[idx["content_type"]] = (
+                "plain-token" if i % 3 else '["CONTENT_TYPE_TEXT"]'
+            )
+            rec[idx["automated_detection"]] = ("Yes", "No", "maybe")[i % 3]
+            rec[idx["platform_uid"]] = f"{175928847299117063 + i}-{i}-user"
+            rec[idx["created_at"]] = (
+                f"2025-01-{day % 28 + 1:02d} 00:{(i // 60) % 60:02d}:{i % 60:02d}"
+            )
+            rec[idx["content_date"]] = "2025-01-01 12:00:00" if i % 5 else ""
+            rec[idx["territorial_scope"]] = '["NL","DE"]'
+            rec[idx["decision_ground"]] = "DECISION_GROUND_ILLEGAL_CONTENT"
+            w.writerow(rec)
+        return buf.getvalue()
+
+    total = 0
+    d0 = date(2025, 1, 1)
+    for d in range(days):
+        inner = io.BytesIO()
+        with zipfile.ZipFile(inner, "w", zipfile.ZIP_DEFLATED) as zf:
+            for p in (0, 1):
+                zf.writestr(f"part-{p}.csv", _csv_part(d, p, rows_per_csv))
+                total += rows_per_csv
+        outer = io.BytesIO()
+        with zipfile.ZipFile(outer, "w", zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr("inner.zip", inner.getvalue())
+            zf.writestr("part-2.csv", _csv_part(d, 2, rows_per_csv))
+            total += rows_per_csv
+        day_dir = Path(landing) / f"dt={d0 + timedelta(days=d)}"
+        day_dir.mkdir(parents=True, exist_ok=True)
+        (day_dir / "day.zip").write_bytes(outer.getvalue())
+    return total
+
+
+def _run_ingest_bench(spark, sf_dir: str, cpus: int) -> dict:
+    """Time the full ingestion dataflow (SURVEY §3.2: staged zips ->
+    nested-zip extraction -> typed transform -> quarantine split -> dedup ->
+    date-partitioned parquet sink). Comparable to the reference's 37,950
+    rows/s end-to-end number minus the network download (local files here,
+    S3 there)."""
+    import re
+    import shutil
+    import tempfile
+
+    from dsacord_spark.sinks.jdbc import dedup_batch
+    from dsacord_spark.sinks.parquet import write_decisions_parquet
+    from dsacord_spark.sources.zipsource import read_staged_zips
+    from dsacord_spark.transform import decisions_transform, split_quarantine
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    days = min(cpus, 32)
+    rows_per_csv = max(100, int(sf * 27_000_000 / (3 * days)))
+
+    work = tempfile.mkdtemp(prefix="dsacord-ingest-bench-")
+    landing = os.path.join(work, "landing")
+    out = os.path.join(work, "decisions")
+    try:
+        rows_in = _build_ingest_fixture(landing, days, rows_per_csv)
+
+        t0 = time.perf_counter()
+        wire = read_staged_zips(spark, landing)
+        typed = decisions_transform(wire)
+        valid, quarantined = split_quarantine(typed)
+        write_decisions_parquet(dedup_batch(valid), out, mode="overwrite")
+        rows_out = spark.read.parquet(out).count()
+        elapsed = time.perf_counter() - t0
+
+        return {
+            "seconds": round(elapsed, 4),
+            "rows_in": rows_in,
+            "rows_written": rows_out,
+            "rows_per_s": round(rows_in / elapsed, 1),
+            "baseline_rows_per_s": BASELINE_ROWS_PER_S,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,12 +166,21 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
 
+    try:
+        ingest = _run_ingest_bench(spark, sf_dir, cpus)
+        timings["ingest_e2e"] = ingest["seconds"]
+    except Exception as exc:  # pragma: no cover
+        print(f"bench: ingest_e2e failed: {exc}", file=sys.stderr)
+        ingest = {"error": str(exc)}
+        timings["ingest_e2e"] = -1.0
+
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     out = {
         "metric": "catalog_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "ingest": ingest,
         "sf": sf_dir,
         "cpus": cpus,
     }

@@ -23,5 +23,13 @@ def write_decisions_parquet(
         df = df.withColumn(
             "dt", F.coalesce(F.date_format("created_at", "yyyy-MM-dd"), F.lit("unknown"))
         )
+        # Cluster rows by dt before the dynamic-partition write: without
+        # this every task holding every day emits tasks x days small files
+        # (the classic small-files problem); with it each day is one file
+        # per shuffle partition that owns it, and AQE coalesces the rest.
+        # A single very large day would serialize into one writer task —
+        # at that point drop the repartition and let maxRecordsPerFile
+        # split it instead.
+        df = df.repartition("dt")
         writer = df.write.mode(mode).partitionBy("dt")
     writer.parquet(path)

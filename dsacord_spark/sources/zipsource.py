@@ -62,9 +62,11 @@ def _iter_csv_members(data: bytes, name: str) -> Iterator[tuple[str, bytes]]:
                 yield f"{name}!{info.filename}", zf.read(info)
 
 
-def _parse_csv_bytes(raw: bytes, source: str) -> Iterator[dict]:
-    """Header-mapped, ragged-tolerant CSV parse (utils.go:159-191):
-    missing column or short row -> None; extra columns ignored."""
+def _parse_csv_rows(raw: bytes, source: str) -> Iterator[dict]:
+    """Row-at-a-time fallback parse for ragged files (utils.go:159-191
+    semantics: FieldsPerRecord=-1 — rows longer than the header are legal):
+    missing column or short row -> '' exactly like the reference's get
+    closure (utils.go:185-191); extra columns ignored."""
     text = raw.decode("utf-8", errors="replace")
     reader = csv.reader(io.StringIO(text))
     try:
@@ -76,23 +78,55 @@ def _parse_csv_bytes(raw: bytes, source: str) -> Iterator[dict]:
         row = {}
         for col in CSV_COLUMNS:
             i = index.get(col)
-            row[col] = rec[i] if i is not None and i < len(rec) else None
+            row[col] = rec[i] if i is not None and i < len(rec) else ""
         row["_source_file"] = source
         yield row
 
 
+def _parse_csv_frame(raw: bytes, source: str) -> pd.DataFrame:
+    """Vectorized header-mapped parse. Fast path: pandas' C engine (~20x
+    the Python csv module on wide files); it rejects rows WIDER than the
+    header, which the reference tolerates (FieldsPerRecord=-1), so on
+    ParserError fall back to the row-at-a-time parser. Semantics match the
+    get-closure (utils.go:185-191) exactly: present-but-empty cell, short
+    row, and absent column all -> ''; extra columns ignored."""
+    try:
+        pdf = pd.read_csv(
+            io.BytesIO(raw),
+            dtype=str,
+            keep_default_na=False,
+            na_values=[],
+            encoding="utf-8",
+            encoding_errors="replace",
+        )
+    except (pd.errors.ParserError, pd.errors.EmptyDataError, ValueError):
+        return pd.DataFrame(
+            list(_parse_csv_rows(raw, source)),
+            columns=CSV_COLUMNS + ["_source_file"],
+        )
+    pdf = pdf.reindex(columns=CSV_COLUMNS).fillna("")
+    pdf["_source_file"] = source
+    return pdf
+
+
 def extract_zip_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body over binaryFile rows (path, content)."""
+    cols = CSV_COLUMNS + ["_source_file"]
     for pdf in it:
         for path, content in zip(pdf["path"], pdf["content"]):
-            rows: list[dict] = []
+            parts: list[pd.DataFrame] = []
+            pending = 0
             for member, csv_bytes in _iter_csv_members(bytes(content), str(path)):
-                rows.extend(_parse_csv_bytes(csv_bytes, member))
-                if len(rows) >= 10_000:  # bound memory per yielded batch
-                    yield pd.DataFrame(rows, columns=CSV_COLUMNS + ["_source_file"])
-                    rows = []
-            if rows:
-                yield pd.DataFrame(rows, columns=CSV_COLUMNS + ["_source_file"])
+                part = _parse_csv_frame(csv_bytes, member)
+                if part.empty:
+                    continue
+                parts.append(part)
+                pending += len(part)
+                if pending >= 50_000:  # bound memory per yielded batch
+                    yield pd.concat(parts, ignore_index=True)[cols]
+                    parts, pending = [], 0
+            if parts:
+                yield pd.concat(parts, ignore_index=True)[cols]
 
 
 def read_staged_zips(spark: SparkSession, landing_dir: str) -> DataFrame:

@@ -88,15 +88,19 @@ def test_typed_transform_golden_values(wire):
     assert full["snowflake_time"] == datetime(2016, 4, 30, 11, 18, 25, 796000)
     assert full["entity_id"] == "42" and full["entity_type"] == "user"
     assert full["incompatible_content_illegal"] is None  # Q4
-    # header-subset file: absent columns -> NULL, bad snowflake -> NULL time
+    # header-subset file: absent column -> '' (the reference's get closure,
+    # utils.go:185-191, returns '' for missing and short), bad snowflake ->
+    # NULL time; ''-input parse functions still yield NULL
     partial = by_uuid["bbbb-1"]
-    assert partial["category"] is None
+    assert partial["category"] == ""
+    assert partial["decision_ground"] == ""
+    assert partial["end_date_visibility_restriction"] is None
     assert partial["automated_detection"] is False
     assert partial["snowflake_time"] is None
     assert partial["entity_id"] == "9" and partial["entity_type"] == "server"
-    # short row: missing cells -> NULL -> uid parts fall back to ''
+    # short row: missing cells -> '' -> uid parts fall back to ''
     short = by_uuid["bbbb-2"]
-    assert short["platform_uid"] is None and short["entity_id"] == ""
+    assert short["platform_uid"] == "" and short["entity_id"] == ""
 
 
 def test_quarantine_split(wire):
