@@ -282,3 +282,47 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return sample_frames(synthesize_media(d))
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (SURVEY §2.10): per-key session
+# assembly via applyInPandasWithState, run here over a bounded stream so
+# the DuckDB island-SQL oracle gives a full value check on the streaming
+# code path (same >= 4h-gap semantics as the batch `session_windows`
+# query — two independent engines, one oracle).
+# ---------------------------------------------------------------------------
+@register(
+    "session_stateful",
+    sql="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) >= 14400000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps)
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Stateful streaming sessionizer (applyInPandasWithState) over a bounded "
+    "stream; closed sessions checked against the island-SQL oracle.",
+)
+def session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.streaming.pipeline import sessionize_bounded
+
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    s = sessionize_bounded(spark, e, gap_s=14400)
+    return s.select(
+        "user_id",
+        _ts_str(F.col("session_start")).alias("session_start"),
+        _ts_str(F.col("session_end")).alias("session_end"),
+        "n_events",
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from dsacord_spark.functions.hashing import (
     MERSENNE_31,
     _perm_constants,
+    md5_long,
     md5_long_sql,
 )
 from dsacord_spark.functions.text import (
@@ -417,3 +418,45 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return blocked_near_dup_pairs(e, block_col="label", threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (north star "document fingerprinting
+# (rolling hash)"): order-sensitive Rabin-Karp fold over the token-hash
+# sequence — unlike text_stats' flat md5 of normalized text, token
+# reordering changes this fingerprint. Pure Column expressions (higher-
+# order transform + aggregate), zero UDFs, one narrow scan, no shuffle.
+# ---------------------------------------------------------------------------
+_RK_BASE = 1_000_003
+
+
+@register(
+    "text_rolling_fingerprint",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t FROM documents),
+    hs AS (SELECT doc_id,
+                  list_transform(t, x -> {md5_long_sql('x')} % {MERSENNE_31}) AS h,
+                  len(t) AS n_tokens
+           FROM toks)
+    SELECT doc_id, n_tokens,
+           list_reduce(list_prepend(0, h),
+                       (acc, x) -> (acc * {_RK_BASE} + x) % {MERSENNE_31}) AS rolling_fp
+    FROM hs
+    """,
+    doc="Rabin-Karp rolling-hash fingerprint over the token sequence "
+    "(SURVEY layer B; order-sensitive, bit-identical in both engines).",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = tokens("text")
+    hs = F.transform(t, lambda x: md5_long(x) % F.lit(MERSENNE_31))
+    fp = F.aggregate(
+        hs,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * F.lit(_RK_BASE) + x) % F.lit(MERSENNE_31),
+    )
+    return d.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        fp.alias("rolling_fp"),
+    )

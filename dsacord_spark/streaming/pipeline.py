@@ -73,6 +73,172 @@ def start_decisions_stream(
     return writer.start()
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id string, session_start timestamp, session_end timestamp, n_events bigint"
+)
+_SESSION_STATE_SCHEMA = "start bigint, end bigint, n bigint"
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap_s: int = 14400,
+    watermark: str = "1 hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY §2.10: absent in the
+    reference; the north-star `applyInPandasWithState` surface): per-key
+    session assembly with an event-time gap timeout.
+
+    Semantics match the batch `session_windows` catalog query exactly: a
+    new session starts when the gap to the previous event is >= gap_s
+    (microsecond arithmetic, so the DuckDB island-SQL oracle applies to
+    this operator too). Events arriving in one micro-batch are split into
+    gap-separated islands vectorized (numpy diff/split); every island but
+    the newest is emitted immediately, the newest is held in state and
+    closes when the event-time watermark passes its end + gap.
+
+    Unlike the built-in `session_window` aggregate, the state here is an
+    arbitrary tuple per key — the pattern generalizes to any accumulator
+    (sketches, model state, dedup caches). State per key is O(1); the
+    shuffle partitions by `user_id`, so skewed keys salt the same way any
+    grouped-state op does at scale."""
+    import numpy as np
+    import pandas as pd  # local: only the executors need these
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_s * 1_000_000
+
+    def _emit(key, closed: list[tuple[int, int, int]]):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n_events": [n for _, _, n in closed],
+            }
+        )
+
+    def assemble(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            closed = [tuple(state.get)]
+            state.remove()
+            yield _emit(key, closed)
+            return
+        chunks = [
+            (pdf[ts_col].astype("int64").to_numpy() // 1000) for pdf in pdfs
+        ]
+        arr = np.sort(np.concatenate(chunks)) if chunks else np.array([], "int64")
+        if arr.size == 0:
+            return
+        cuts = np.flatnonzero(np.diff(arr) >= gap_us) + 1
+        islands = np.split(arr, cuts)
+        closed: list[tuple[int, int, int]] = []
+        cur = tuple(state.get) if state.exists else None
+        if cur is not None:
+            if int(arr[0]) - cur[1] < gap_us:  # first island extends stored
+                first = islands[0]
+                cur = (cur[0], max(cur[1], int(first[-1])), cur[2] + len(first))
+                islands = islands[1:]
+                if islands:  # a later island exists -> stored session ends
+                    closed.append(cur)
+                    cur = None
+            else:
+                closed.append(cur)
+                cur = None
+        for i, isl in enumerate(islands):
+            sess = (int(isl[0]), int(isl[-1]), int(isl.size))
+            if i < len(islands) - 1:
+                closed.append(sess)
+            else:
+                cur = sess
+        state.update(cur)
+        # timeout must sit above the current watermark or Spark rejects it
+        state.setTimeoutTimestamp(
+            max(cur[1] // 1000 + gap_s * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield _emit(key, closed)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            assemble,
+            SESSION_OUTPUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_bounded(
+    spark: SparkSession,
+    events: DataFrame,
+    gap_s: int = 14400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Run the stateful sessionizer over a BOUNDED events DataFrame and
+    return the complete closed-session set as a batch DataFrame.
+
+    Mechanics: stage the events to a temp dir, append one sentinel row
+    whose timestamp sits past every possible open-session timeout, and run
+    an availableNow stream. The single data micro-batch has no watermark
+    yet, so nothing is dropped as late; Spark's trailing no-data batch then
+    carries watermark = sentinel time, firing every EventTimeTimeout and
+    flushing every real session (the sentinel's own session never closes
+    and is never emitted). Output is staged through parquet, not collected
+    to the driver."""
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="dsacord-sessionize-")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        staged = events.select(
+            F.col(key_col).cast("string").alias("user_id"),
+            F.col(ts_col).alias("ts"),
+        )
+        staged.write.parquet(src)
+        hi = staged.agg(F.max("ts").alias("hi")).collect()[0]["hi"]
+        sentinel = spark.createDataFrame(
+            [("__sentinel__",)], "user_id string"
+        ).select(
+            "user_id",
+            (F.lit(hi) + F.expr(f"INTERVAL {2 * gap_s + 1} SECOND")).alias("ts"),
+        )
+        sentinel.write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema("user_id string, ts timestamp").parquet(src)
+        sessions = sessionize_events(stream, gap_s=gap_s, watermark="0 seconds")
+
+        def sink(batch_df: DataFrame, _epoch: int) -> None:
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            sessions.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        if not os.path.isdir(out):
+            return spark.createDataFrame([], SESSION_OUTPUT_SCHEMA)
+        result = spark.read.parquet(out)
+        # materialize before the temp dir disappears
+        result = spark.createDataFrame(result.collect(), SESSION_OUTPUT_SCHEMA) \
+            if result.isEmpty() else result.localCheckpoint(eager=True)
+        return result
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def streaming_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

@@ -64,3 +64,69 @@ def test_streaming_backfill_dedup_and_resume(spark, tmp_path):
     q2.awaitTermination(120)
     batch2 = [r["uuid"] for e in epochs for r in e]
     assert batch2 == ["u3"]  # checkpoint: day-1 file not reprocessed
+
+
+def test_sessionize_bounded_splits_islands(spark):
+    """applyInPandasWithState sessionizer: within-batch gap split + final
+    watermark flush (>= gap starts a new session, matching session_windows)."""
+    from dsacord_spark.streaming.pipeline import sessionize_bounded
+
+    ev = spark.createDataFrame(
+        [
+            ("A", "2025-01-01 10:00:00"),
+            ("A", "2025-01-01 10:10:00"),
+            ("A", "2025-01-01 20:00:00"),  # > 4h after 10:10 -> new session
+            ("B", "2025-01-01 11:00:00"),
+        ],
+        "user_id string, ts_s string",
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in sessionize_bounded(spark, ev, gap_s=14400).collect()
+    }
+    assert got == {
+        ("A", "2025-01-01 10:00:00", "2025-01-01 10:10:00", 2),
+        ("A", "2025-01-01 20:00:00", "2025-01-01 20:00:00", 1),
+        ("B", "2025-01-01 11:00:00", "2025-01-01 11:00:00", 1),
+    }
+
+
+def test_sessionize_stateful_merges_across_batches(spark, tmp_path):
+    """State carries an open session across micro-batches: a second-batch
+    event inside the gap extends it rather than opening a new session."""
+    import os
+
+    from dsacord_spark.streaming.pipeline import sessionize_events
+
+    src = tmp_path / "src"
+    src.mkdir()
+    files = [
+        ("b1.csv", "user_id,ts\nA,2025-01-01 10:00:00\n"),
+        ("b2.csv", "user_id,ts\nA,2025-01-01 10:05:00\n"),
+        ("b3.csv", "user_id,ts\n__s__,2025-01-02 00:00:00\n"),
+        ("b4.csv", "user_id,ts\n__s__,2025-01-02 00:00:01\n"),
+    ]
+    for i, (name, body) in enumerate(files):
+        p = src / name
+        p.write_text(body)
+        os.utime(p, (1700000000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    out: list = []
+    q = (
+        sessionize_events(stream, gap_s=14400, watermark="0 seconds")
+        .writeStream.foreachBatch(lambda df, eid: out.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = [r for batch in out for r in batch if r["user_id"] == "A"]
+    assert len(rows) == 1  # merged, not two single-event sessions
+    assert rows[0]["n_events"] == 2
+    assert str(rows[0]["session_start"]) == "2025-01-01 10:00:00"
+    assert str(rows[0]["session_end"]) == "2025-01-01 10:05:00"
