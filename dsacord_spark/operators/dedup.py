@@ -276,6 +276,9 @@ def simhash_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: the banded join emits each qualifying
+        # pair up to n_bands times, so dropping far pairs first shrinks
+        # the distinct's shuffle input
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -139,3 +139,60 @@ def blocked_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
+    vector to its nearest centroid cell; a query scores only the vectors
+    in its `nprobe` nearest cells.
+
+    Centroids here are the first `n_cells` vectors by id — deterministic
+    so the DuckDB oracle reproduces the full index bit-for-bit; a
+    production index swaps in k-means centroids (this is the 0-iteration
+    degenerate case) without touching the dataflow. At scale: centroids
+    broadcast (they are tiny), the corpus assignment is one narrow
+    map-side pass + per-id top-1, the probe join is an equi-join on cell
+    id — the corpus is written partitioned/bucketed by cell so a query
+    touches nprobe/n_cells of the data instead of all of it."""
+    cent = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    )
+
+    def nearest_cells(df: DataFrame, vid: str, vec: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            df["*"],
+            "c_id",
+            cosine(F.col(vec), F.col("c_vec")).alias("c_cos"),
+        )
+        w = W.partitionBy(vid).orderBy(F.col("c_cos").desc(), F.col("c_id").asc())
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+            .drop("rn", "c_cos")
+            .withColumnRenamed("c_id", "cell")
+        )
+
+    assigned = nearest_cells(emb, id_col, vec_col, 1)
+    probes = nearest_cells(queries, "q_id", "q_vec", nprobe)
+    cand = probes.join(assigned, "cell").filter(F.col("q_id") != F.col(id_col))
+    scored = cand.select(
+        "q_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("q_vec"), F.col(vec_col)).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )

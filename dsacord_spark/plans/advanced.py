@@ -326,3 +326,34 @@ def session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ts_str(F.col("session_end")).alias("session_end"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions (SURVEY §2.6: ntile / percent_rank /
+# cume_dist). ntile's bucket boundaries depend on intra-tie row order, so
+# the ORDER BY carries the unique o_orderkey tie-break on both sides.
+# ---------------------------------------------------------------------------
+@register(
+    "window_distribution",
+    sql="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="ntile/percent_rank/cume_dist over orders by priority.",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

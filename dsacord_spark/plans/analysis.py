@@ -460,3 +460,109 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(t).cast("bigint").alias("n_tokens"),
         fp.alias("rolling_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (north star: "an IVF or LSH-bucketed variant as the scale
+# path"). Deterministic coarse quantizer (first-n centroids == 0-iteration
+# k-means) so the DuckDB oracle reproduces the whole index; see
+# operators/similarity.py:ivf_topk for the scale notes.
+# ---------------------------------------------------------------------------
+_IVF_CELLS, _IVF_NPROBE = 16, 4
+
+
+@register(
+    "ann_ivf_topk",
+    sql=f"""
+    WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec
+                  FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS}),
+    assign_scored AS (
+      SELECT e.vec_id, e.embedding, c.c_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql('e.embedding', 'c.c_vec')} DESC, c.c_id ASC) AS rn
+      FROM embeddings e, cent c),
+    assigned AS (SELECT vec_id, embedding, c_id AS cell FROM assign_scored WHERE rn = 1),
+    qprobe AS (
+      SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.c_id AS cell,
+             row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cos_sql('q.embedding', 'c.c_vec')} DESC, c.c_id ASC) AS rn
+      FROM embeddings q, cent c WHERE q.vec_id < 5),
+    probes AS (SELECT q_id, q_vec, cell FROM qprobe WHERE rn <= {_IVF_NPROBE}),
+    scored AS (
+      SELECT q_id, a.vec_id AS neighbor_id, {_cos_sql('q_vec', 'a.embedding')} AS cos
+      FROM probes p JOIN assigned a USING (cell) WHERE a.vec_id <> p.q_id),
+    ranked AS (
+      SELECT q_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT q_id, neighbor_id, rank, round(cos, 6) AS cos_sim
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="IVF ANN top-5: 16-cell coarse quantizer, nprobe=4 — query touches "
+    "nprobe/n_cells of the corpus instead of all of it.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.operators.similarity import ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(e, q, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-data selection: hash-based train/val/test split
+# and per-language stratified sampling. Hash-mod selection (not rand()) is
+# the scale-correct idiom: reproducible across runs/engines, stable under
+# repartitioning, and join-free (a narrow map-side filter at 100 TB).
+# ---------------------------------------------------------------------------
+_SPLIT_HASH = md5_long_sql("CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "split_train_test",
+    sql=f"""
+    SELECT doc_id,
+           CASE WHEN {_SPLIT_HASH} % 100 < 80 THEN 'train'
+                WHEN {_SPLIT_HASH} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic 80/10/10 train/val/test split by doc-id hash.",
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string")) % F.lit(100)
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", split.alias("split"))
+
+
+_STRATA_RATES = {"en": 200, "de": 500, "fr": 500}  # out of 1000
+_DEFAULT_RATE = 800
+
+
+@register(
+    "sample_stratified",
+    sql=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_SPLIT_HASH} % 1000 <
+          CASE lang
+            {' '.join(f"WHEN '{lg}' THEN {r}" for lg, r in _STRATA_RATES.items())}
+            ELSE {_DEFAULT_RATE} END
+    """,
+    doc="Deterministic per-language stratified sample (hash-mod rates): "
+    "downsample dominant languages, keep the tail.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string")) % F.lit(1000)
+    rate = F.lit(_DEFAULT_RATE)
+    for lg, r in reversed(_STRATA_RATES.items()):
+        rate = F.when(F.col("lang") == lg, F.lit(r)).otherwise(rate)
+    return d.filter(bucket < rate).select("doc_id", "lang")
