@@ -184,7 +184,12 @@ def ivf_topk(
 
     assigned = nearest_cells(emb, id_col, vec_col, 1)
     probes = nearest_cells(queries, "q_id", "q_vec", nprobe)
-    cand = probes.join(assigned, "cell").filter(F.col("q_id") != F.col(id_col))
+    # probes is num_queries x nprobe rows — tiny by construction — while
+    # the corpus assignment is the full dataset: broadcast the probe side
+    # so the cell join never shuffles the corpus
+    cand = F.broadcast(probes).join(assigned, "cell").filter(
+        F.col("q_id") != F.col(id_col)
+    )
     scored = cand.select(
         "q_id",
         F.col(id_col).alias("neighbor_id"),

@@ -180,6 +180,7 @@ def sessionize_bounded(
     gap_s: int = 14400,
     key_col: str = "user_id",
     ts_col: str = "ts",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Run the stateful sessionizer over a BOUNDED events DataFrame and
     return the complete closed-session set as a batch DataFrame.
@@ -191,7 +192,12 @@ def sessionize_bounded(
     carries watermark = sentinel time, firing every EventTimeTimeout and
     flushing every real session (the sentinel's own session never closes
     and is never emitted). Output is staged through parquet, not collected
-    to the driver."""
+    to the driver.
+
+    `state_partitions` sizes the state-store shuffle: per-partition state
+    store + Python worker overhead dominates when keys are few, so this
+    should scale with key cardinality (it is pinned at the first batch of
+    a checkpoint and cannot change later)."""
     import os
     import shutil
     import tempfile
@@ -200,13 +206,15 @@ def sessionize_bounded(
     src = os.path.join(work, "src")
     out = os.path.join(work, "out")
     ckpt = os.path.join(work, "ckpt")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         staged = events.select(
             F.col(key_col).cast("string").alias("user_id"),
             F.col(ts_col).alias("ts"),
-        )
+        ).persist()
         staged.write.parquet(src)
         hi = staged.agg(F.max("ts").alias("hi")).collect()[0]["hi"]
+        staged.unpersist()
         sentinel = spark.createDataFrame(
             [("__sentinel__",)], "user_id string"
         ).select(
@@ -215,6 +223,7 @@ def sessionize_bounded(
         )
         sentinel.write.mode("append").parquet(src)
 
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         stream = spark.readStream.schema("user_id string, ts timestamp").parquet(src)
         sessions = sessionize_events(stream, gap_s=gap_s, watermark="0 seconds")
 
@@ -236,6 +245,7 @@ def sessionize_bounded(
             if result.isEmpty() else result.localCheckpoint(eager=True)
         return result
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
 
 
