@@ -38,6 +38,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # default 10k Arrow records/batch halves nested-zip extraction
+        # throughput on wide string rows; 100k keeps per-core batch memory
+        # ~tens of MB while amortizing the Python<->JVM transfer
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
