@@ -20,7 +20,16 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from dsacord_spark.functions.vectors import cosine
+from dsacord_spark.functions.vectors import cosine, dot, norm
+
+
+def _pair_cos(dot_col: F.Column, norm_a: F.Column, norm_b: F.Column) -> F.Column:
+    """Cosine from a per-pair dot and PRE-COMPUTED per-vector norms.
+    Bit-identical to functions.vectors.cosine (same expressions, same
+    order) but the O(dim) norm work runs once per vector before the join
+    instead of once per pair after it — a 3x per-pair saving that the
+    projection boundary at the join protects from being inlined back."""
+    return F.try_divide(dot_col, norm_a * norm_b)
 
 
 def hyperplane_masks(n_planes: int, dim: int, seed: str = "dsacord-lsh") -> list[list[int]]:
@@ -68,11 +77,15 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (excluding self).
     queries must have columns (q_id, q_vec)."""
-    pairs = queries.crossJoin(emb).filter(F.col("q_id") != F.col(id_col))
+    e_n = emb.withColumn("__en", norm(F.col(vec_col)))
+    q_n = queries.withColumn("__qn", norm(F.col("q_vec")))
+    pairs = q_n.crossJoin(e_n).filter(F.col("q_id") != F.col(id_col))
     scored = pairs.select(
         "q_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("q_vec"), F.col(vec_col)).alias("cos_sim"),
+        _pair_cos(
+            dot(F.col("q_vec"), F.col(vec_col)), F.col("__qn"), F.col("__en")
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -93,13 +106,19 @@ def lsh_topk(
     """ANN top-k: candidates restricted to the query's hyperplane bucket.
     The bucket join is an equi-join (shuffle/broadcast by bucket id) — at
     scale the corpus is written bucketed so queries probe one partition."""
-    emb_b = emb.withColumn("bucket", hyperplane_bucket(F.col(vec_col), masks))
-    q_b = queries.withColumn("bucket", hyperplane_bucket(F.col("q_vec"), masks))
+    emb_b = emb.withColumn(
+        "bucket", hyperplane_bucket(F.col(vec_col), masks)
+    ).withColumn("__en", norm(F.col(vec_col)))
+    q_b = queries.withColumn(
+        "bucket", hyperplane_bucket(F.col("q_vec"), masks)
+    ).withColumn("__qn", norm(F.col("q_vec")))
     pairs = q_b.join(emb_b, "bucket").filter(F.col("q_id") != F.col(id_col))
     scored = pairs.select(
         "q_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("q_vec"), F.col(vec_col)).alias("cos_sim"),
+        _pair_cos(
+            dot(F.col("q_vec"), F.col(vec_col)), F.col("__qn"), F.col("__en")
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -122,11 +141,13 @@ def blocked_near_dup_pairs(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        norm(F.col(vec_col)).alias("__na"),
     )
     b = emb.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        norm(F.col(vec_col)).alias("__nb"),
     )
     return (
         a.join(b, "blk")
@@ -135,7 +156,14 @@ def blocked_near_dup_pairs(
             "blk",
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+            F.round(
+                _pair_cos(
+                    dot(F.col("vec_a"), F.col("vec_b")),
+                    F.col("__na"),
+                    F.col("__nb"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -165,14 +193,20 @@ def ivf_topk(
     cent = (
         emb.orderBy(F.col(id_col).asc())
         .limit(n_cells)
-        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_n"),
+        )
     )
 
     def nearest_cells(df: DataFrame, vid: str, vec: str, n: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).select(
-            df["*"],
+        with_n = df.withColumn("__vn", norm(F.col(vec)))
+        scored = with_n.crossJoin(F.broadcast(cent)).select(
+            with_n["*"],
             "c_id",
-            cosine(F.col(vec), F.col("c_vec")).alias("c_cos"),
+            _pair_cos(dot(F.col(vec), F.col("c_vec")), F.col("__vn"), F.col("c_n"))
+            .alias("c_cos"),
         )
         w = W.partitionBy(vid).orderBy(F.col("c_cos").desc(), F.col("c_id").asc())
         return (
@@ -182,8 +216,10 @@ def ivf_topk(
             .withColumnRenamed("c_id", "cell")
         )
 
-    assigned = nearest_cells(emb, id_col, vec_col, 1)
-    probes = nearest_cells(queries, "q_id", "q_vec", nprobe)
+    assigned = nearest_cells(emb, id_col, vec_col, 1).withColumnRenamed("__vn", "__en")
+    probes = nearest_cells(queries, "q_id", "q_vec", nprobe).withColumnRenamed(
+        "__vn", "__qn"
+    )
     # probes is num_queries x nprobe rows — tiny by construction — while
     # the corpus assignment is the full dataset: broadcast the probe side
     # so the cell join never shuffles the corpus
@@ -193,7 +229,9 @@ def ivf_topk(
     scored = cand.select(
         "q_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col("q_vec"), F.col(vec_col)).alias("cos_sim"),
+        _pair_cos(
+            dot(F.col("q_vec"), F.col(vec_col)), F.col("__qn"), F.col("__en")
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -869,3 +869,62 @@ def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("p_partkey"), 2).alias("key_shifted"),
         F.length("p_name").alias("name_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F8 generalized to MapType (SURVEY §2.3 F8 "target generalizes to
+# events.props map parsing"): from_json to map<string,bigint>, explode the
+# entries, aggregate per key — schema-free property bags, the idiom for
+# sparse event attributes at scale (vs one column per property).
+# ---------------------------------------------------------------------------
+@register(
+    "json_map_explode",
+    sql="""
+    SELECT event_type, k AS prop_key, COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS sum_v
+    FROM (SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY 1, 2
+    """,
+    doc="F8 map generalization: from_json(map<string,bigint>) + explode + per-key agg.",
+)
+def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        e.select("event_type", F.explode(m).alias("prop_key", "prop_val"))
+        .groupBy("event_type", "prop_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("prop_val").alias("sum_v"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (reshaping surface, §2 set-ops/reshape family): wide
+# measure columns -> long (measure, value) rows. Narrow map-side op, no
+# shuffle; the DuckDB oracle uses native UNPIVOT.
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_measures",
+    sql="""
+    WITH m AS (SELECT l_orderkey, l_linenumber,
+        CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity,
+        CAST(l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice,
+        CAST(l_discount AS DECIMAL(18,2)) AS l_discount FROM lineitem)
+    SELECT * FROM (UNPIVOT m ON l_quantity, l_extendedprice, l_discount
+                   INTO NAME measure VALUE val)
+    """,
+    doc="Unpivot three lineitem measures to long form (melt).",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        _dec("l_quantity").alias("l_quantity"),
+        _dec("l_extendedprice").alias("l_extendedprice"),
+        _dec("l_discount").alias("l_discount"),
+    )
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
