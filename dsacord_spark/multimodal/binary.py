@@ -132,3 +132,42 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 5) -
     return media.filter(F.col("modality") == "video").select(
         "media_id", "data"
     ).mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = "media_id long, width int, height int, n_bytes long, data binary"
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize stub: (media_id, data) -> fixed-size binary + new dims.
+    The DETERMINISTIC FAKE kernel strides the source bytes down to
+    width*height*3 (padding by repetition when short) — a real kernel
+    swaps in Pillow's Image.resize without touching the Spark plumbing:
+    binary in, binary out, Arrow-batched, flat per-row cardinality."""
+
+    target = width * height * 3
+
+    def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data) or b"\x00"
+                reps = -(-target // len(raw))  # ceil-div: pad short inputs
+                buf = (raw * reps)[:target] if reps > 1 else raw[
+                    :: max(1, len(raw) // target)
+                ][:target].ljust(target, raw[:1])
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "width": width,
+                        "height": height,
+                        "n_bytes": len(buf),
+                        "data": buf,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_bytes", "data"]
+            )
+
+    return media.filter(F.col("modality") == "image").select(
+        "media_id", "data"
+    ).mapInPandas(resize_batches, schema=RESIZED_SCHEMA)

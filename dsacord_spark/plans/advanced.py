@@ -284,6 +284,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(synthesize_media(d))
 
 
+@register(
+    "multimodal_resize",
+    sql=None,  # pandas-UDF resize stub: rows-only check (kernel is faked)
+    doc="Image resize stub: binary in -> fixed-size binary out via mapInPandas.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.multimodal.binary import resize_images, synthesize_media
+
+    d = table(spark, sf_dir, "documents")
+    return resize_images(synthesize_media(d))
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful streaming operator (SURVEY §2.10): per-key session
 # assembly via applyInPandasWithState, run here over a bounded stream so
