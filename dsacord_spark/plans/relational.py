@@ -928,3 +928,91 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery surface (SURVEY §3: the reference has no SQL at all; the target
+# exposes Spark's full SQL front-end). The SAME ANSI text runs on Spark
+# and DuckDB — the Spark side goes through spark.sql over temp views, so
+# parsing, subquery decorrelation, and rewrite-to-join are Catalyst's.
+# ---------------------------------------------------------------------------
+_EXISTS_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+
+@register(
+    "subquery_exists",
+    sql=_EXISTS_SQL,
+    doc="Correlated EXISTS subquery (Catalyst decorrelates to a semi-join); "
+    "identical SQL text on both engines.",
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXISTS_SQL)
+
+
+_SCALAR_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice > (SELECT MAX(o_totalprice) / 2 FROM orders)
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "subquery_scalar",
+    sql=_SCALAR_SQL,
+    doc="Scalar subquery threshold (MAX/2: exact in binary floating point, "
+    "so the predicate is engine-independent).",
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SCALAR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join (SURVEY §4.3 / the 100 TB contract: "skewed keys ->
+# salting or AQE skew-join"). The technique made concrete: replicate the
+# dim side across SALT shards, salt the fact side deterministically, join
+# on (key, salt) — each hot key's rows spread over SALT reducers instead
+# of one. Result is provably identical to the plain join (the oracle IS
+# the plain join). AQE's skew-join handles mid-sized skew automatically;
+# explicit salting is for keys too hot for partition splitting.
+# ---------------------------------------------------------------------------
+_SKEW_SALT = 8
+
+
+@register(
+    "join_skew_salted",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Skew-resistant salted join: fact salted, dim replicated x8; "
+    "oracle is the equivalent plain join.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lf = l.withColumn(
+        "__salt",
+        F.pmod(F.hash("l_orderkey", "l_linenumber", "l_quantity"), F.lit(_SKEW_SALT)),
+    )
+    od = o.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(s) for s in range(_SKEW_SALT)]))
+    )
+    return (
+        lf.join(od, (lf["l_orderkey"] == od["o_orderkey"]) & (lf["__salt"] == od["__salt"]))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+        )
+    )
