@@ -1016,3 +1016,83 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("l_quantity")).alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-shaped headline: 3-table join chain with selective filters on
+# both ends + decimal revenue agg + top-k. Catalyst broadcast-joins the
+# filtered customer segment, pushes both date predicates into the parquet
+# scans, and plans the top-10 as TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@register(
+    "shipping_priority",
+    sql="""
+    SELECT l.l_orderkey,
+           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,2))) AS revenue,
+           CAST(o.o_orderdate AS VARCHAR) AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective 3-table join -> revenue agg -> top-10.",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("date"))
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
+    revenue = _dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (training-pipeline utility: one pass, one row, the
+# null/distinct/extremes summary a data curator runs before training).
+# Single aggregation -> map-side partials; no per-column scans.
+# ---------------------------------------------------------------------------
+@register(
+    "profile_lineitem",
+    sql="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_returnflag) AS n_flags,
+           SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+           CAST(MIN(l_shipdate) AS VARCHAR) AS min_shipdate,
+           CAST(MAX(l_shipdate) AS VARCHAR) AS max_shipdate,
+           MIN(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
+           MAX(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty
+    FROM lineitem
+    """,
+    doc="One-pass column profile: counts, distincts, null counts, extremes.",
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("l_orderkey")).alias("n_orders"),
+        F.count_distinct(F.col("l_returnflag")).alias("n_flags"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)).alias(
+            "null_shipdate"
+        ),
+        F.min("l_shipdate").cast("string").alias("min_shipdate"),
+        F.max("l_shipdate").cast("string").alias("max_shipdate"),
+        F.min(_dec("l_quantity")).alias("min_qty"),
+        F.max(_dec("l_quantity")).alias("max_qty"),
+    )
