@@ -34,12 +34,12 @@ class Config:
     date_to: date = EARLIEST_DUMP_DATE
     workers: int = 1                      # main.go:54 (max 5 recommended)
     dup_strategy: str = "error"
-    # DB (main.go:44-53, env fallbacks ibid.)
-    db_host: str = field(default_factory=lambda: os.environ.get("DSACORD_DB_HOST", "localhost"))
-    db_port: int = field(default_factory=lambda: int(os.environ.get("DSACORD_DB_PORT", "5432")))
-    db_user: str = field(default_factory=lambda: os.environ.get("DSACORD_DB_USER", "postgres"))
-    db_password: str = field(default_factory=lambda: os.environ.get("DSACORD_DB_PASSWORD", ""))
-    db_name: str = field(default_factory=lambda: os.environ.get("DSACORD_DB_NAME", "dsacord"))
+    # DB (main.go:47-51; env-var names match the reference exactly)
+    db_host: str = field(default_factory=lambda: os.environ.get("DB_HOST", "localhost"))
+    db_port: int = field(default_factory=lambda: int(os.environ.get("DB_PORT", "5432")))
+    db_user: str = field(default_factory=lambda: os.environ.get("DB_USER", "postgres"))
+    db_password: str = field(default_factory=lambda: os.environ.get("DB_PASSWORD", ""))
+    db_name: str = field(default_factory=lambda: os.environ.get("DB_NAME", "dsacord"))
     # Spark-engine additions
     landing_dir: str = "/tmp/dsacord/landing"
     checkpoint_dir: str = "/tmp/dsacord/checkpoints"

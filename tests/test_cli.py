@@ -1,0 +1,84 @@
+"""CLI parity (main.go:43-57): flag names, strategy triple mapping, and a
+full `main()` run against a fake HTTP transport through the parquet sink."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+
+from dsacord_spark.__main__ import main, parse_args
+
+
+def test_parse_args_reference_flags():
+    cfg, a = parse_args(
+        [
+            "--dbhost", "db.example", "--dbport", "5433",
+            "--dbuser", "u", "--dbpassword", "pw", "--dbname", "dsa",
+            "--from", "2025-01-01", "--to", "2025-01-03",
+            "--workers", "5", "--overwriteDuplicates",
+        ]
+    )
+    assert cfg.date_from == date(2025, 1, 1) and cfg.date_to == date(2025, 1, 3)
+    assert cfg.workers == 5
+    assert cfg.dup_strategy == "upsert-on-conflict"
+    assert (cfg.db_host, cfg.db_port, cfg.db_name) == ("db.example", 5433, "dsa")
+    assert cfg.jdbc_url == "jdbc:postgresql://db.example:5433/dsa"
+
+
+def test_parse_args_strategy_triple():
+    base = ["--from", "2025-01-01", "--to", "2025-01-01"]
+    assert parse_args(base)[0].dup_strategy == "error"
+    assert parse_args(base + ["--overwriteDuplicates"])[0].dup_strategy == (
+        "upsert-on-conflict"
+    )
+    # skipCheckingDuplicates wins even when both are set (utils.go:99)
+    assert parse_args(
+        base + ["--overwriteDuplicates", "--skipCheckingDuplicates"]
+    )[0].dup_strategy == "always-upsert"
+
+
+def test_parse_args_env_fallbacks(monkeypatch):
+    monkeypatch.setenv("DB_HOST", "envhost")
+    monkeypatch.setenv("DB_USER", "envuser")
+    cfg, _ = parse_args(["--from", "2025-01-01", "--to", "2025-01-01"])
+    assert cfg.db_host == "envhost" and cfg.db_user == "envuser"
+
+
+def test_main_parquet_sink_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    """`python -m dsacord_spark --sink parquet` over a faked transport:
+    same serving setup as test_pipeline, driven through the real CLI."""
+    import dsacord_spark.sources.stager as stager
+    from tests.test_pipeline import _Resp, _day_zip
+
+    served = {"2025-01-01": _day_zip("cli-row")}
+
+    def opener(url):
+        import urllib.error
+
+        for dt, data in served.items():
+            if dt in url:
+                return _Resp(data)
+        raise urllib.error.HTTPError(url, 403, "forbidden", None, None)
+
+    monkeypatch.setattr(stager, "_default_opener", opener, raising=False)
+    # stage_range takes opener as kwarg default — patch its default path
+    orig = stager.stage_range
+
+    def patched(urls, landing_dir, **kw):
+        kw.setdefault("opener", opener)
+        return orig(urls, landing_dir, **kw)
+
+    monkeypatch.setattr("dsacord_spark.pipeline.stage_range", patched)
+
+    rc = main(
+        [
+            "--from", "2025-01-01", "--to", "2025-01-02",
+            "--landing-dir", str(tmp_path / "landing"),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "Inserted 1 rows" in out
+    assert rc == 1  # the 403 day surfaces as a day error -> nonzero exit
+    back = spark.read.parquet(str(tmp_path / "landing" / "decisions"))
+    assert [r["uuid"] for r in back.collect()] == ["cli-row"]
