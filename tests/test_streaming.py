@@ -130,3 +130,54 @@ def test_sessionize_stateful_merges_across_batches(spark, tmp_path):
     assert rows[0]["n_events"] == 2
     assert str(rows[0]["session_start"]) == "2025-01-01 10:00:00"
     assert str(rows[0]["session_end"]) == "2025-01-01 10:05:00"
+
+
+def test_streaming_event_counts_append_seals_on_watermark(spark, tmp_path):
+    """Windowed streaming agg with watermark in APPEND mode — the
+    watermark's hard guarantees: a window is emitted exactly once, only
+    after the watermark passes its end, and windows the watermark has not
+    passed are held as state, never emitted early. (Dropping of late rows
+    that would open NEW below-watermark state is best-effort in Spark and
+    deliberately not asserted here.)"""
+    import os
+
+    from dsacord_spark.streaming.pipeline import streaming_event_counts
+
+    src = tmp_path / "src"
+    src.mkdir()
+    files = [
+        # batch 0: advances watermark to 12:00 - 2h = 10:00
+        ("b1.csv", "event_type,ts\nclick,2025-01-01 09:30:00\n"
+                   "click,2025-01-01 09:45:00\n"
+                   "click,2025-01-01 12:00:00\n"),
+        # batch 1 (wm=10:00): seals [09:00,10:00); 10:30 stays open state
+        ("b2.csv", "event_type,ts\nclick,2025-01-01 10:30:00\n"),
+    ]
+    for i, (name, body) in enumerate(files):
+        p = src / name
+        p.write_text(body)
+        os.utime(p, (1700000000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    agg = streaming_event_counts(stream, window="1 hour", watermark="2 hours")
+    out: list = []
+    q = (
+        agg.writeStream.foreachBatch(lambda df, eid: out.append(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emissions = [str(r["window_start"]) for b in out for r in b]
+    counts = {str(r["window_start"]): r["n_events"] for b in out for r in b}
+    # sealed exactly once, with the full 2-event count
+    assert emissions.count("2025-01-01 09:00:00") == 1
+    assert counts["2025-01-01 09:00:00"] == 2
+    # windows the watermark never passed are held open, not emitted
+    assert "2025-01-01 10:00:00" not in counts
+    assert "2025-01-01 12:00:00" not in counts
