@@ -37,6 +37,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # serve bare MIN/MAX/COUNT from parquet footer statistics instead
+        # of scanning row groups (profile/count-style queries)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # default 10k Arrow records/batch halves nested-zip extraction
         # throughput on wide string rows; 100k keeps per-core batch memory
