@@ -59,6 +59,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       DuckDB's TIMESTAMP_NS order), ts_us (long microseconds, for interval
     arithmetic = DuckDB epoch_us), and ts (micro timestamp, for
     formatting/windowing = DuckDB CAST(ts AS TIMESTAMP))."""
+    # the driver runs catalog queries in ITS OWN SparkSession; timestamp
+    # string rendering (every *_ts_str output) follows the session
+    # timezone, so pin it here rather than trusting session defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F

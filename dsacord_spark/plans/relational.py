@@ -1096,3 +1096,73 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(_dec("l_quantity")).alias("min_qty"),
         F.max(_dec("l_quantity")).alias("max_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Array / higher-order function surface made explicit (used internally by
+# every dedup/similarity operator; exposed here as a user-facing query):
+# sort, distinct, slice, element access, filter, transform+aggregate fold
+# over the embedding arrays — all JVM-side, zero shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "array_functions",
+    sql="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_v,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))),
+                 (acc, x) -> acc + x), 6) AS head_sum
+    FROM embeddings
+    """,
+    doc="Array surface: size/index/max/filter-count/sliced fold over "
+    "array<float>, sequential double accumulation for parity.",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    head = F.transform(F.slice(emb, 1, 8), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(emb.getItem(0).cast("double"), 6).alias("first_v"),
+        F.round(F.array_max(emb).cast("double"), 6).alias("max_v"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(head, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("head_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/interval arithmetic surface (F6-adjacent): truncation, component
+# extraction, day arithmetic, date differences — per-row projections the
+# scan absorbs.
+# ---------------------------------------------------------------------------
+@register(
+    "date_functions",
+    sql="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS order_dow,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
+           datediff('day', DATE '1995-01-01', o_orderdate) AS days_since_95
+    FROM orders
+    """,
+    doc="Date functions: trunc, extract, interval add, datediff "
+    "(DuckDB dow == Spark dayofweek-1).",
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").cast("string").alias("order_month"),
+        F.year(d).alias("order_year"),
+        (F.dayofweek(d) - F.lit(1)).alias("order_dow"),
+        F.date_add(d, 30).cast("string").alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+    )
