@@ -67,8 +67,8 @@ def run_backfill(
         return metrics
 
     wire = read_staged_zips(spark, cfg.landing_dir)
-    typed = decisions_transform(wire)
-    valid, quarantined = split_quarantine(typed)
+    typed, dq = with_dq_metrics(decisions_transform(wire))
+    valid, _quarantined = split_quarantine(typed)
     deduped = dedup_batch(valid)
 
     if sink is None:
@@ -80,6 +80,9 @@ def run_backfill(
             return n
 
     metrics.rows_written = sink(deduped)
-    metrics.rows_quarantined = quarantined.count()
+    # the observation sits below the quarantine filter, so the sink's own
+    # action populates it — no second scan of the extraction pipeline
+    # (the reference re-reads nothing either; Q2 exactness, for free)
+    metrics.rows_quarantined = int(dq.get["empty_uuid"])
     metrics.elapsed_s = time.monotonic() - t0
     return metrics

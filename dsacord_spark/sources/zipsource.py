@@ -154,8 +154,13 @@ def read_staged_csvs(spark: SparkSession, landing_dir: str) -> DataFrame:
         .csv(landing_dir)
     )
     present = set(df.columns)
+    # Spark's CSV reader yields NULL for empty cells and for columns a
+    # particular file lacks; the reference's get closure yields '' for
+    # every such case (utils.go:185-191) — coalesce restores that
     cols = [
-        F.col(c).cast("string").alias(c) if c in present else F.lit(None).cast("string").alias(c)
+        F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c)
+        if c in present
+        else F.lit("").alias(c)
         for c in CSV_COLUMNS
     ]
     return df.select(*cols, F.input_file_name().alias("_source_file"))

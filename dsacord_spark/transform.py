@@ -79,15 +79,21 @@ def split_quarantine(typed: DataFrame) -> tuple[DataFrame, DataFrame]:
     return typed.filter(F.col("uuid") != ""), typed.filter(F.col("uuid") == "")
 
 
-def with_dq_metrics(typed: DataFrame, name: str = "dq") -> DataFrame:
+def with_dq_metrics(typed: DataFrame, name: str = "dq"):
     """df.observe counters replacing the reference's log-warning DQ
     (utils.go:176-178) and its over-counting insertedCount (Q2): exact
-    row/empty-uuid/null-created counts, collected via the observation API."""
-    return typed.observe(
-        name,
+    row/empty-uuid/null-created counts, collected as a free side effect of
+    the FIRST downstream action (no extra scan). Returns (df, Observation);
+    read `observation.get` after an action has run."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    df = typed.observe(
+        obs,
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.when(F.col("uuid") == "", 1).otherwise(0)).alias("empty_uuid"),
         F.sum(F.when(F.col("created_at").isNull(), 1).otherwise(0)).alias(
             "null_created_at"
         ),
     )
+    return df, obs

@@ -119,3 +119,70 @@ def test_parquet_sink_roundtrip(spark, wire, tmp_path):
     assert back.filter(F.col("uuid") == "aaaa-1").select("dt").collect()[0][
         "dt"
     ] == "2025-01-01"
+
+
+def test_csv_fastpath_matches_get_closure_semantics(spark, tmp_path):
+    """S5 fast path (native CSV reader on pre-unzipped files): empty cell,
+    per-file-absent column, and globally-absent column all surface as ''
+    exactly like the zip path and the reference's get closure."""
+    from dsacord_spark.sources.zipsource import read_staged_csvs
+
+    d = tmp_path / "csvs" / "dt=2025-01-01"
+    d.mkdir(parents=True)
+    (d / "a.csv").write_text(
+        "uuid,category,platform_uid\n"
+        '"fast-1","CAT","123-9-user"\n'
+        '"fast-2","",""\n'          # present-but-empty cells
+    )
+    (d / "b.csv").write_text(
+        "uuid\n"                     # header-subset file
+        '"fast-3"\n'
+    )
+    wire = read_staged_csvs(spark, str(tmp_path / "csvs"))
+    rows = {r["uuid"]: r for r in wire.collect()}
+    assert set(rows) == {"fast-1", "fast-2", "fast-3"}
+    assert rows["fast-1"]["category"] == "CAT"
+    assert rows["fast-2"]["category"] == ""          # empty cell -> ''
+    assert rows["fast-3"]["category"] == ""          # absent column -> ''
+    assert rows["fast-3"]["decision_ground"] == ""   # globally absent -> ''
+    assert rows["fast-1"]["_source_file"].endswith("a.csv")
+
+
+def test_dq_metrics_observed_in_one_pass(spark):
+    """O5/Q2: the observation is populated by the first downstream action
+    — exact counts, no second scan, no over-counting."""
+    from dsacord_spark.schema import CSV_COLUMNS
+    from dsacord_spark.transform import decisions_transform, split_quarantine, with_dq_metrics
+
+    wire = spark.createDataFrame(
+        [
+            {"uuid": "m-1", "created_at": "2025-01-01 00:00:00"},
+            {"uuid": "", "created_at": "2025-01-01 00:00:00"},
+            {"uuid": "m-2", "created_at": "not-a-time"},
+        ],
+        ", ".join(f"{c} string" for c in CSV_COLUMNS),
+    )
+    typed, dq = with_dq_metrics(decisions_transform(wire))
+    valid, _ = split_quarantine(typed)
+    assert valid.count() == 2  # the action that populates the observation
+    assert dq.get == {"rows": 3, "empty_uuid": 1, "null_created_at": 1}
+
+
+def test_url_table_generation(spark):
+    """S1 (main.go:146-154): one URL per day, inclusive range, zero-padded
+    date in the template."""
+    from datetime import date
+
+    from dsacord_spark.sources.urlgen import url_table
+
+    rows = sorted(
+        url_table(spark, date(2025, 1, 30), date(2025, 2, 2), workers=2).collect(),
+        key=lambda r: r["dt"],
+    )  # repartition(workers) does not preserve order
+    assert [r["dt"] for r in rows] == [
+        "2025-01-30", "2025-01-31", "2025-02-01", "2025-02-02",
+    ]
+    assert rows[0]["url"] == (
+        "https://dsa-sor-data-dumps.s3.eu-central-1.amazonaws.com/"
+        "sor-discord-netherlands-bv-2025-01-30-full.zip"
+    )
