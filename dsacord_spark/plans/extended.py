@@ -1,0 +1,380 @@
+"""Extended operator catalog: statistical aggregates, fuzzy string
+matching, sliding windows, full-outer joins, and the remaining
+training-pipeline text/embedding operators (PII scrub, n-gram stats,
+embedding quantization).
+
+Determinism strategy matches plans/relational.py: every floating-point
+output is derived from decimal-exact sums (or strictly left-to-right
+double accumulation) through an expression written identically in the
+Spark DSL and the DuckDB oracle SQL, so value hashes agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from dsacord_spark.functions.text import tokens
+from dsacord_spark.functions.vectors import norm, to_double_array
+from dsacord_spark.plans.analysis import _TOKS_SQL
+from dsacord_spark.plans.registry import register, table
+
+_D = "decimal(18,2)"
+
+
+def _dec(c) -> F.Column:
+    return (F.col(c) if isinstance(c, str) else c).cast(_D)
+
+
+def _ts_str(c) -> F.Column:
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+# ---------------------------------------------------------------------------
+# Statistical moments from decimal-exact sums (SURVEY §2.5 A3 extension).
+# stddev/corr are NOT computed with the engines' native aggregates (their
+# float accumulation order differs under parallelism); instead both engines
+# reduce to exact decimal sums (one shuffle, partial+final hash agg) and
+# derive the moments with an identical double-precision expression.
+# Scale: single shuffle on a 3-value key; everything else is map-side.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_stats_moments",
+    sql="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(sx AS DOUBLE) / n AS mean_qty,
+           sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS std_qty,
+           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS corr_qty_price
+    FROM s
+    """,
+    doc="Sample stddev + Pearson corr via decimal-exact sufficient statistics.",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity")).alias("sx"),
+        F.sum(_dec("l_quantity") * _dec("l_quantity")).alias("sxx"),
+        F.sum(_dec("l_extendedprice")).alias("sy"),
+        F.sum(_dec("l_extendedprice") * _dec("l_extendedprice")).alias("syy"),
+        F.sum(_dec("l_quantity") * _dec("l_extendedprice")).alias("sxy"),
+    )
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy, n = F.col("sxy").cast("double"), F.col("n")
+    var_x = sxx - sx * sx / n
+    var_y = syy - sy * sy / n
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        F.sqrt(var_x / (n - F.lit(1))).alias("std_qty"),
+        ((sxy - sx * sy / n) / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string top-k (layer B: entity-resolution building block). Five
+# deterministically-misspelled probe names (3rd char deleted, lowercased)
+# are matched to the supplier table by Levenshtein distance.
+# Scale: the probe side is tiny and broadcast; the corpus side computes
+# distances map-side. The per-probe top-k window shuffles on probe_id —
+# at a real scale with few probes, replace with per-partition local top-k
+# + a driver merge (same pattern as ann_bruteforce_topk).
+# ---------------------------------------------------------------------------
+@register(
+    "fuzzy_string_topk",
+    sql="""
+    WITH probes AS (
+      SELECT s_suppkey AS probe_id,
+             lower(substr(s_name, 1, 2) || substr(s_name, 4)) AS probe
+      FROM supplier WHERE s_suppkey <= 5
+    ),
+    scored AS (
+      SELECT probe_id, probe, s_suppkey AS match_id,
+             levenshtein(probe, lower(s_name)) AS dist
+      FROM probes, supplier
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY dist, match_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, probe, match_id, dist, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="Levenshtein top-3 match per misspelled probe (broadcast probes).",
+)
+def fuzzy_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    probes = s.filter(F.col("s_suppkey") <= 5).select(
+        F.col("s_suppkey").alias("probe_id"),
+        F.lower(
+            F.concat(F.expr("substr(s_name, 1, 2)"), F.expr("substr(s_name, 4)"))
+        ).alias("probe"),
+    )
+    scored = F.broadcast(probes).crossJoin(s).select(
+        "probe_id",
+        "probe",
+        F.col("s_suppkey").alias("match_id"),
+        F.levenshtein("probe", F.lower(F.col("s_name"))).alias("dist"),
+    )
+    w = W.partitionBy("probe_id").orderBy("dist", "match_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("probe_id", "probe", "match_id", "dist", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding (hopping) window: 2-hour windows every 1 hour — each event lands
+# in exactly two windows (SURVEY §2.10 window family). The oracle expands
+# each event into its two hour-aligned window starts explicitly.
+# Scale: Spark's window() is a generator + hash agg — one shuffle on
+# (window, event_type); partial aggregation halves the shuffled rows.
+# ---------------------------------------------------------------------------
+@register(
+    "window_sliding_2h",
+    sql="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS tb,
+             event_type, value
+      FROM events
+    ),
+    ex AS (
+      SELECT tb AS ws, event_type, value FROM b
+      UNION ALL
+      SELECT tb - INTERVAL 1 HOUR, event_type, value FROM b
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+    FROM ex GROUP BY 1, 2
+    """,
+    doc="Hopping 2h/1h window counts (each event in exactly 2 windows).",
+)
+def window_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).alias("sum_value"),
+        )
+        .select(
+            _ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full-outer join with key coalescing (completes the join-type surface of
+# SURVEY §2.4): daily order activity vs daily event activity — the two
+# calendars barely overlap, so both null sides are exercised.
+# Scale: both inputs are pre-aggregated to one row per day BEFORE the
+# join (map-side partial agg), so the full-outer shuffle moves days, not
+# raw rows.
+# ---------------------------------------------------------------------------
+@register(
+    "join_full_outer_days",
+    sql="""
+    WITH o AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt, COUNT(*) AS order_cnt
+      FROM orders GROUP BY 1
+    ),
+    e AS (
+      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS dt, COUNT(*) AS event_cnt
+      FROM events GROUP BY 1
+    )
+    SELECT dt,
+           COALESCE(order_cnt, 0) AS order_cnt,
+           COALESCE(event_cnt, 0) AS event_cnt
+    FROM o FULL JOIN e USING (dt)
+    """,
+    doc="Full-outer join of two pre-aggregated daily calendars.",
+)
+def join_full_outer_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("order_cnt"))
+    )
+    e = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+    )
+    return o.join(e, "dt", "full_outer").select(
+        "dt",
+        F.coalesce("order_cnt", F.lit(0)).alias("order_cnt"),
+        F.coalesce("event_cnt", F.lit(0)).alias("event_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (layer B: training-data hygiene). Deterministic PII
+# snippets are appended per doc_id class, then masked with three regex
+# passes (URL before EMAIL before digit runs, so partial overlaps resolve
+# the same way in both engines). Patterns avoid constructs where Java
+# (backtracking) and RE2 (leftmost-longest) could disagree: character
+# classes + greedy quantifiers only, no alternation inside repeats.
+# Scale: pure map-side projection, zero shuffles.
+# ---------------------------------------------------------------------------
+_PII_URL = "https?://[A-Za-z0-9./?=&_%-]+"
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_NUM = "[0-9][0-9][0-9][0-9]+"
+
+
+@register(
+    "text_pii_scrub",
+    sql=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE doc_id % 4
+               WHEN 0 THEN ' contact bob.smith+spam@example-mail.com now'
+               WHEN 1 THEN ' card 4111222233334444 ref 98765'
+               WHEN 2 THEN ' see https://example.com/p?id=9&u=x#f'
+               ELSE ''
+             END AS t
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '{_PII_URL}', '<URL>', 'g'),
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_NUM}', '<NUM>', 'g') AS clean,
+             t
+      FROM seeded
+    )
+    SELECT doc_id, clean,
+           len(regexp_extract_all(t, '{_PII_URL}')) AS n_url,
+           len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+           len(regexp_extract_all(t, '{_PII_NUM}')) AS n_num
+    FROM scrubbed
+    """,
+    doc="Regex PII masking (URL/email/long-digit-run) + per-doc match counts.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" contact bob.smith+spam@example-mail.com now"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" card 4111222233334444 ref 98765"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" see https://example.com/p?id=9&u=x#f"))
+        .otherwise(F.lit("")),
+    )
+    t = seeded.alias("t")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(_PII_URL), F.lit("<URL>")),
+            F.lit(_PII_EMAIL),
+            F.lit("<EMAIL>"),
+        ),
+        F.lit(_PII_NUM),
+        F.lit("<NUM>"),
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean"),
+        F.regexp_count(t, F.lit(_PII_URL)).alias("n_url"),
+        F.regexp_count(t, F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count(t, F.lit(_PII_NUM)).alias("n_num"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram top-k (layer B: n-gram corpus statistics). Tokenize,
+# form adjacent word pairs, count globally, keep the top 20.
+# Scale: tokenization + bigram expansion are map-side generators; the
+# count is one shuffle with map-side partial aggregation; the final
+# top-20 plans as TakeOrderedAndProject (no global sort).
+# ---------------------------------------------------------------------------
+@register(
+    "text_bigram_topk",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL.format(c="text")} AS t FROM documents),
+    bg AS (
+      SELECT t[i] || ' ' || t[i+1] AS bigram
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bg GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+    doc="Global top-20 word bigrams over the documents corpus.",
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    with_toks = d.select(tokens(F.col("text")).alias("__t"))
+    bigrams = with_toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(__t) >= 2 THEN "
+                "transform(sequence(0, size(__t) - 2), "
+                "i -> concat(element_at(__t, i + 1), ' ', element_at(__t, i + 2))) "
+                "ELSE array() END"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding L2-normalize + int8 quantization (layer B: vector-index prep).
+# norm accumulates left-to-right in double (functions/vectors.py), the
+# quantized value is round(x / norm * 127) — the identical expression on
+# the DuckDB side makes even this float pipeline hash-exact.
+# Scale: pure map-side transform; at 100 TB this is the cheap half of an
+# IVF/PQ index build and runs fused in one codegen stage.
+# ---------------------------------------------------------------------------
+@register(
+    "embed_normalize_quantize",
+    sql="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+    )
+    SELECT vec_id, nrm AS norm,
+           array_to_string(
+             list_transform(e, x -> CAST(round(x / nrm * 127, 0) AS INT)), ',') AS quantized
+    FROM n WHERE nrm > 0
+    """,
+    doc="L2 norm + int8 quantization of embeddings (map-side, codegen-fused).",
+)
+def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    nd = norm(F.col("embedding"))
+    quant = F.transform(
+        to_double_array(F.col("embedding")),
+        lambda x: F.round(x / F.col("norm") * 127, 0).cast("int").cast("string"),
+    )
+    return (
+        e.select("vec_id", nd.alias("norm"), "embedding")
+        .filter(F.col("norm") > 0)
+        .select("vec_id", "norm", F.array_join(quant, ",").alias("quantized"))
+    )
