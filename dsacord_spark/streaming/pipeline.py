@@ -253,16 +253,72 @@ def streaming_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
     """Windowed streaming aggregate with late-data watermark — the
-    streaming twin of the batch `window_tumbling_hour` catalog query."""
+    streaming twin of the batch `window_tumbling_hour` catalog query
+    (pass `slide` for the hopping-window twin of `window_sliding_2h`)."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events_stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(w.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
         )
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup across micro-batches: `dropDuplicatesWithinWatermark`
+    keeps per-key state only until the event-time watermark passes the
+    stored event's time + delay, so state is bounded by the late-data
+    horizon instead of growing forever (the unbounded-state alternative,
+    plain `dropDuplicates`, is a leak on an infinite stream).
+
+    This is the streaming form of the reference's duplicate handling
+    (README.md:60-63: re-dumped days re-deliver the same uuids): within
+    the chosen horizon a redelivered key is dropped; beyond it, the
+    idempotent upsert sink absorbs the replay instead. State shuffles on
+    the dedup keys — same skew/salting story as any keyed state op."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def join_event_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join (SURVEY §2.10: absent in the
+    reference; required streaming surface): match right-stream events to a
+    left-stream event with the same key occurring at-or-after it within
+    `within`.
+
+    Both sides carry event-time watermarks and the join condition bounds
+    right.ts to [left.ts, left.ts + within], so Spark can expire buffered
+    state on both sides once the watermark passes the bound — without the
+    time bound the state store grows unboundedly. The join shuffles both
+    streams on `key` (co-partitioned stateful join)."""
+    l = left.select(
+        F.col(key).alias("k"), F.col("ts").alias("l_ts")
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("k2"), F.col("ts").alias("r_ts")
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("k") == F.col("k2"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("k").alias(key), "l_ts", "r_ts"
     )

@@ -181,3 +181,92 @@ def test_streaming_event_counts_append_seals_on_watermark(spark, tmp_path):
     # windows the watermark never passed are held open, not emitted
     assert "2025-01-01 10:00:00" not in counts
     assert "2025-01-01 12:00:00" not in counts
+
+
+def _mtime_files(src, files):
+    """Write files with strictly increasing mtimes — the file source orders
+    batches by modification time."""
+    import os
+
+    src.mkdir(exist_ok=True)
+    for i, (name, body) in enumerate(files):
+        p = src / name
+        p.write_text(body)
+        os.utime(p, (1700000000 + i * 60,) * 2)
+
+
+def test_dedup_stream_drops_within_watermark_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a key redelivered while its state is
+    live is dropped (even with a different ts); after the watermark evicts
+    the key, a fresh event for it is emitted again."""
+    from dsacord_spark.streaming.pipeline import dedup_stream
+
+    src = tmp_path / "src"
+    _mtime_files(
+        src,
+        [
+            # batch 0: A first seen
+            ("b1.csv", "user_id,ts\nA,2025-01-01 10:00:00\n"),
+            # batch 1: duplicate A dropped; W pushes the watermark to
+            # 10:50 (11:00 - 10m), past A's expiry (10:00 + 10m)
+            ("b2.csv", "user_id,ts\nA,2025-01-01 10:05:00\nW,2025-01-01 11:00:00\n"),
+            # batch 2: state cleanup runs with the advanced watermark
+            # (eviction is end-of-batch, one batch after the push)
+            ("b3.csv", "user_id,ts\nW2,2025-01-01 11:30:00\n"),
+            # batch 3: A re-arrives after eviction -> emitted again
+            ("b4.csv", "user_id,ts\nA,2025-01-01 12:00:00\n"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    out: list = []
+    q = (
+        dedup_stream(stream, ["user_id"], watermark="10 minutes")
+        .writeStream.foreachBatch(lambda df, eid: out.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    a_rows = sorted(str(r["ts"]) for b in out for r in b if r["user_id"] == "A")
+    assert a_rows == ["2025-01-01 10:00:00", "2025-01-01 12:00:00"]  # 10:05 dropped
+
+
+def test_join_event_streams_interval_bound(spark, tmp_path):
+    """Stream-stream inner join with watermarks: right events join iff they
+    fall in [left.ts, left.ts + within]; out-of-bound and wrong-key rows
+    don't match."""
+    from dsacord_spark.streaming.pipeline import join_event_streams
+
+    left_src, right_src = tmp_path / "left", tmp_path / "right"
+    _mtime_files(left_src, [("l1.csv", "user_id,ts\nA,2025-01-01 10:00:00\nB,2025-01-01 10:00:00\n")])
+    _mtime_files(
+        right_src,
+        [("r1.csv", "user_id,ts\nA,2025-01-01 10:30:00\n"   # in bound
+                    "A,2025-01-01 12:00:00\n"               # past within=1h
+                    "A,2025-01-01 09:59:00\n"               # before left
+                    "C,2025-01-01 10:30:00\n")],            # wrong key
+    )
+
+    def read(src):
+        return (
+            spark.readStream.schema("user_id string, ts timestamp")
+            .option("header", True)
+            .csv(str(src))
+        )
+
+    out: list = []
+    q = (
+        join_event_streams(read(left_src), read(right_src), within="1 hour")
+        .writeStream.foreachBatch(lambda df, eid: out.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {(r["user_id"], str(r["l_ts"]), str(r["r_ts"])) for b in out for r in b}
+    assert rows == {("A", "2025-01-01 10:00:00", "2025-01-01 10:30:00")}
