@@ -38,8 +38,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # serve bare MIN/MAX/COUNT from parquet footer statistics instead
-        # of scanning row groups (profile/count-style queries)
+        # of scanning row groups (profile/count-style queries); aggregate
+        # pushdown only exists on the DSv2 read path, so take parquet/orc
+        # off the v1 fallback list (writes are unaffected: the v1 list
+        # only governs reads, and file WRITES always use the v1 committer)
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # default 10k Arrow records/batch halves nested-zip extraction
         # throughput on wide string rows; 100k keeps per-core batch memory

@@ -1,0 +1,108 @@
+"""Physical-plan invariants backing PLANS.md's scale claims — these pin
+the *plan shape*, not row values, so a regression that silently
+reintroduces a shuffle / full scan fails CI.
+
+All assertions run on `explain("formatted")` text at sf0.001; plan shape
+is scale-independent (that is the point of asserting it)."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Pre-bucketing both join sides on the join key makes the sort-merge
+    join read co-located buckets: ZERO Exchange nodes in the joined plan.
+    At 100 TB this is the difference between re-shuffling both fact
+    tables per query and a pure local merge per bucket."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    for name, df, key in [("t_li_b", li, "l_orderkey"), ("t_od_b", od, "o_orderkey")]:
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(4, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path: the claim under test is that the
+        # *shuffle* is gone, not that the dim side is broadcastable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_li_b").join(
+            spark.table("t_od_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # same join over the unbucketed parquet DOES shuffle both sides
+        unbucketed = li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert len(re.findall(r"\(\d+\)\s+Exchange", _plan(unbucketed))) == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_od_b")
+
+
+def test_parquet_scan_prunes_columns_and_pushes_filters(spark, sf_dir):
+    """A filtered 2-column projection must reach the parquet scan as
+    PushedFilters + a 2-field ReadSchema — reading all 11 lineitem
+    columns for it would be a 5x I/O regression at scale."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThan(l_quantity,45" in m.group(1), plan
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs and sorted(f.split(":")[0] for f in rs.group(1).split(",")) == [
+        "l_orderkey",
+        "l_quantity",
+    ], plan
+
+
+def test_parquet_aggregate_pushdown_serves_from_footer(spark, sf_dir):
+    """Bare MIN/MAX/COUNT over a parquet table is answered from footer
+    statistics (PushedAggregation on the DSv2 scan), not a row-group
+    scan. (Timestamp min/max is not footer-servable in Spark; numeric
+    columns are.)"""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+        F.min("l_quantity").alias("lo"),
+        F.max("l_quantity").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    plan = _plan(df)
+    m = re.search(r"PushedAggregation: \[([^\]]*)\]", plan)
+    assert m and "MIN(l_quantity)" in m.group(1) and "COUNT(*)" in m.group(1), plan
+
+
+def test_scalar_parse_pipeline_is_single_codegen_stage(spark, sf_dir):
+    """The reference's parse functions (F1-F5) compile to one
+    WholeStageCodegen span with zero exchanges — pure map-side JVM work."""
+    from dsacord_spark.plans.catalog import queries
+
+    plan = _plan(queries()["f4_f5_platform_uid"](spark, sf_dir))
+    assert "Exchange" not in plan
+    # formatted explain marks codegen-compiled operators with a `*` prefix
+    assert re.search(r"\*\s*Project", plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
