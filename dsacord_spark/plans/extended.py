@@ -13,9 +13,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from dsacord_spark.functions.text import tokens
+from dsacord_spark.functions.text import (
+    doc_fingerprint,
+    quality_score,
+    token_count,
+    tokens,
+)
 from dsacord_spark.functions.vectors import norm, to_double_array
-from dsacord_spark.plans.analysis import _TOKS_SQL
+from dsacord_spark.plans.analysis import _EN, _FPRINT_SQL, _TOKS_SQL, _stop_hits_sql
 from dsacord_spark.plans.registry import register, table
 
 _D = "decimal(18,2)"
@@ -377,4 +382,92 @@ def embed_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", nd.alias("norm"), "embedding")
         .filter(F.col("norm") > 0)
         .select("vec_id", "norm", F.array_join(quant, ",").alias("quantized"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel (layer B: the end-to-end shape of a training-data
+# pipeline — language gate, quality gate, exact dedup — as ONE conditional
+# aggregation). Instead of 4 chained filters = 4 scans, every stage is a
+# FILTER-ed count over a single pass, and the dedup stage is a distinct
+# count of the content fingerprint among surviving docs.
+# Scale: one scan + one distinct-agg expand; no per-stage materialization.
+# ---------------------------------------------------------------------------
+_QUALITY_SQL = f"""
+      (CASE WHEN CAST(len({_TOKS_SQL.format(c='text')}) AS DOUBLE) >= 5
+                 AND CAST(len({_TOKS_SQL.format(c='text')}) AS DOUBLE) <= 5000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / length(text) < 0.2 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN CAST({_stop_hits_sql('text', _EN)} AS DOUBLE)
+                   / greatest(CAST(len({_TOKS_SQL.format(c='text')}) AS DOUBLE), 1.0) > 0.01
+              THEN 0.3 ELSE 0.0 END)"""
+
+
+@register(
+    "curation_funnel",
+    sql=f"""
+    WITH t AS (
+      SELECT lang, CAST({_QUALITY_SQL} AS DOUBLE) AS q, {_FPRINT_SQL} AS fp
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_raw,
+           COUNT(*) FILTER (WHERE lang = 'en') AS n_lang,
+           COUNT(*) FILTER (WHERE lang = 'en' AND q >= 0.7) AS n_quality,
+           COUNT(DISTINCT CASE WHEN lang = 'en' AND q >= 0.7 THEN fp END) AS n_unique
+    FROM t
+    """,
+    doc="One-pass curation funnel: raw -> lang gate -> quality gate -> exact dedup.",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        quality_score("text").alias("q"),
+        doc_fingerprint("text").alias("fp"),
+    )
+    en = F.col("lang") == "en"
+    keep = en & (F.col("q") >= 0.7)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.count_if(en).alias("n_lang"),
+        F.count_if(keep).alias("n_quality"),
+        F.count_distinct(F.when(keep, F.col("fp"))).alias("n_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-length power-of-2 bucketing (layer B: sequence-length bucketing
+# for training-batch packing). The bucket exponent is computed with
+# integer arithmetic (length of the binary representation), never
+# floating log2 — libm rounding near power-of-2 boundaries would diverge
+# between engines (and between executor platforms at scale).
+# Scale: map-side projection + one low-cardinality shuffle (~12 buckets).
+# ---------------------------------------------------------------------------
+@register(
+    "length_bucket_stats",
+    sql=f"""
+    WITH t AS (
+      SELECT greatest(len({_TOKS_SQL.format(c='text')}), 1) AS n_tok, n_chars
+      FROM documents
+    )
+    SELECT length(bin(n_tok)) - 1 AS bucket_exp,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS sum_tokens,
+           SUM(n_chars) AS sum_chars
+    FROM t GROUP BY 1
+    """,
+    doc="Power-of-2 sequence-length buckets via integer bit-length (no libm).",
+)
+def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        F.greatest(token_count("text"), F.lit(1)).alias("n_tok"), "n_chars"
+    )
+    return (
+        t.groupBy((F.length(F.bin("n_tok")) - 1).alias("bucket_exp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
     )
