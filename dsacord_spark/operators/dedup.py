@@ -282,3 +282,65 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def duplicate_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components over an undirected duplicate-pair edge list
+    (doc_a, doc_b) -> one row per node: (doc_id, cluster_id) where
+    cluster_id is the smallest doc id in the node's component. This is the
+    step that turns pairwise near-dup evidence into dedup decisions (keep
+    one canonical doc per cluster).
+
+    Algorithm: min-label propagation to a fixpoint — each round every node
+    takes the min of its own label and its neighbors' labels (one shuffle
+    join + one partial-aggregated groupBy per round), converging in
+    O(component diameter) rounds. Near-dup components are dense and
+    shallow (they come from banded/bucketed candidate generation), so the
+    diameter is small in practice; `localCheckpoint` truncates the lineage
+    each round so the plan stays flat. At 100 TB the same loop runs with
+    the edge list bucketed by src; for adversarially long chain graphs
+    switch to the large-star/small-star algorithm (Kiveris et al.), which
+    converges in O(log n) rounds with the same join-shape per round.
+    Raises RuntimeError rather than returning a wrong answer if the
+    fixpoint is not reached within max_iter."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node2"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["node2"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
+                    "lab"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") < F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            sym.unpersist()
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+            )
+    sym.unpersist()
+    raise RuntimeError(f"connected components did not converge in {max_iter} rounds")

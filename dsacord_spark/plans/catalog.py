@@ -12,6 +12,7 @@ import dsacord_spark.plans.relational  # noqa: F401  (registers layer A)
 import dsacord_spark.plans.analysis  # noqa: F401  (registers layer B)
 import dsacord_spark.plans.advanced  # noqa: F401  (registers advanced ops)
 import dsacord_spark.plans.extended  # noqa: F401  (registers extended ops)
+import dsacord_spark.plans.composite  # noqa: F401  (registers composite ops)
 from dsacord_spark.plans.registry import QuerySpec, get_registry
 
 
