@@ -319,24 +319,22 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             .groupBy(F.col("src").alias("node2"))
             .agg(F.min("lab").alias("nlab"))
         )
+        # carry the previous label through the propagation join so the
+        # convergence probe is a local filter on the checkpointed frame,
+        # not a second join per round
         new = (
             labels.join(nbr, labels["node"] == nbr["node2"], "left")
             .select(
                 F.col("node"),
+                F.col("lab").alias("old_lab"),
                 F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
                     "lab"
                 ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") < F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("lab") < F.col("old_lab")).limit(1).count()
+        labels = new.drop("old_lab")
         if changed == 0:
             sym.unpersist()
             return labels.select(

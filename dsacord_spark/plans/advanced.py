@@ -107,8 +107,12 @@ def join_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
-    buckets = spark.createDataFrame(
-        [(0, 10, "low"), (10, 25, "mid"), (25, 100, "high")], "lo int, hi int, band string"
+    # SQL VALUES -> LocalTableScan: createDataFrame from Python lists plans
+    # as a Python-RDD scan (applySchemaToPythonRDD), which spins a Python
+    # worker and blocks columnar execution just to emit 3 constant rows
+    buckets = spark.sql(
+        "SELECT * FROM VALUES (0, 10, 'low'), (10, 25, 'mid'), (25, 100, 'high')"
+        " AS buckets(lo, hi, band)"
     )
     return (
         l.join(
