@@ -50,7 +50,15 @@ def get_spark(
         # ~tens of MB while amortizing the Python<->JVM transfer
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode hosts all executor threads in the driver JVM: 32
+        # concurrent tasks each holding a ~100k-row Arrow batch of wide
+        # string data churn several GB of young-gen; at 8g the heap sits
+        # near Xmx after a few heavy queries and every subsequent job
+        # stalls in full GCs (measured: same ingest 13s on a fresh heap,
+        # 49-84s on a garbage-laden one; stable 9-20s at 24g). On a real
+        # cluster spark-submit supplies executor memory and this setting
+        # only sizes the driver.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
