@@ -217,6 +217,118 @@ def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition_filters",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_TEXT} AS t FROM documents),
+    tf AS (SELECT doc_id, tk, count(*) AS c
+           FROM toks, unnest(t) AS u(tk) GROUP BY doc_id, tk),
+    mx AS (SELECT doc_id, max(c) AS max_tf, sum(c) AS n_tok,
+                  count(*) AS n_uniq
+           FROM tf GROUP BY doc_id),
+    ngs AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS ng
+            FROM toks,
+                 unnest(generate_series(1, greatest(len(t)-2, 1))) AS u(i)),
+    ng3 AS (SELECT doc_id, count(*) AS n3, count(DISTINCT ng) AS u3
+            FROM ngs GROUP BY doc_id)
+    SELECT mx.doc_id,
+           round(1.0 - CAST(n_uniq AS DOUBLE) / n_tok, 6) AS dup_word_frac,
+           round(CAST(max_tf AS DOUBLE) / n_tok, 6) AS top_word_frac,
+           round(1.0 - CAST(u3 AS DOUBLE) / n3, 6) AS dup_3gram_frac,
+           (CAST(max_tf AS DOUBLE) / n_tok <= 0.1
+            AND 1.0 - CAST(n_uniq AS DOUBLE) / n_tok <= 0.6) AS keep
+    FROM mx JOIN ng3 ON ng3.doc_id = mx.doc_id
+    """,
+    doc="Gopher-style within-document repetition gates (dup-word fraction, "
+    "top-word fraction, duplicate-3gram fraction) computed per row with "
+    "higher-order array functions — zero shuffles, one codegen span; the "
+    "classic pretraining-corpus quality filter family.",
+)
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    # tokens materialized once; inlining tokens() in each metric would
+    # re-run the regexp split per reference (see PLANS.md)
+    tk = d.select("doc_id", tokens("text").alias("t"))
+    t = F.col("t")
+    n_tok = F.size(t)
+    max_tf = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda x: F.size(F.filter(t, lambda y: y == x)),
+        )
+    )
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_tok - F.lit(2), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
+    )
+    # ngrams materialized once too — referencing the transform() twice
+    # (n3 and u3) would rebuild the whole array per metric
+    withng = tk.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.size(F.array_distinct(t)).alias("n_uniq"),
+        max_tf.alias("max_tf"),
+        ngrams.alias("ng"),
+    )
+    withm = withng.select(
+        "doc_id",
+        "n_tok",
+        "n_uniq",
+        "max_tf",
+        F.size(F.col("ng")).alias("n3"),
+        F.size(F.array_distinct(F.col("ng"))).alias("u3"),
+    )
+    top_frac = F.col("max_tf").cast("double") / F.col("n_tok")
+    dup_word = F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n_tok")
+    dup3 = F.lit(1.0) - F.col("u3").cast("double") / F.col("n3")
+    return withm.select(
+        "doc_id",
+        F.round(dup_word, 6).alias("dup_word_frac"),
+        F.round(top_frac, 6).alias("top_word_frac"),
+        F.round(dup3, 6).alias("dup_3gram_frac"),
+        ((top_frac <= 0.1) & (dup_word <= 0.6)).alias("keep"),
+    )
+
+
+@register(
+    "events_value_winsorize",
+    sql="""
+    WITH pct AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           count(*) AS n,
+           round(avg(least(greatest(e.value, p01), p99)), 6) AS robust_mean,
+           round(min(least(greatest(e.value, p01), p99)), 6) AS robust_min,
+           round(max(least(greatest(e.value, p01), p99)), 6) AS robust_max
+    FROM events e JOIN pct USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Percentile-winsorized robust aggregate per event type: exact "
+    "p01/p99 in a first small agg, clipped stats via a broadcast join "
+    "back — the two-pass shape that avoids a per-key window sort over "
+    "the full fact table at scale.",
+)
+def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    pct = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = e.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias("v"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 6).alias("robust_mean"),
+        F.round(F.min("v"), 6).alias("robust_min"),
+        F.round(F.max("v"), 6).alias("robust_max"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
