@@ -307,6 +307,24 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # The edge list is usually orders of magnitude smaller than the corpus
+    # (it only holds near-dup evidence), but the session's shuffle
+    # partitioning is sized for the corpus — at 32+ partitions each tiny
+    # per-round join pays full scheduling fan-out. Size the loop's shuffle
+    # from the measured edge count instead (~500k edges/partition; the
+    # count also materializes the persist before the loop re-reads it).
+    spark = pairs.sparkSession
+    n_edges = sym.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(prev_parts), n_edges // 500_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _propagate_min_labels(sym, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _propagate_min_labels(sym: DataFrame, max_iter: int) -> DataFrame:
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

@@ -96,6 +96,24 @@ def test_parquet_aggregate_pushdown_serves_from_footer(spark, sf_dir):
     assert m and "MIN(l_quantity)" in m.group(1) and "COUNT(*)" in m.group(1), plan
 
 
+def test_repetition_filters_are_shuffle_free_map_work(spark, sf_dir):
+    """The per-document repetition gates (dup-word/top-word/dup-3gram)
+    are higher-order array expressions: zero exchanges, no Python
+    evaluator, and the scan reads only (doc_id, text). At 100 TB this
+    family filters the corpus at scan speed — any Exchange here would
+    mean a per-doc metric somehow shuffled the corpus."""
+    from dsacord_spark.plans.catalog import queries
+
+    plan = _plan(queries()["text_repetition_filters"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs and sorted(f.split(":")[0] for f in rs.group(1).split(",")) == [
+        "doc_id",
+        "text",
+    ], plan
+
+
 def test_scalar_parse_pipeline_is_single_codegen_stage(spark, sf_dir):
     """The reference's parse functions (F1-F5) compile to one
     WholeStageCodegen span with zero exchanges — pure map-side JVM work."""
