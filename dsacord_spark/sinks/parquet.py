@@ -9,7 +9,9 @@ the layout every query in the catalog assumes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_decisions_parquet(
@@ -37,3 +39,88 @@ def write_decisions_parquet(
         df = df.repartition("dt", "__salt").drop("__salt")
         writer = df.write.mode(mode).partitionBy("dt")
     writer.parquet(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "dt",
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Small-file compaction for a `{partition_col}=...` parquet lake —
+    the maintenance op every incremental day-partitioned sink needs at
+    scale (each micro-batch/backfill append adds files; scan cost grows
+    with file count, not data size).
+
+    Planning is a driver-side metadata pass over the partition listing
+    (Hadoop FileSystem API, no data read). Data movement is ONE narrow
+    job: read only the fragmented partitions, salt each to its own
+    target file count, and dynamic-partition-overwrite them in place —
+    healthy partitions are never read or rewritten. Returns a stats
+    dict; no-op (no job at all) when nothing is fragmented."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+
+    plan: dict[str, int] = {}
+    files_before = 0
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not name.startswith(partition_col + "="):
+            continue
+        files = [
+            f
+            for f in fs.listStatus(st.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        ]
+        size = sum(f.getLen() for f in files)
+        n_target = max(1, math.ceil(size / target_file_bytes))
+        if len(files) > n_target:
+            plan[name.split("=", 1)[1]] = n_target
+            files_before += len(files)
+    if not plan:
+        return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+
+    # per-partition target file counts as a broadcastable VALUES table
+    # (a Python-list createDataFrame would plan a Python-RDD scan)
+    rows = ", ".join(
+        f"('{v}', {n})" for v, n in sorted(plan.items())
+    )
+    targets = spark.sql(
+        f"SELECT * FROM VALUES {rows} AS t(__pv, __n_files)"
+    )
+    df = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(list(plan))
+    )
+    data_cols = [c for c in df.columns if c != partition_col]
+    salted = (
+        df.join(F.broadcast(targets), df[partition_col] == targets["__pv"])
+        .withColumn(
+            "__salt",
+            F.pmod(F.hash(F.struct(*data_cols)), F.col("__n_files")),
+        )
+        .repartition(partition_col, "__salt")
+        .drop("__pv", "__n_files", "__salt")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        salted.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    files_after = 0
+    for v in plan:
+        part_dir = jvm.org.apache.hadoop.fs.Path(path, f"{partition_col}={v}")
+        files_after += sum(
+            1
+            for f in fs.listStatus(part_dir)
+            if f.getPath().getName().endswith(".parquet")
+        )
+    return {
+        "partitions_compacted": len(plan),
+        "files_before": files_before,
+        "files_after": files_after,
+    }

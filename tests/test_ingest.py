@@ -121,6 +121,49 @@ def test_parquet_sink_roundtrip(spark, wire, tmp_path):
     ] == "2025-01-01"
 
 
+def test_compact_partitions_merges_small_files(spark, tmp_path):
+    """Fragmented day partitions are rewritten to the target file count;
+    healthy partitions are untouched; data survives bit-identical."""
+    import glob
+    import os
+
+    from dsacord_spark.sinks.parquet import compact_partitions
+
+    out = str(tmp_path / "lake")
+    # day A: 8 fragment files; day B: 1 healthy file
+    frag = spark.range(2000).select(
+        F.col("id"),
+        F.lit("2025-01-01").alias("dt"),
+    ).repartition(8)
+    frag.write.partitionBy("dt").parquet(out)
+    healthy = spark.range(2000, 2500).select(
+        F.col("id"), F.lit("2025-01-02").alias("dt")
+    ).coalesce(1)
+    healthy.write.mode("append").partitionBy("dt").parquet(out)
+
+    def n_files(day):
+        return len(glob.glob(os.path.join(out, f"dt={day}", "*.parquet")))
+
+    healthy_file = glob.glob(os.path.join(out, "dt=2025-01-02", "*.parquet"))[0]
+    healthy_mtime = os.path.getmtime(healthy_file)
+    before = sorted(r["id"] for r in spark.read.parquet(out).collect())
+
+    stats = compact_partitions(spark, out, target_file_bytes=1 << 30)
+
+    assert stats["partitions_compacted"] == 1
+    assert stats["files_before"] == 8 and stats["files_after"] == 1
+    assert n_files("2025-01-01") == 1
+    # healthy partition: same file, not rewritten
+    assert os.path.getmtime(healthy_file) == healthy_mtime
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == before
+    # idempotent: second run is a metadata-only no-op
+    assert compact_partitions(spark, out, target_file_bytes=1 << 30) == {
+        "partitions_compacted": 0,
+        "files_before": 0,
+        "files_after": 0,
+    }
+
+
 def test_csv_fastpath_matches_get_closure_semantics(spark, tmp_path):
     """S5 fast path (native CSV reader on pre-unzipped files): empty cell,
     per-file-absent column, and globally-absent column all surface as ''
