@@ -122,6 +122,10 @@ def _run_ingest_bench(spark, sf_dir: str, cpus: int) -> dict:
     out = os.path.join(work, "decisions")
     try:
         rows_in = _build_ingest_fixture(landing, days, rows_per_csv)
+        # flush fixture writeback before the timed window: a pending
+        # multi-hundred-MB writeback colliding with the first timed read
+        # produced 200s+ outliers on an otherwise ~15s run
+        os.sync()
 
         # decouple this section from whatever the catalog sweep left on
         # the heap: drop cached blocks and force a full GC so the timed

@@ -121,6 +121,27 @@ def test_parquet_sink_roundtrip(spark, wire, tmp_path):
     ] == "2025-01-01"
 
 
+def test_lake_files_clustered_by_entity_id(spark, wire, tmp_path):
+    """Each output file is internally sorted by entity_id (the lake
+    formulation of the reference's EntityID index, types.go:63) — sorted
+    files are what make parquet row-group min/max stats selective."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "clustered")
+    valid, _ = split_quarantine(decisions_transform(wire))
+    write_decisions_parquet(valid, out, mode="overwrite")
+    files = glob.glob(f"{out}/dt=*/*.parquet")
+    assert files
+    for f in files:
+        vals = [
+            v for v in pq.read_table(f, columns=["entity_id"])
+            .column("entity_id").to_pylist() if v is not None
+        ]
+        assert vals == sorted(vals), f
+
+
 def test_compact_partitions_merges_small_files(spark, tmp_path):
     """Fragmented day partitions are rewritten to the target file count;
     healthy partitions are untouched; data survives bit-identical."""
