@@ -263,7 +263,10 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ngrams materialized once too — referencing the transform() twice
     # (n3 and u3) would rebuild the whole array per metric
-    withng = tk.select(
+    # metrics are defined for docs with >= 1 token (a whitespace-only doc
+    # would yield 0/0 = NaN here and silently vanish from the SQL twin's
+    # inner join — make the dropped-row semantics explicit instead)
+    withng = tk.filter(F.size(t) > 0).select(
         "doc_id",
         n_tok.alias("n_tok"),
         F.size(F.array_distinct(t)).alias("n_uniq"),
