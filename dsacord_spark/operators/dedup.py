@@ -208,27 +208,33 @@ SIMHASH_BITS = 60  # md5_long yields 60-bit hashes
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash over distinct tokens: bit b of the signature is set
-    iff sum over tokens of (+1 if bit b of token-hash else -1) > 0."""
-    tok = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("tk"),
-    ).withColumn("h", md5_long(F.col("tk")))  # one md5 per token, not per bit
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
-        ).alias(f"s{bit}")
-        for bit in range(SIMHASH_BITS)
-    ]
-    sums = tok.groupBy("doc").agg(*bit_sums)
+    iff sum over tokens of (+1 if bit b of token-hash else -1) > 0 —
+    equivalently iff 2 * |{token hashes with bit b set}| > n_tokens.
+
+    Computed per row with higher-order array functions (hash each token
+    once, then one filter-count per bit): zero shuffles, one codegen
+    projection. The previous explode + 60-expression groupBy formulation
+    shuffled n_docs x n_tokens rows to compute a per-document value —
+    at corpus scale that shuffle IS the cost of the operator. Empty
+    docs are dropped, matching the explode formulation's semantics."""
+    hs = F.transform(F.array_distinct(tokens(text_col)), lambda t: md5_long(t))
+    base = df.select(F.col(id_col).alias("doc"), hs.alias("hs")).filter(
+        F.size(F.col("hs")) > 0
+    )
+    n = F.size(F.col("hs"))
     sim = None
     for bit in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{bit}") > 0, F.lit(1).cast("long")).otherwise(
+        nset = F.size(
+            F.filter(
+                F.col("hs"),
+                lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+        term = F.when(nset * 2 > n, F.lit(1 << bit).cast("long")).otherwise(
             F.lit(0).cast("long")
-        ) * F.lit(1 << bit).cast("long")
+        )
         sim = term if sim is None else sim + term
-    return sums.select("doc", sim.alias("simhash"))
+    return base.select("doc", sim.alias("simhash"))
 
 
 def simhash_pairs(

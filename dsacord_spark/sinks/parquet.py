@@ -101,9 +101,11 @@ def compact_partitions(
         return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
 
     # per-partition target file counts as a broadcastable VALUES table
-    # (a Python-list createDataFrame would plan a Python-RDD scan)
+    # (a Python-list createDataFrame would plan a Python-RDD scan);
+    # partition values are quoted SQL literals — escape embedded quotes
     rows = ", ".join(
-        f"('{v}', {n})" for v, n in sorted(plan.items())
+        "('{}', {})".format(v.replace("'", "''"), n)
+        for v, n in sorted(plan.items())
     )
     targets = spark.sql(
         f"SELECT * FROM VALUES {rows} AS t(__pv, __n_files)"
