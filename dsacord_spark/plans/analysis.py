@@ -491,15 +491,22 @@ def _bucket_sql(vec: str) -> str:
     return " + ".join(terms)
 
 
+_PROBE_LIST = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << p})" for p in range(len(_MASKS))
+) + "]"
+
+
 @register(
     "ann_lsh_topk",
     sql=f"""
     WITH eb AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
     q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM eb WHERE vec_id < 5),
+    qp AS (SELECT q_id, q_vec, u.b AS bucket
+           FROM q, unnest({_PROBE_LIST}) AS u(b)),
     scored AS (
       SELECT q_id, e.vec_id AS neighbor_id,
              {_cos_sql('q_vec', 'e.embedding')} AS cos
-      FROM q JOIN eb e USING (bucket) WHERE e.vec_id <> q_id),
+      FROM qp JOIN eb e USING (bucket) WHERE e.vec_id <> q_id),
     ranked AS (
       SELECT q_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -508,7 +515,8 @@ def _bucket_sql(vec: str) -> str:
     FROM ranked WHERE rank <= 5
     """,
     doc="ANN top-5 via random-hyperplane LSH buckets (16 buckets, md5-derived "
-    "masks) — the 100 TB path: bucket equi-join instead of cross join.",
+    "masks), multi-probe (own bucket + each Hamming-1 bucket) — the 100 TB "
+    "path: bucket equi-join instead of cross join.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")

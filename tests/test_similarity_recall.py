@@ -1,0 +1,64 @@
+"""ANN quality regression: the approximate paths must actually find the
+neighbors the brute-force baseline finds. The oracle harness proves each
+query matches ITS OWN DuckDB twin; this test pins the cross-algorithm
+quality bound (an LSH/IVF twin can match its oracle perfectly while
+being a useless index — recall against exact top-k is the real metric).
+
+Data and algorithms are fully deterministic (seed-42 corpus, md5-derived
+masks, LCG centroid seeds), so the measured recalls are exact; the
+asserted floors sit below them only to absorb deliberate parameter
+retuning, not randomness. Measured at sf0.001, 20 queries, k=10:
+single-probe LSH 0.10 -> multi-probe 0.47 (5 of 16 buckets probed),
+IVF nprobe=4/16 0.83.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsacord_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_masks,
+    ivf_topk,
+    lsh_topk,
+)
+from dsacord_spark.plans.registry import table
+
+
+@pytest.fixture(scope="module")
+def topk_sets(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    masks = hyperplane_masks(n_planes=4, dim=64)
+    bf = brute_force_topk(e, q, k=10).select("q_id", "neighbor_id")
+    n_truth = bf.count()
+
+    def recall(approx):
+        return bf.join(approx, ["q_id", "neighbor_id"]).count() / n_truth
+
+    return e, q, masks, recall
+
+
+def test_multiprobe_lsh_recall(topk_sets):
+    e, q, masks, recall = topk_sets
+    assert recall(lsh_topk(e, q, masks, k=10).select("q_id", "neighbor_id")) >= 0.4
+
+
+def test_multiprobe_beats_single_probe(topk_sets):
+    e, q, masks, recall = topk_sets
+    single = recall(
+        lsh_topk(e, q, masks, k=10, multiprobe=False).select("q_id", "neighbor_id")
+    )
+    multi = recall(lsh_topk(e, q, masks, k=10).select("q_id", "neighbor_id"))
+    assert multi > single
+
+
+def test_ivf_recall(topk_sets):
+    e, q, _, recall = topk_sets
+    approx = ivf_topk(e, q, n_cells=16, nprobe=4, k=10).select(
+        "q_id", "neighbor_id"
+    )
+    assert recall(approx) >= 0.7
