@@ -62,3 +62,27 @@ def test_ivf_recall(topk_sets):
         "q_id", "neighbor_id"
     )
     assert recall(approx) >= 0.7
+
+
+def test_minhash_lsh_recall_and_precision(spark, sf_dir):
+    """MinHash-LSH near-dup pairs vs the exact n-gram-Jaccard scan:
+    precision is 1 by construction (candidates are exact-verified), and
+    recall on this corpus is 1.0 (measured 28/28 at sf0.001 — its near
+    dups sit far above the 32-perm/8-band S-curve midpoint of ~0.59);
+    the floor absorbs parameter retuning only."""
+    from dsacord_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    lsh = minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    n_exact, n_lsh = exact.count(), lsh.count()
+    n_hit = exact.join(lsh, ["doc_a", "doc_b"]).count()
+    assert n_hit == n_lsh  # precision 1: every LSH pair is a true pair
+    assert n_exact > 0 and n_hit / n_exact >= 0.9
