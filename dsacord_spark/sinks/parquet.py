@@ -58,6 +58,30 @@ def write_decisions_parquet(
     writer.parquet(path)
 
 
+def append_new_decisions(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: str = "uuid",
+    **write_kwargs,
+) -> None:
+    """Append only rows whose key is not already in the lake — the lake
+    formulation of the reference's optimistic duplicate handling (insert
+    only rows whose uuid is not present; main.go:194-204, K3 strategy
+    'error'/skip). The probe reads a single column off the existing lake
+    (column pruning: uuid only, every other column never leaves parquet)
+    and plans as a left-anti join; at scale Spark's runtime bloom filter
+    prunes the batch side before the shuffle. First write to an empty
+    lake skips the probe entirely."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        existing = spark.read.parquet(path).select(key)
+        df = df.join(existing, key, "left_anti")
+    write_decisions_parquet(df, path, mode="append", **write_kwargs)
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

@@ -142,6 +142,25 @@ def test_lake_files_clustered_by_entity_id(spark, wire, tmp_path):
         assert vals == sorted(vals), f
 
 
+def test_append_new_decisions_skips_existing_keys(spark, wire, tmp_path):
+    """Re-appending an overlapping batch adds only unseen uuids — the
+    reference's optimistic 'insert only new rows' semantics
+    (main.go:194-204) on the lake sink."""
+    from dsacord_spark.sinks.parquet import append_new_decisions
+
+    out = str(tmp_path / "lake")
+    valid, _ = split_quarantine(decisions_transform(wire))
+    append_new_decisions(spark, valid, out)          # empty lake: all rows
+    n1 = spark.read.parquet(out).count()
+    append_new_decisions(spark, valid, out)          # full overlap: no-op
+    assert spark.read.parquet(out).count() == n1
+    extra = valid.withColumn("uuid", F.concat(F.col("uuid"), F.lit("-v2")))
+    append_new_decisions(spark, valid.union(extra), out)  # half overlap
+    back = spark.read.parquet(out)
+    assert back.count() == 2 * n1
+    assert back.select("uuid").distinct().count() == 2 * n1
+
+
 def test_compact_partitions_merges_small_files(spark, tmp_path):
     """Fragmented day partitions are rewritten to the target file count;
     healthy partitions are untouched; data survives bit-identical."""
