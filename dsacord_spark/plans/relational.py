@@ -1099,6 +1099,62 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew diagnosis (the ops tool you run BEFORE picking a join/partition
+# strategy at scale: per-key concentration of the join key, top hot keys,
+# and the max/avg ratio that predicts straggler tasks). Two small aggs
+# over one shuffle of the key column only.
+# ---------------------------------------------------------------------------
+@register(
+    "skew_report_orders",
+    sql="""
+    WITH per_key AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+    stats AS (
+      SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt,
+             round(MAX(cnt) / (SUM(cnt) / CAST(COUNT(*) AS DOUBLE)), 4) AS skew_ratio
+      FROM per_key),
+    top AS (
+      SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt DESC, key ASC) AS rk
+      FROM per_key)
+    SELECT s.n_keys, s.n_rows, s.max_cnt, s.skew_ratio, t.key AS hot_key, t.cnt AS hot_cnt, t.rk
+    FROM stats s JOIN top t ON t.rk <= 5
+    """,
+    doc="Join-key skew report for orders.o_custkey: key count, hottest keys, "
+    "max/avg concentration ratio (straggler predictor).",
+)
+def skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    per_key = o.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(
+            F.max("cnt") / (F.sum("cnt") / F.count(F.lit(1)).cast("double")), 4
+        ).alias("skew_ratio"),
+    )
+    # top-k FIRST (TakeOrderedAndProject — no global sort), then rank the
+    # 5-row result; a bare row_number window over per_key would funnel
+    # every key through one sorting task
+    w = W.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    top = (
+        per_key.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(5)
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return stats.crossJoin(top).select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "skew_ratio",
+        F.col("key").alias("hot_key"),
+        F.col("cnt").alias("hot_cnt"),
+        "rk",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Array / higher-order function surface made explicit (used internally by
 # every dedup/similarity operator; exposed here as a user-facing query):
 # sort, distinct, slice, element access, filter, transform+aggregate fold

@@ -96,6 +96,21 @@ def test_parquet_aggregate_pushdown_serves_from_footer(spark, sf_dir):
     assert m and "MIN(l_quantity)" in m.group(1) and "COUNT(*)" in m.group(1), plan
 
 
+def test_q5_dimension_chain_broadcasts_single_exchange(spark, sf_dir):
+    """The 6-table Q5-shaped join keeps every dimension hop a
+    BroadcastHashJoin at test scale, leaving exactly ONE shuffle Exchange
+    (the final 5-key aggregation). Pins the PLANS.md audit claim — a
+    regression that forces a dim-side shuffle re-partitions the fact
+    table once per hop. (BroadcastExchange nodes don't count: the
+    formatted-plan regex matches only shuffle Exchange node lines.)"""
+    from dsacord_spark.plans.catalog import queries
+
+    plan = _plan(queries()["q5_local_supplier_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    shuffles = re.findall(r"\(\d+\)\s+Exchange", plan)
+    assert len(shuffles) == 1, plan
+
+
 def test_repetition_filters_are_shuffle_free_map_work(spark, sf_dir):
     """The per-document repetition gates (dup-word/top-word/dup-3gram)
     are higher-order array expressions: zero exchanges, no Python
