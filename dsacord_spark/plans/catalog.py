@@ -13,6 +13,7 @@ import dsacord_spark.plans.analysis  # noqa: F401  (registers layer B)
 import dsacord_spark.plans.advanced  # noqa: F401  (registers advanced ops)
 import dsacord_spark.plans.extended  # noqa: F401  (registers extended ops)
 import dsacord_spark.plans.composite  # noqa: F401  (registers composite ops)
+import dsacord_spark.plans.curation  # noqa: F401  (registers curation ops)
 from dsacord_spark.plans.registry import QuerySpec, get_registry
 
 
