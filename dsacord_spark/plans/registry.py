@@ -52,12 +52,13 @@ def register(name: str, sql: str | None, doc: str = ""):
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table.
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    refuses to read natively; read it as a nanos long
-    (spark.sql.legacy.parquet.nanosAsLong) and expose three views of it:
-      ts_ns (long, full precision — use for ordering, exactly matching
-      DuckDB's TIMESTAMP_NS order), ts_us (long microseconds, for interval
-    arithmetic = DuckDB epoch_us), and ts (micro timestamp, for
+    `events.ts` has been observed in two parquet encodings across testdata
+    generations: TIMESTAMP(NANOS) (which Spark 4 refuses to read natively —
+    read as a nanos long via spark.sql.legacy.parquet.nanosAsLong) and
+    TIMESTAMP(MICROS) (read natively as a timestamp). Normalize either into
+    three views: ts_ns (long, full precision — use for ordering, exactly
+    matching DuckDB's timestamp order), ts_us (long microseconds, for
+    interval arithmetic = DuckDB epoch_us), and ts (micro timestamp, for
     formatting/windowing = DuckDB CAST(ts AS TIMESTAMP))."""
     # the driver runs catalog queries in ITS OWN SparkSession; timestamp
     # string rendering (every *_ts_str output) follows the session
@@ -66,13 +67,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # legacy nanos-long read of TIMESTAMP(NANOS)
+            return (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts_us", F.expr("ts_ns div 1000"))
+                .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            )
+        # native TIMESTAMP(MICROS) (possibly NTZ); session tz is pinned UTC
+        # above, so the cast is instant-preserving either way
         return (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts_us", F.expr("ts_ns div 1000"))
-            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            df.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("ts_us", F.unix_micros(F.col("ts")))
+            .withColumn("ts_ns", F.expr("ts_us * CAST(1000 AS BIGINT)"))
         )
     return spark.read.parquet(path)
 
