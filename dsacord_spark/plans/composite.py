@@ -313,3 +313,113 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape (volume shipping): the SAME dimension table joined in two
+# roles — nation of the supplier and nation of the customer — with a
+# symmetric pair predicate and a year breakdown. Both nation roles
+# broadcast; the fact-side chain shuffles on its join keys only.
+# ---------------------------------------------------------------------------
+@register(
+    "q7_volume_shipping",
+    sql="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: one dimension in two roles (supplier nation vs "
+    "customer nation), symmetric pair predicate, yearly revenue.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = _dec(F.col("l_extendedprice")) * (
+        F.lit(1) - _dec(F.col("l_discount"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(revenue).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape (small-quantity-order revenue): a correlated per-group
+# average subquery decorrelated into an aggregate joined back to the fact
+# table on the group key. avg_qty is decimal-sum / count (deterministic);
+# the 0.2 threshold comparison and final sum stay in decimal.
+# Scale: both the per-part aggregate and the join shuffle on l_partkey —
+# with partkey-bucketed storage the whole query is shuffle-free; the
+# brand filter lands on the broadcast part dimension.
+# ---------------------------------------------------------------------------
+@register(
+    "q17_small_qty_revenue",
+    sql="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa ON pa.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#2'
+      AND CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty
+    """,
+    doc="TPC-H Q17 shape: correlated per-part avg subquery decorrelated "
+    "into an agg-join; revenue of below-average-quantity lineitems.",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    pa = l.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (
+            F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(pa, l["l_partkey"] == F.col("pa_key"))
+        .filter(F.col("l_quantity").cast("double") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )

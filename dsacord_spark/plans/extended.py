@@ -471,3 +471,194 @@ def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly gap-fill + LOCF forward fill (the hypertable / time_bucket_gapfill
+# shape): a dense (event_type x hour) spine generated from the observed
+# span, hours with no events filled with count 0, and the hourly average
+# value carried forward across gaps with last-non-null-over-window.
+# Scale: the spine is sequence()-generated (types x hours rows — tiny
+# relative to raw events, and computable without a second scan once the
+# span row is known); the raw table is touched once for the hourly
+# pre-aggregation (one shuffle), the gap-fill left join is a broadcast of
+# the spine against the aggregate (or vice versa — both are post-agg
+# sized), and LOCF is one window pass per event_type partition.
+# Determinism: av = decimal-sum cast double / count, then copied verbatim
+# by LOCF — no float accumulation anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_gapfill",
+    sql="""
+    WITH hourly AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS hr,
+             COUNT(*) AS cnt,
+             SUM(CAST(value AS DECIMAL(18,2))) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(hr) AS mn, max(hr) AS mx FROM hourly),
+    spine AS (
+      SELECT et.event_type, gs.hr
+      FROM (SELECT DISTINCT event_type FROM events) et
+      CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+                  FROM span) gs
+    ),
+    j AS (
+      SELECT s.event_type, s.hr,
+             COALESCE(h.cnt, 0) AS cnt,
+             CAST(h.sv AS DOUBLE) / h.cnt AS av
+      FROM spine s LEFT JOIN hourly h
+        ON h.event_type = s.event_type AND h.hr = s.hr
+    )
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr_str, cnt,
+           last_value(av IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg
+    FROM j
+    """,
+    doc="Dense hourly spine per event_type; zero-filled counts; hourly "
+    "avg value forward-filled (LOCF) across empty hours.",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.sum(_dec("value")).alias("sv"))
+    span = hourly.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    hours = span.select(
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    spine = e.select("event_type").distinct().crossJoin(hours)
+    j = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        (F.col("sv").cast("double") / F.col("cnt")).alias("av"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "event_type",
+        _ts_str(F.col("hr")).alias("hr_str"),
+        "cnt",
+        F.last(F.col("av"), ignorenulls=True).over(w).alias("locf_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (posting lists): term -> document frequency + sorted
+# posting list, the core retrieval / exact-phrase-lookup structure.
+# Scale: explode + distinct-per-doc is map-side; the single shuffle is the
+# groupBy(term) — skew on stopword-grade terms is bounded because posting
+# lists are stored sorted-compressed per term (here: csv string; at scale:
+# delta-encoded arrays bucketed by term hash). min_df prunes the hapax
+# tail, which is the bulk of the vocabulary.
+# ---------------------------------------------------------------------------
+@register(
+    "text_inverted_index",
+    sql=f"""
+    WITH t AS (
+      SELECT DISTINCT doc_id, unnest({_TOKS_SQL.format(c='text')}) AS term
+      FROM documents
+    )
+    SELECT term, COUNT(*) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM t GROUP BY term HAVING COUNT(*) >= 25
+    """,
+    doc="Posting lists: term -> df + comma-joined sorted doc ids "
+    "(min_df 25 prunes the hapax tail).",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    )
+    return (
+        t.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram (the profiling/EDA primitive): 5000-wide price bins
+# with a terminal catch-all bucket. Bin assignment is a pure map-side
+# expression on each row (floor of a division — no two-pass min/max scan,
+# unlike events_value_winsorize which deliberately exercises the two-pass
+# shape), so the whole query is one partial+final hash agg on ~21 keys.
+# ---------------------------------------------------------------------------
+@register(
+    "price_histogram",
+    sql="""
+    SELECT CAST(least(floor(l_extendedprice / 5000), 20) AS INT) AS bin,
+           COUNT(*) AS n,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Fixed-width price histogram: map-side bin expr, one hash agg.",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    bin_col = F.least(
+        F.floor(F.col("l_extendedprice") / 5000), F.lit(20)
+    ).cast("int")
+    return l.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_extendedprice")).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-total: window aggregate OVER the output of a hash aggregate
+# (share-of-whole reporting shape). The window has no partition key — a
+# single-partition exchange — but its input is the aggregate (a handful
+# of rows), never the raw table; share = exact decimal sums divided in
+# double, deterministic on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "segment_share_of_total",
+    sql="""
+    WITH seg AS (
+      SELECT c_mktsegment, COUNT(*) AS n_cust,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS seg_bal
+      FROM customer GROUP BY 1
+    )
+    SELECT c_mktsegment, n_cust, seg_bal,
+           round(CAST(seg_bal AS DOUBLE) / CAST(SUM(seg_bal) OVER () AS DOUBLE),
+                 6) AS share
+    FROM seg
+    """,
+    doc="Share-of-total per market segment: window over aggregate output.",
+)
+def segment_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    seg = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(_dec("c_acctbal")).alias("seg_bal"),
+    )
+    w = W.partitionBy()
+    return seg.select(
+        "c_mktsegment",
+        "n_cust",
+        "seg_bal",
+        F.round(
+            F.col("seg_bal").cast("double")
+            / F.sum("seg_bal").over(w).cast("double"),
+            6,
+        ).alias("share"),
+    )
