@@ -14,6 +14,7 @@ import dsacord_spark.plans.advanced  # noqa: F401  (registers advanced ops)
 import dsacord_spark.plans.extended  # noqa: F401  (registers extended ops)
 import dsacord_spark.plans.composite  # noqa: F401  (registers composite ops)
 import dsacord_spark.plans.curation  # noqa: F401  (registers curation ops)
+import dsacord_spark.plans.udx  # noqa: F401  (registers UDTF/UDAF surface)
 from dsacord_spark.plans.registry import QuerySpec, get_registry
 
 

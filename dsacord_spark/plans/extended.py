@@ -662,3 +662,42 @@ def segment_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (the product-analytics staple): users grouped by their
+# first active day; for each (cohort, day-offset) cell, how many of that
+# cohort's users were active. Two shuffles — the distinct (user, day)
+# projection feeds both the per-user min (cohort assignment) and the
+# activity join, which co-partition on user_id, then one agg on the
+# (cohort, offset) cell key.
+# ---------------------------------------------------------------------------
+@register(
+    "events_retention_cohort",
+    sql="""
+    WITH a AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events
+    ),
+    f AS (SELECT user_id, min(d) AS d0 FROM a GROUP BY 1)
+    SELECT strftime(d0, '%Y-%m-%d') AS cohort,
+           CAST(date_diff('day', d0, d) AS INT) AS offset_days,
+           COUNT(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: first-active-day cohort x day offset "
+    "-> active user count.",
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    a = e.select("user_id", F.to_date(F.col("ts")).alias("d")).distinct()
+    f = a.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            F.date_format(F.col("d0"), "yyyy-MM-dd").alias("cohort"),
+            F.datediff(F.col("d"), F.col("d0")).alias("offset_days"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
