@@ -86,3 +86,59 @@ def test_minhash_lsh_recall_and_precision(spark, sf_dir):
     n_hit = exact.join(lsh, ["doc_a", "doc_b"]).count()
     assert n_hit == n_lsh  # precision 1: every LSH pair is a true pair
     assert n_exact > 0 and n_hit / n_exact >= 0.9
+
+
+def test_block_topk_bit_matches_hof_formulation(spark, sf_dir):
+    """block_topk_cosine's docstring claims bit-parity with the
+    sequential-fold Column formulation (normalize, then dimension-order
+    dot). Build that formulation inline and require EXACT equality —
+    ids, ranks, and float-for-float cosine values."""
+    from pyspark.sql import Window as W
+
+    from dsacord_spark.functions.vectors import norm, to_double_array
+    from dsacord_spark.operators.similarity import block_topk_cosine
+
+    e = table(spark, sf_dir, "embeddings")
+    q_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in e.filter(F.col("vec_id") < 20)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    block = (
+        block_topk_cosine(e, q_rows, k=10)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "neighbor_id", "rank", "cos")
+    )
+
+    u = e.select(
+        "vec_id", norm(F.col("embedding")).alias("nrm"), "embedding"
+    ).select(
+        "vec_id",
+        F.transform(
+            to_double_array(F.col("embedding")), lambda x: x / F.col("nrm")
+        ).alias("uv"),
+    )
+    q = u.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("uv").alias("q_uv")
+    )
+    cos = F.aggregate(
+        F.zip_with(F.col("q_uv"), F.col("uv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    hof = (
+        u.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", "neighbor_id", "rank", "cos")
+    )
+
+    b_rows = sorted(map(tuple, block.collect()))
+    h_rows = sorted(map(tuple, hof.collect()))
+    assert b_rows == h_rows  # exact, including the doubles
