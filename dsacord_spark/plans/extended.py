@@ -701,3 +701,60 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / cumulative-share: the smallest prefix of customers (by revenue,
+# descending) that covers 80% of total revenue. Running sums stay in
+# exact decimal over the window; only the final share division goes to
+# double. Both windows run over the AGGREGATE output (one row per
+# customer), never raw orders — the global-order sort is post-agg sized.
+# The filter keeps every row whose PRECEDING prefix is still under the
+# threshold, so the crossing row is included (classic Pareto cut).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_pareto_customers",
+    sql="""
+    WITH r AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT o_custkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(revenue) OVER () AS total
+      FROM r
+    )
+    SELECT o_custkey, revenue,
+           round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+    FROM c
+    WHERE CAST(cum - revenue AS DOUBLE) / CAST(total AS DOUBLE) < 0.8
+    """,
+    doc="Pareto cut: top customers covering 80% of revenue; exact-decimal "
+    "running share over post-aggregate rows.",
+)
+def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("revenue"))
+    wc = (
+        W.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = r.select(
+        "o_custkey",
+        "revenue",
+        F.sum("revenue").over(wc).alias("cum"),
+        F.sum("revenue").over(W.partitionBy()).alias("total"),
+    )
+    return c.filter(
+        (F.col("cum") - F.col("revenue")).cast("double")
+        / F.col("total").cast("double")
+        < 0.8
+    ).select(
+        "o_custkey",
+        "revenue",
+        F.round(
+            F.col("cum").cast("double") / F.col("total").cast("double"), 6
+        ).alias("cum_share"),
+    )

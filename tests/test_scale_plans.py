@@ -139,3 +139,42 @@ def test_scalar_parse_pipeline_is_single_codegen_stage(spark, sf_dir):
     # formatted explain marks codegen-compiled operators with a `*` prefix
     assert re.search(r"\*\s*Project", plan), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q7_two_role_dimension_single_exchange(spark, sf_dir):
+    """Q7 joins nation in two roles (supplier side, customer side); both
+    roles plus the other dimensions must stay BroadcastHashJoin at test
+    scale, with exactly ONE shuffle Exchange (the final 3-key agg)."""
+    from dsacord_spark.plans.catalog import queries
+
+    plan = _plan(queries()["q7_volume_shipping"](spark, sf_dir))
+    bhj = re.findall(r"\(\d+\)\s+BroadcastHashJoin", plan)
+    assert len(bhj) == 5, plan
+    shuffles = re.findall(r"\(\d+\)\s+Exchange", plan)
+    assert len(shuffles) == 1, plan
+
+
+def test_histogram_is_single_partial_final_agg(spark, sf_dir):
+    """The fixed-bin histogram must stay a map-side bin expression + one
+    partial+final hash aggregate: one Exchange, no Sort, no Window (a
+    regression to a two-pass min/max formulation would add a second
+    scan/exchange)."""
+    from dsacord_spark.plans.catalog import queries
+
+    plan = _plan(queries()["price_histogram"](spark, sf_dir))
+    shuffles = re.findall(r"\(\d+\)\s+Exchange", plan)
+    assert len(shuffles) == 1, plan
+    assert not re.findall(r"\(\d+\)\s+Sort", plan), plan
+    assert len(re.findall(r"\(\d+\)\s+HashAggregate", plan)) == 2, plan
+
+
+def test_gapfill_scans_events_once_per_branch_no_cartesian(spark, sf_dir):
+    """Gap-fill generates the hour spine from a 1-row span aggregate
+    (BroadcastNestedLoopJoin against one row is fine; a CartesianProduct
+    of real tables is not) and must not re-scan raw events for the
+    window: LOCF runs over the joined spine, not the base table."""
+    from dsacord_spark.plans.catalog import queries
+
+    plan = _plan(queries()["events_hourly_gapfill"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\)\s+Window", plan)) == 1, plan
