@@ -63,8 +63,9 @@ def append_new_decisions(
     df: DataFrame,
     path: str,
     key: str = "uuid",
+    return_dts: bool = False,
     **write_kwargs,
-) -> None:
+) -> list[str] | None:
     """Append only rows whose key is not already in the lake — the lake
     formulation of the reference's optimistic duplicate handling (insert
     only rows whose uuid is not present; main.go:194-204, K3 strategy
@@ -72,14 +73,37 @@ def append_new_decisions(
     (column pruning: uuid only, every other column never leaves parquet)
     and plans as a left-anti join; at scale Spark's runtime bloom filter
     prunes the batch side before the shuffle. First write to an empty
-    lake skips the probe entirely."""
+    lake skips the probe entirely.
+
+    `return_dts=True` additionally returns the distinct day-partition
+    values this append touched — the changed-partition list
+    refresh_rollup needs. The anti-joined batch is persisted across the
+    two actions so the lake probe is not re-run."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(hpath):
         existing = spark.read.parquet(path).select(key)
         df = df.join(existing, key, "left_anti")
-    write_decisions_parquet(df, path, mode="append", **write_kwargs)
+    if not return_dts:
+        write_decisions_parquet(df, path, mode="append", **write_kwargs)
+        return None
+    df = df.persist()
+    try:
+        dts = [
+            r["dt"]
+            for r in df.select(
+                F.coalesce(
+                    F.date_format("created_at", "yyyy-MM-dd"), F.lit("unknown")
+                ).alias("dt")
+            )
+            .distinct()
+            .collect()
+        ]
+        write_decisions_parquet(df, path, mode="append", **write_kwargs)
+    finally:
+        df.unpersist()
+    return sorted(dts)
 
 
 def compact_partitions(
@@ -167,3 +191,70 @@ def compact_partitions(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    source_path: str,
+    rollup_path: str,
+    agg_fn,
+    changed_dts: list[str] | None = None,
+    partition_col: str = "dt",
+) -> dict:
+    """Incremental maintenance of a derived day-partitioned rollup table
+    (the materialized-view refresh every daily-dump pipeline needs: the
+    reference's unit of arrival is one day, SURVEY §1.1, so a day is also
+    the natural unit of recomputation).
+
+    `agg_fn(df) -> DataFrame` must be a per-day-decomposable aggregation
+    that keeps `partition_col` in its output (counts, sums, min/max per
+    day — anything where day X's rollup depends only on day X's rows).
+    Refresh recomputes ONLY the changed partitions — from `changed_dts`
+    when the caller knows what it appended, else the metadata-only diff
+    of source vs rollup partition listings (new days) — reading just
+    those source partitions (partition pruning) and
+    dynamic-partition-overwriting just those rollup partitions. Healthy
+    days are never read nor rewritten; a full recompute is the
+    degenerate call with every dt listed. No-op returns without
+    launching a job.
+    """
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(source_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+
+    def _list_parts(p: str) -> set[str]:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        if not fs.exists(hp):
+            return set()
+        return {
+            st.getPath().getName().split("=", 1)[1]
+            for st in fs.listStatus(hp)
+            if st.isDirectory()
+            and st.getPath().getName().startswith(partition_col + "=")
+        }
+
+    src_parts = _list_parts(source_path)
+    if changed_dts is None:
+        changed = sorted(src_parts - _list_parts(rollup_path))
+    else:
+        # intersect with reality: a dt the caller appended but that no
+        # longer exists in the source contributes nothing
+        changed = sorted(set(changed_dts) & src_parts)
+    if not changed:
+        return {"partitions_refreshed": 0, "dts": []}
+
+    src = spark.read.parquet(source_path).filter(
+        F.col(partition_col).isin(changed)
+    )
+    out = agg_fn(src)
+    assert partition_col in out.columns, (
+        f"agg_fn must keep {partition_col} for partition-wise refresh"
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(rollup_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"partitions_refreshed": len(changed), "dts": changed}

@@ -269,3 +269,81 @@ def test_url_table_generation(spark):
         "https://dsa-sor-data-dumps.s3.eu-central-1.amazonaws.com/"
         "sor-discord-netherlands-bv-2025-01-30-full.zip"
     )
+
+
+def test_refresh_rollup_recomputes_only_changed_days(spark, tmp_path):
+    """Incremental rollup maintenance: appending one new day refreshes
+    exactly that rollup partition; untouched rollup partitions keep
+    their files (not re-read, not rewritten); the refreshed rollup
+    always equals a from-scratch recompute."""
+    import glob
+    import os
+
+    from dsacord_spark.sinks.parquet import refresh_rollup
+
+    src = str(tmp_path / "src")
+    roll = str(tmp_path / "rollup")
+
+    def day(dt, lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"), F.lit(dt).alias("dt"), (F.col("id") % 3).alias("k")
+        )
+
+    def daily_counts(df):
+        return df.groupBy("dt", "k").agg(F.count(F.lit(1)).alias("n"))
+
+    def full_recompute():
+        return sorted(
+            map(
+                tuple,
+                daily_counts(spark.read.parquet(src))
+                .select("dt", "k", "n")
+                .collect(),
+            )
+        )
+
+    day("2025-01-01", 0, 100).write.partitionBy("dt").parquet(src)
+    day("2025-01-02", 100, 250).write.mode("append").partitionBy("dt").parquet(src)
+
+    # bootstrap: no rollup yet -> metadata diff finds both days
+    stats = refresh_rollup(spark, src, roll, daily_counts)
+    assert stats["partitions_refreshed"] == 2
+    assert sorted(map(tuple, spark.read.parquet(roll).select("dt", "k", "n").collect())) == full_recompute()
+
+    d1_file = glob.glob(os.path.join(roll, "dt=2025-01-01", "*.parquet"))[0]
+    d1_mtime = os.path.getmtime(d1_file)
+
+    # a new day arrives; caller passes the changed list
+    day("2025-01-03", 250, 300).write.mode("append").partitionBy("dt").parquet(src)
+    stats = refresh_rollup(spark, src, roll, daily_counts, changed_dts=["2025-01-03"])
+    assert stats == {"partitions_refreshed": 1, "dts": ["2025-01-03"]}
+    assert sorted(map(tuple, spark.read.parquet(roll).select("dt", "k", "n").collect())) == full_recompute()
+    assert os.path.getmtime(d1_file) == d1_mtime  # day 1 untouched
+
+    # late rows land IN an existing day -> that day recomputes in place
+    day("2025-01-02", 300, 320).write.mode("append").partitionBy("dt").parquet(src)
+    stats = refresh_rollup(spark, src, roll, daily_counts, changed_dts=["2025-01-02"])
+    assert stats["dts"] == ["2025-01-02"]
+    assert sorted(map(tuple, spark.read.parquet(roll).select("dt", "k", "n").collect())) == full_recompute()
+    assert os.path.getmtime(d1_file) == d1_mtime
+
+    # nothing changed -> no job, no-op
+    assert refresh_rollup(spark, src, roll, daily_counts) == {
+        "partitions_refreshed": 0,
+        "dts": [],
+    }
+    # changed_dts pointing at a vanished day is ignored
+    assert refresh_rollup(
+        spark, src, roll, daily_counts, changed_dts=["2099-01-01"]
+    ) == {"partitions_refreshed": 0, "dts": []}
+
+
+def test_append_new_decisions_reports_touched_days(spark, wire, tmp_path):
+    from dsacord_spark.sinks.parquet import append_new_decisions
+
+    out = str(tmp_path / "lake_dts")
+    valid, _ = split_quarantine(decisions_transform(wire))
+    dts = append_new_decisions(spark, valid, out, return_dts=True)
+    assert dts and all(len(d) == 10 or d == "unknown" for d in dts)
+    # full-overlap append touches nothing
+    assert append_new_decisions(spark, valid, out, return_dts=True) == []
