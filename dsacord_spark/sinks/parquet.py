@@ -258,3 +258,32 @@ def refresh_rollup(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return {"partitions_refreshed": len(changed), "dts": changed}
+
+
+def lake_with_rollup_sink(
+    spark: SparkSession,
+    lake_path: str,
+    rollup_path: str,
+    agg_fn,
+    key: str = "uuid",
+    **write_kwargs,
+):
+    """Composed epoch sink: append-only-new rows to the day-partitioned
+    lake, then incrementally refresh the derived rollup for exactly the
+    day partitions this epoch touched — continuous aggregation over the
+    reference's daily-dump arrival model, with no full recompute and no
+    full rescan anywhere in the loop.
+
+    Returns a `(batch_df, epoch_id) -> None` callable for
+    start_decisions_stream / foreachBatch. Idempotent under checkpoint
+    replay: a replayed epoch's rows anti-join to nothing, the touched-dt
+    list comes back empty, and the rollup refresh no-ops."""
+
+    def sink(batch_df: DataFrame, _epoch_id: int) -> None:
+        dts = append_new_decisions(
+            spark, batch_df, lake_path, key=key, return_dts=True, **write_kwargs
+        )
+        if dts:
+            refresh_rollup(spark, lake_path, rollup_path, agg_fn, changed_dts=dts)
+
+    return sink

@@ -270,3 +270,77 @@ def test_join_event_streams_interval_bound(spark, tmp_path):
     q.awaitTermination(180)
     rows = {(r["user_id"], str(r["l_ts"]), str(r["r_ts"])) for b in out for r in b}
     assert rows == {("A", "2025-01-01 10:00:00", "2025-01-01 10:30:00")}
+
+
+def test_streaming_lake_rollup_stays_consistent(spark, tmp_path):
+    """End-to-end continuous aggregation: landing stream -> lake append ->
+    incremental rollup refresh per epoch. After every backfill run the
+    rollup equals a from-scratch recompute, replays no-op, and a day the
+    second epoch never touched keeps its rollup file."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dsacord_spark.sinks.parquet import lake_with_rollup_sink
+
+    landing = tmp_path / "landing"
+    ckpt = str(tmp_path / "ckpt")
+    lake = str(tmp_path / "lake")
+    roll = str(tmp_path / "rollup")
+
+    def daily_counts(df):
+        return df.groupBy("dt").agg(F.count(F.lit(1)).alias("n_rows"))
+
+    def assert_rollup_matches():
+        got = sorted(
+            map(
+                tuple,
+                spark.read.parquet(roll).select("dt", "n_rows").collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                daily_counts(spark.read.parquet(lake))
+                .select("dt", "n_rows")
+                .collect(),
+            )
+        )
+        assert got == want
+
+    sink = lake_with_rollup_sink(spark, lake, roll, daily_counts)
+
+    _write_day(
+        landing,
+        "2025-01-01",
+        "d1.csv",
+        [
+            {"uuid": "u1", "created_at": "2025-01-01 00:00:00"},
+            {"uuid": "u2", "created_at": "2025-01-01 01:00:00"},
+            {"uuid": "u3", "created_at": "2025-01-02 00:00:00"},
+        ],
+    )
+    q = start_decisions_stream(spark, str(landing), ckpt, sink, available_now=True)
+    q.awaitTermination(120)
+    assert_rollup_matches()
+
+    d1_file = glob.glob(os.path.join(roll, "dt=2025-01-01", "*.parquet"))[0]
+    d1_mtime = os.path.getmtime(d1_file)
+
+    # second backfill: a new day plus a duplicate of u3 (lands in nothing)
+    _write_day(
+        landing,
+        "2025-01-03",
+        "d3.csv",
+        [
+            {"uuid": "u3", "created_at": "2025-01-02 00:00:00"},
+            {"uuid": "u4", "created_at": "2025-01-03 00:00:00"},
+        ],
+    )
+    q2 = start_decisions_stream(spark, str(landing), ckpt, sink, available_now=True)
+    q2.awaitTermination(120)
+    assert_rollup_matches()
+    assert spark.read.parquet(lake).filter(F.col("uuid") == "u3").count() == 1
+    # day-1 rollup partition untouched by an epoch that only added day 3
+    assert os.path.getmtime(d1_file) == d1_mtime
