@@ -758,3 +758,52 @@ def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum").cast("double") / F.col("total").cast("double"), 6
         ).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs bought together in the same
+# order, ranked by support. The pair stage is an equi-self-join on
+# l_orderkey — pair count per order is bounded by basket size (~7 items
+# -> ~21 pairs), so the blow-up is per-basket-quadratic, never
+# corpus-quadratic, and the join co-partitions both sides on one key.
+# Items are deduped per order first (a part can appear on several lines)
+# and ordered a < b so each unordered pair appears once.
+# ---------------------------------------------------------------------------
+@register(
+    "basket_part_pairs_topk",
+    sql="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC
+    LIMIT 25
+    """,
+    doc="Within-order part-pair co-occurrence, top-25 by support "
+    "(basket-bounded self-join, orderkey co-partitioned).",
+)
+def basket_part_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(25)
+    )
