@@ -252,7 +252,11 @@ def simhash_pairs(
     -> recall is exactly 1 and the result equals the brute-force O(n^2)
     scan the oracle runs at small SF."""
     assert n_bands > max_hamming, "pigeonhole recall needs n_bands > max_hamming"
-    sig = simhash_signatures(df, id_col, text_col)
+    # persisted for the same reason as _shingle_index: the banded
+    # self-join reads the signature frame on BOTH sides, and Spark does
+    # no CSE across self-join branches — unpersisted, the 60-bit
+    # signature expression (the dominant cost) evaluates twice
+    sig = simhash_signatures(df, id_col, text_col).persist()
     band_bits = SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
     chunks = [
