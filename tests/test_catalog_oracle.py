@@ -17,3 +17,18 @@ def _names():
 def test_catalog_query_matches_oracle(spark, sf_dir, name):
     problems = check_query(spark, name, sf_dir)
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """agg_approx_distinct is rows-only by design (HLL seeds are
+    engine-specific) — this is its quality gate instead: the sketch
+    estimate must sit within 5% relative error of the exact distinct
+    count in every group (Spark's default rsd is 5%; the data is
+    deterministic, so this is a stable bound, not a flaky one)."""
+    from dsacord_spark.plans.catalog import queries
+
+    rows = queries()["agg_approx_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        err = abs(r["approx_customers"] - r["exact_customers"]) / r["exact_customers"]
+        assert err <= 0.05, (r["o_orderstatus"], r["approx_customers"], r["exact_customers"])
