@@ -487,3 +487,72 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking: the doc -> fixed-size-chunk step that
+# precedes embedding / tokenization in a retrieval or pretraining
+# pipeline (64-token windows, stride 32 -> 50% overlap; a short doc
+# yields its single full-doc chunk). Pure map-side: tokens materialize
+# once per doc, each window is a slice — no shuffle, no Python; row count
+# grows ~2x tokens/64 per doc, which is the operator's contract.
+# ---------------------------------------------------------------------------
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 32
+
+
+@register(
+    "text_chunk_windows",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL.format(c='text')} AS toks FROM documents
+    ),
+    w AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(
+               1, greatest(len(toks) - {_CHUNK_TOKENS - 1}, 1),
+               {_CHUNK_STRIDE})) AS start
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST((start - 1) / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, start,
+                                      start + {_CHUNK_TOKENS - 1}), ' ')
+             AS chunk_text,
+           CAST(least(len(toks) - start + 1, {_CHUNK_TOKENS}) AS INT)
+             AS n_tokens
+    FROM w
+    """,
+    doc="64-token chunks at stride 32 (50% overlap) per document — the "
+    "chunking step before embedding/tokenization. Map-side only.",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    # tokens in their own projection (same Catalyst re-evaluation trap as
+    # the shingle index: inlining tokens() under the per-offset transform
+    # re-runs the regex split once per window)
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("toks") - F.lit(_CHUNK_TOKENS - 1), F.lit(1)),
+        F.lit(_CHUNK_STRIDE),
+    )
+    return (
+        t.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / F.lit(_CHUNK_STRIDE))
+            .cast("int")
+            .alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("start"), _CHUNK_TOKENS)
+            ).alias("chunk_text"),
+            F.least(
+                F.size("toks") - F.col("start") + 1, F.lit(_CHUNK_TOKENS)
+            )
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
