@@ -807,3 +807,73 @@ def basket_part_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency: how many user activity intervals (first to last
+# event of each user's day) are open simultaneously, reported as the max
+# per hour. The classic interval-overlap algorithm as a dataflow:
+# intervals unpivot to +1/-1 boundary events, a running sum over the
+# boundary order IS the concurrency curve. The global-order window runs
+# over 2 x (users x days) post-aggregate boundary rows, never raw
+# events; ties order +1 before -1 (inclusive overlap), then by
+# (user, day) so the running sum is a strict total order on both
+# engines. Timestamps stay integer microseconds end-to-end.
+# ---------------------------------------------------------------------------
+@register(
+    "events_concurrency_sweep",
+    sql="""
+    WITH a AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+      FROM events
+    ),
+    iv AS (SELECT user_id, d, min(tu) AS s, max(tu) AS e FROM a GROUP BY 1, 2),
+    b AS (
+      SELECT user_id, d, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT user_id, d, e AS t, -1 AS delta FROM iv
+    ),
+    c AS (
+      SELECT t,
+             CAST(SUM(delta) OVER (ORDER BY t ASC, delta DESC,
+                                   user_id ASC, d ASC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS conc
+      FROM b
+    )
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, make_timestamp(t)),
+                    '%Y-%m-%d %H:%M:%S') AS hr_str,
+           max(conc) AS max_concurrency
+    FROM c GROUP BY 1
+    """,
+    doc="Sweep-line max concurrency of user-day activity intervals per "
+    "hour (+1/-1 boundary unpivot, running sum over post-agg rows).",
+)
+def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    a = e.select("user_id", F.to_date("ts").alias("d"), F.col("ts_us"))
+    iv = a.groupBy("user_id", "d").agg(
+        F.min("ts_us").alias("s"), F.max("ts_us").alias("e")
+    )
+    b = iv.select(
+        "user_id", "d", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select("user_id", "d", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        W.orderBy(
+            F.col("t").asc(),
+            F.col("delta").desc(),
+            F.col("user_id").asc(),
+            F.col("d").asc(),
+        ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = b.select(
+        "t", F.sum("delta").over(w).cast("long").alias("conc")
+    )
+    return c.groupBy(
+        _ts_str(F.date_trunc("hour", F.timestamp_micros(F.col("t")))).alias(
+            "hr_str"
+        )
+    ).agg(F.max("conc").alias("max_concurrency"))
