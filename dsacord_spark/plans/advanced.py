@@ -92,6 +92,67 @@ def join_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Forward as-of join (the other lookup direction: the NEXT known rate at
+# or after each shipment — "what price takes effect next"). Same
+# calendar trick as join_asof_rates with the fill reversed: first
+# non-null over [current, unbounded following] on the small side, then a
+# broadcast equi-join; the fact table never shuffles or explodes. Inner
+# join drops shipments after the last rate — DuckDB's inner ASOF
+# semantics with the >= comparator.
+# ---------------------------------------------------------------------------
+@register(
+    "join_asof_forward",
+    sql="""
+    WITH rates AS (
+      SELECT o_orderdate AS rate_date, MIN(o_totalprice) AS rate
+      FROM orders WHERE o_orderkey % 97 = 0 GROUP BY o_orderdate)
+    SELECT l.l_orderkey, l.l_linenumber,
+           strftime(l.l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_ts,
+           strftime(r.rate_date, '%Y-%m-%d %H:%M:%S') AS rate_ts,
+           r.rate
+    FROM lineitem l ASOF JOIN rates r ON r.rate_date >= l.l_shipdate
+    """,
+    doc="Forward as-of join: next rate at-or-after each shipment "
+    "(backward-filled calendar + broadcast equi-join; DuckDB native "
+    "forward ASOF oracle).",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    rates = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .groupBy(F.col("o_orderdate").alias("rate_date"))
+        .agg(F.min("o_totalprice").alias("rate"))
+    )
+    span = l.agg(F.min("l_shipdate").alias("lo")).crossJoin(
+        rates.agg(F.max("rate_date").alias("hi"))
+    )
+    calendar = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    wbf = W.orderBy("day").rowsBetween(0, W.unboundedFollowing)
+    filled = (
+        calendar.join(rates, calendar["day"] == rates["rate_date"], "left")
+        .select(
+            "day",
+            F.first("rate_date", ignorenulls=True).over(wbf).alias("rate_date"),
+            F.first("rate", ignorenulls=True).over(wbf).alias("rate"),
+        )
+    )
+    return (
+        l.join(F.broadcast(filled), l["l_shipdate"] == filled["day"], "inner")
+        .filter(F.col("rate_date").isNotNull())
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            _ts_str(F.col("l_shipdate")).alias("ship_ts"),
+            _ts_str(F.col("rate_date")).alias("rate_ts"),
+            "rate",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Range (non-equi) join: bucket lineitems by quantity bands.
 # ---------------------------------------------------------------------------
 @register(
