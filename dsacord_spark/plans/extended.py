@@ -877,3 +877,91 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hr_str"
         )
     ).agg(F.max("conc").alias("max_concurrency"))
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day streak per user (gaps-and-islands at daily
+# grain — the engagement metric counterpart of sessionization's
+# minute-grain islands). The island key is date minus row_number days:
+# constant within a consecutive run, strictly monotone across gaps.
+# Everything shuffles on user_id once; islands and the per-user max are
+# co-partitioned follow-up aggregates.
+# ---------------------------------------------------------------------------
+@register(
+    "events_longest_streak",
+    sql="""
+    WITH a AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS anchor
+      FROM a
+    ),
+    isl AS (
+      SELECT user_id, anchor, COUNT(*) AS len
+      FROM r GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           MAX(len) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days
+    FROM isl GROUP BY user_id
+    """,
+    doc="Gaps-and-islands: longest run of consecutive active days per "
+    "user (date minus row_number anchor).",
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    a = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    r = a.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    isl = r.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return isl.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue growth: lag ratio over the monthly aggregate.
+# Revenue stays exact decimal through the aggregation and the lag; only
+# the growth ratio divides in double (deterministic operands). The lag
+# window runs over O(months) post-agg rows in one partition — by
+# construction tiny.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_mom_growth",
+    sql="""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(CAST(revenue - lag(revenue) OVER (ORDER BY month) AS DOUBLE)
+                 / CAST(lag(revenue) OVER (ORDER BY month) AS DOUBLE), 6)
+             AS mom_growth
+    FROM m
+    """,
+    doc="Month-over-month growth: decimal-exact monthly sums, lag-ratio "
+    "window over post-agg rows.",
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd")
+        .alias("month")
+    ).agg(F.sum(_dec("o_totalprice")).alias("revenue"))
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(
+            (F.col("revenue") - prev).cast("double") / prev.cast("double"), 6
+        ).alias("mom_growth"),
+    )
