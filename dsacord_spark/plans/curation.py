@@ -556,3 +556,89 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture-weighted sampling: materialize the sampling decision implied by
+# corpus_mix_weights. Each (source, lang) bucket keeps documents at rate
+# min(1, sampling_epochs) — over-weighted buckets keep everything (their
+# >1 epochs become training-time repetition), under-weighted buckets
+# downsample deterministically by hash threshold (md5 of doc_id, the
+# same reproducible-selection trick as split_train_test: no RNG, so the
+# sample is stable across runs, engines, and partitionings). One corpus
+# scan + a broadcast of the O(sources x langs) rate table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_mix_sample",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, source, lang,
+                         len({_TOKS_SQL.format(c='text')}) AS nt
+                  FROM documents),
+    g AS (SELECT source, lang, count(*) AS n_docs, sum(nt) AS n_tokens
+          FROM toks GROUP BY 1, 2),
+    t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM g),
+    w AS (SELECT g.*, tot, sqrt(CAST(n_tokens AS DOUBLE) / tot) AS sw
+          FROM g, t),
+    z AS (SELECT sum(sw) AS z FROM w),
+    rates AS (
+      SELECT source, lang, n_docs,
+             least(1.0, sw / z * tot / n_tokens) AS keep_rate
+      FROM w, z),
+    kept AS (
+      SELECT d.source, d.lang, r.n_docs, r.keep_rate
+      FROM toks d JOIN rates r
+        ON r.source = d.source AND r.lang = d.lang
+      WHERE {md5_long_sql("CAST(doc_id AS VARCHAR)")} % 1000000
+            < keep_rate * 1000000)
+    SELECT source, lang, n_docs,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(keep_rate, 6) AS keep_rate
+    FROM kept GROUP BY source, lang, n_docs, keep_rate
+    """,
+    doc="Mixture-weighted deterministic sampling: per-bucket keep rate "
+    "min(1, sampling_epochs) applied by md5 hash threshold; reports "
+    "kept counts per (source, lang).",
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", "lang", F.size(tokens("text")).alias("nt")
+    )
+    g = toks.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+    tot = g.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    w = g.crossJoin(F.broadcast(tot)).withColumn(
+        "sw", F.sqrt(F.col("n_tokens").cast("double") / F.col("tot"))
+    )
+    z = w.agg(F.sum("sw").alias("z"))
+    rates = (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            F.least(
+                F.lit(1.0),
+                F.col("sw") / F.col("z") * F.col("tot") / F.col("n_tokens"),
+            ).alias("keep_rate"),
+        )
+    )
+    kept = (
+        toks.join(F.broadcast(rates), ["source", "lang"])
+        .filter(
+            md5_long(F.col("doc_id").cast("string")) % F.lit(1000000)
+            < F.col("keep_rate") * 1000000
+        )
+    )
+    return kept.groupBy("source", "lang", "n_docs", "keep_rate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    ).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_kept",
+        F.round("keep_rate", 6).alias("keep_rate"),
+    )
