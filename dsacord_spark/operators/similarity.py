@@ -129,10 +129,31 @@ def block_topk_cosine(
     interpreted HOF lambdas allocate a 64-element array per pair; this
     path is ~6x faster at sf0.1 and is the one to use when the query set
     grows past a handful.
+
+    Degenerate (zero-norm) vectors: their cosine is NULL in the output
+    (Arrow maps pandas NaN to SQL NULL) and they rank LAST under the
+    global (cos DESC, id ASC) window — internally consistent between
+    the local and global top-k, but a documented divergence from the
+    HOF/SQL formulation, where the same pair scores NaN and NaN sorts
+    FIRST under DESC. Filter zero-norm vectors upstream when exact
+    HOF parity on degenerate inputs matters; the bit-parity guarantee
+    above applies to finite-norm inputs.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
+
+    src0 = emb.select(id_col, vec_col, *payload_cols)
+    empty_schema = StructType(
+        [
+            StructField("q_id", src0.schema[id_col].dataType, False),
+            StructField("neighbor_id", src0.schema[id_col].dataType, False),
+            StructField("cos", DoubleType(), True),
+        ]
+        + [StructField(c, src0.schema[c].dataType, True) for c in payload_cols]
+    )
+    if not queries:
+        return emb.sparkSession.createDataFrame([], empty_schema)
 
     q_ids = np.array([q[0] for q in queries], dtype=np.int64)
     q_mat = np.array([q[1] for q in queries], dtype=np.float64)
@@ -143,15 +164,8 @@ def block_topk_cosine(
     with np.errstate(divide="ignore", invalid="ignore"):
         q_unit = q_mat / np.sqrt(qn)[:, None]
 
-    src = emb.select(id_col, vec_col, *payload_cols)
-    out_schema = StructType(
-        [
-            StructField("q_id", src.schema[id_col].dataType, False),
-            StructField("neighbor_id", src.schema[id_col].dataType, False),
-            StructField("cos", DoubleType(), True),
-        ]
-        + [StructField(c, src.schema[c].dataType, True) for c in payload_cols]
-    )
+    src = src0
+    out_schema = empty_schema
 
     def local_topk(batches):
         for pdf in batches:
@@ -175,8 +189,14 @@ def block_topk_cosine(
                 if exclude_self:
                     sel = sel[ids != q_ids[j]]
                 # strict (cos desc, id asc) order; lexsort's primary key
-                # is the LAST one
-                order = sel[np.lexsort((ids[sel], -s[sel]))][:k]
+                # is the LAST one. NaN scores (zero-norm degenerate
+                # vectors) sort LAST locally — deliberately consistent
+                # with the global merge, where Arrow turns pandas NaN
+                # into SQL NULL and desc ranks NULLs last (see the NaN
+                # note in the operator docstring)
+                neg = -s[sel]
+                neg = np.where(np.isnan(neg), np.inf, neg)
+                order = sel[np.lexsort((ids[sel], neg))][:k]
                 out_q.append(np.full(len(order), q_ids[j], dtype=np.int64))
                 out_idx.append(order)
             qcol = np.concatenate(out_q)

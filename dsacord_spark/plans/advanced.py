@@ -127,8 +127,14 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = l.agg(F.min("l_shipdate").alias("lo")).crossJoin(
         rates.agg(F.max("rate_date").alias("hi"))
     )
+    # clamp: lo comes from lineitem, hi from rates — if every rate
+    # predates every shipment, sequence(lo, hi) would throw where the
+    # oracle's ASOF simply matches nothing; the 1-day degenerate
+    # calendar carries no rate and the null-filter below yields empty
     calendar = span.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+        F.explode(
+            F.sequence("lo", F.greatest("hi", "lo"), F.expr("interval 1 day"))
+        ).alias("day")
     )
     wbf = W.orderBy("day").rowsBetween(0, W.unboundedFollowing)
     filled = (

@@ -522,16 +522,22 @@ def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).agg(F.count(F.lit(1)).alias("cnt"), F.sum(_dec("value")).alias("sv"))
+    # persisted: the aggregate feeds three consumers (span row, spine
+    # type list, gap-fill join) — unpersisted, each re-scans raw events
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(_dec("value")).alias("sv"))
+        .persist()
+    )
     span = hourly.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
     hours = span.select(
         F.explode(
             F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
         ).alias("hr")
     )
-    spine = e.select("event_type").distinct().crossJoin(hours)
+    # event types enumerated from the AGGREGATE (it contains exactly the
+    # types present in events), not a second scan of the raw table
+    spine = hourly.select("event_type").distinct().crossJoin(hours)
     j = spine.join(hourly, ["event_type", "hr"], "left").select(
         "event_type",
         "hr",

@@ -78,16 +78,22 @@ def append_new_decisions(
     `return_dts=True` additionally returns the distinct day-partition
     values this append touched — the changed-partition list
     refresh_rollup needs. The anti-joined batch is persisted across the
-    two actions so the lake probe is not re-run."""
+    two actions so the lake probe is not re-run. Only meaningful for the
+    day-partitioned layout: without a created_at column (or with
+    partition_by_date=False) no dt partitions are written, so the
+    answer is []."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(hpath):
         existing = spark.read.parquet(path).select(key)
         df = df.join(existing, key, "left_anti")
-    if not return_dts:
+    partitioned = (
+        write_kwargs.get("partition_by_date", True) and "created_at" in df.columns
+    )
+    if not return_dts or not partitioned:
         write_decisions_parquet(df, path, mode="append", **write_kwargs)
-        return None
+        return [] if return_dts else None
     df = df.persist()
     try:
         dts = [
@@ -219,17 +225,17 @@ def refresh_rollup(
     launching a job.
     """
     jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(source_path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
 
     def _list_parts(p: str) -> set[str]:
         hp = jvm.org.apache.hadoop.fs.Path(p)
-        if not fs.exists(hp):
+        # each path resolves its own FileSystem — source and rollup may
+        # live on different schemes/buckets
+        pfs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not pfs.exists(hp):
             return set()
         return {
             st.getPath().getName().split("=", 1)[1]
-            for st in fs.listStatus(hp)
+            for st in pfs.listStatus(hp)
             if st.isDirectory()
             and st.getPath().getName().startswith(partition_col + "=")
         }
@@ -275,14 +281,32 @@ def lake_with_rollup_sink(
     full rescan anywhere in the loop.
 
     Returns a `(batch_df, epoch_id) -> None` callable for
-    start_decisions_stream / foreachBatch. Idempotent under checkpoint
-    replay: a replayed epoch's rows anti-join to nothing, the touched-dt
-    list comes back empty, and the rollup refresh no-ops."""
+    start_decisions_stream / foreachBatch.
+
+    Crash-safe under checkpoint replay: the refresh set is the batch's
+    OWN day list, computed BEFORE the append — not the list of days the
+    append actually wrote. A replayed epoch's rows anti-join to nothing
+    (the lake append no-ops), but the replay still recomputes the same
+    day partitions, so a crash between the append and the refresh can
+    never leave the rollup permanently stale; the recompute itself is
+    idempotent (full per-day overwrite from the lake)."""
 
     def sink(batch_df: DataFrame, _epoch_id: int) -> None:
-        dts = append_new_decisions(
-            spark, batch_df, lake_path, key=key, return_dts=True, **write_kwargs
-        )
+        batch_df = batch_df.persist()
+        try:
+            dts = [
+                r["dt"]
+                for r in batch_df.select(
+                    F.coalesce(
+                        F.date_format("created_at", "yyyy-MM-dd"), F.lit("unknown")
+                    ).alias("dt")
+                )
+                .distinct()
+                .collect()
+            ]
+            append_new_decisions(spark, batch_df, lake_path, key=key, **write_kwargs)
+        finally:
+            batch_df.unpersist()
         if dts:
             refresh_rollup(spark, lake_path, rollup_path, agg_fn, changed_dts=dts)
 

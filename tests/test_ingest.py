@@ -347,3 +347,57 @@ def test_append_new_decisions_reports_touched_days(spark, wire, tmp_path):
     assert dts and all(len(d) == 10 or d == "unknown" for d in dts)
     # full-overlap append touches nothing
     assert append_new_decisions(spark, valid, out, return_dts=True) == []
+
+
+def test_rollup_sink_replay_recovers_from_crash_between_append_and_refresh(
+    spark, wire, tmp_path
+):
+    """Crash-safety: if an epoch dies after the lake append but before
+    the rollup refresh, replaying the same batch must still refresh the
+    touched days (the refresh set comes from the batch, not from what
+    the append wrote — a replayed append writes nothing)."""
+    from pyspark.sql import functions as F
+
+    from dsacord_spark.sinks.parquet import (
+        append_new_decisions,
+        lake_with_rollup_sink,
+    )
+
+    lake = str(tmp_path / "lake")
+    roll = str(tmp_path / "rollup")
+    valid, _ = split_quarantine(decisions_transform(wire))
+
+    def daily_counts(df):
+        return df.groupBy("dt").agg(F.count(F.lit(1)).alias("n_rows"))
+
+    # simulated crash: lake append happened, refresh never ran
+    append_new_decisions(spark, valid, lake)
+    assert not (tmp_path / "rollup").exists()
+
+    # replay the same epoch through the composed sink
+    lake_with_rollup_sink(spark, lake, roll, daily_counts)(valid, 0)
+    got = sorted(
+        map(tuple, spark.read.parquet(roll).select("dt", "n_rows").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            daily_counts(spark.read.parquet(lake))
+            .select("dt", "n_rows")
+            .collect(),
+        )
+    )
+    assert got and got == want
+
+
+def test_append_return_dts_without_created_at(spark, tmp_path):
+    """return_dts on a frame with no created_at (unpartitioned layout)
+    answers [] instead of failing column resolution."""
+    from dsacord_spark.sinks.parquet import append_new_decisions
+
+    out = str(tmp_path / "flat")
+    df = spark.range(5).select(
+        F.concat(F.lit("u"), F.col("id")).alias("uuid"), F.col("id")
+    )
+    assert append_new_decisions(spark, df, out, return_dts=True) == []
+    assert spark.read.parquet(out).count() == 5

@@ -142,3 +142,37 @@ def test_block_topk_bit_matches_hof_formulation(spark, sf_dir):
     b_rows = sorted(map(tuple, block.collect()))
     h_rows = sorted(map(tuple, hof.collect()))
     assert b_rows == h_rows  # exact, including the doubles
+
+
+def test_block_topk_empty_queries_and_nan_ordering(spark):
+    """Two edge cases of block_topk_cosine: an empty query list returns
+    an empty frame (not a shape-unpack crash), and a zero-norm corpus
+    vector scores NULL (Arrow maps pandas NaN to SQL NULL) and ranks
+    LAST — the documented degenerate-input semantics, internally
+    consistent between the batch-local and global top-k orders."""
+    from pyspark.sql import Window as W
+
+    from dsacord_spark.operators.similarity import block_topk_cosine
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 0.0]),  # zero norm -> NaN cosine against anything
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    assert block_topk_cosine(emb, [], k=2).count() == 0
+
+    q = [(1, [1.0, 0.0])]
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    got = (
+        block_topk_cosine(emb, q, k=2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .orderBy("rank")
+        .collect()
+    )
+    # NULL-cosine degenerate vec 3 ranks after the 0.9-cosine vec 2
+    assert [r["neighbor_id"] for r in got] == [2, 3]
+    assert got[1]["cos"] is None
