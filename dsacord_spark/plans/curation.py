@@ -642,3 +642,64 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         F.round("keep_rate", 6).alias("keep_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law probe): cumulative distinct
+# vocabulary vs cumulative token count over the corpus in doc_id order.
+# Cumulative COUNT(DISTINCT) is not a window aggregate either engine
+# supports — the scalable rewrite is first-occurrence attribution: each
+# token contributes +1 at the ONE document where it first appears
+# (min doc_id per token), and the curve is a running sum of those
+# contributions. Two co-partitioned aggregates on token, then a window
+# over post-agg per-doc rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_vocab_growth",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, tk
+      FROM (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t FROM documents),
+           unnest(t) AS u(tk)
+    ),
+    per_doc AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+    firsts AS (SELECT tk, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+    new_per_doc AS (
+      SELECT first_doc AS doc_id, count(*) AS new_tokens
+      FROM firsts GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CAST(SUM(p.n_tok) OVER (ORDER BY p.doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_tokens,
+           CAST(SUM(COALESCE(n.new_tokens, 0)) OVER (ORDER BY p.doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS vocab_size
+    FROM per_doc p LEFT JOIN new_per_doc n ON n.doc_id = p.doc_id
+    """,
+    doc="Heaps'-law vocabulary growth: cumulative distinct vocabulary "
+    "via first-occurrence attribution (cumulative COUNT DISTINCT "
+    "rewritten as a running sum of per-doc first-seen token counts).",
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tk"))
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    firsts = tok.groupBy("tk").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_tokens"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("vocab_size"),
+        )
+    )
