@@ -971,3 +971,57 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue") - prev).cast("double") / prev.cast("double"), 6
         ).alias("mom_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts): for each
+# consecutive pair of events within a user's timeline, count
+# (from_type -> to_type) and its share of all transitions leaving
+# from_type. One user_id shuffle for the lag window, then a hash agg on
+# the ~types^2 pair key; the share divides two exact integers.
+# ---------------------------------------------------------------------------
+@register(
+    "events_type_transitions",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                            event_id) AS prev_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6) AS share
+    FROM pairs
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences, with per-source-type shares.",
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ws = W.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(ws), 6).alias("share"),
+    )
