@@ -166,7 +166,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH buckets(lo, hi, band) AS (VALUES (0, 10, 'low'), (10, 25, 'mid'), (25, 100, 'high'))
     SELECT band, COUNT(*) AS n,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM lineitem JOIN buckets ON l_quantity >= lo AND l_quantity < hi
     GROUP BY band
     """,
@@ -189,7 +189,7 @@ def join_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("l_extendedprice")).alias("revenue"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
         )
     )
 
@@ -204,7 +204,7 @@ def join_range_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
            COUNT(*) AS n,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -218,7 +218,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
                CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
                COUNT(*) AS n,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -229,7 +229,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     sql="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     doc="ROLLUP hierarchy totals.",
@@ -237,7 +237,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     return l.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), F.sum(_dec("l_quantity")).alias("sum_qty")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
     )
 
 
@@ -250,8 +251,12 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
+    # rsd=0.01 (vs the 0.05 default): the test gate asserts <=5% relative
+    # error, and rsd is a standard deviation, not a bound — at sf0.01 the
+    # default sketch missed by 5.7% on one group. A 1% rsd keeps the gate
+    # at ~5 sigma for ~87KB of sketch per group.
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
         F.count_distinct("o_custkey").alias("exact_customers"),
     )
 
@@ -282,9 +287,9 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     sql="""
     SELECT event_id, user_id,
-           SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
              PARTITION BY user_id ORDER BY epoch_us(ts)
-             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS trailing_1h_value
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h_value
     FROM events
     """,
     doc="RANGE frame over event-time: trailing 1h per-user sum.",
@@ -299,7 +304,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.sum(_dec("value")).over(w).alias("trailing_1h_value"),
+        F.sum(_dec("value")).over(w).cast("double").alias("trailing_1h_value"),
     )
 
 

@@ -41,7 +41,7 @@ def _dec(c) -> F.Column:
     sql="""
     SELECT n_name,
            COUNT(*) AS n_items,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -82,7 +82,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (s["s_nationkey"] == c["c_nationkey"]),
         )
         .groupBy("n_name")
-        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(revenue).alias("revenue"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
     )
 
 
@@ -95,7 +98,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_item_topk",
     sql="""
     SELECT c_custkey, c_name, n_name,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -123,7 +126,7 @@ def q10_returned_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -143,7 +146,7 @@ def q10_returned_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderdate AS VARCHAR) AS o_orderdate_str,
            sum_qty
     FROM (
-      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
     ) big
@@ -162,6 +165,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
         .filter(F.col("sum_qty") > 150)
+        .withColumn("sum_qty", F.col("sum_qty").cast("double"))
     )
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
@@ -326,8 +330,8 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INT) AS l_year,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN orders ON o_orderkey = l_orderkey
@@ -372,7 +376,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
 
 

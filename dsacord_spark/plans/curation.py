@@ -343,7 +343,8 @@ def ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=f"""
     WITH toks AS (SELECT source, lang, len({_TOKS_SQL.format(c='text')}) AS nt
                   FROM documents),
-    g AS (SELECT source, lang, count(*) AS n_docs, sum(nt) AS n_tokens
+    g AS (SELECT source, lang, count(*) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens
           FROM toks GROUP BY 1, 2),
     t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM g),
     w AS (SELECT g.*, tot, CAST(n_tokens AS DOUBLE) / tot AS share,
@@ -427,7 +428,7 @@ _UNIT_SQL = (
                                        ORDER BY c DESC, n_label ASC) AS vr
              FROM votes)
     SELECT q_label AS label, count(*) AS n_queries,
-           sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS n_correct,
+           CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
            round(CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
                       AS DOUBLE) / count(*), 6) AS accuracy
     FROM pred WHERE vr = 1 GROUP BY 1

@@ -56,14 +56,16 @@ def _ts_str(c) -> F.Column:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           CAST(sx AS DOUBLE) / n AS mean_qty,
-           sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS std_qty,
-           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+           round(CAST(sx AS DOUBLE) / n, 6) AS mean_qty,
+           round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 6) AS std_qty,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
              / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS corr_qty_price
+                    * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 6) AS corr_qty_price
     FROM s
     """,
-    doc="Sample stddev + Pearson corr via decimal-exact sufficient statistics.",
+    doc="Sample stddev + Pearson corr via decimal-exact sufficient statistics; "
+    "outputs rounded to 6dp on both engines (squared-price sums exceed 2^53 "
+    "unscaled, so the decimal->double cast is 1-ulp engine-dependent).",
 )
 def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
@@ -83,9 +85,11 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n",
-        (sx / n).alias("mean_qty"),
-        F.sqrt(var_x / (n - F.lit(1))).alias("std_qty"),
-        ((sxy - sx * sy / n) / F.sqrt(var_x * var_y)).alias("corr_qty_price"),
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(F.sqrt(var_x / (n - F.lit(1))), 6).alias("std_qty"),
+        F.round((sxy - sx * sy / n) / F.sqrt(var_x * var_y), 6).alias(
+            "corr_qty_price"
+        ),
     )
 
 
@@ -165,7 +169,7 @@ def fuzzy_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM ex GROUP BY 1, 2
     """,
     doc="Hopping 2h/1h window counts (each event in exactly 2 windows).",
@@ -176,7 +180,7 @@ def window_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value")).alias("sum_value"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
         )
         .select(
             _ts_str(F.col("w.start")).alias("window_start"),
@@ -452,8 +456,8 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT length(bin(n_tok)) - 1 AS bucket_exp,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS sum_tokens,
-           SUM(n_chars) AS sum_chars
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM t GROUP BY 1
     """,
     doc="Power-of-2 sequence-length buckets via integer bit-length (no libm).",
@@ -613,7 +617,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT CAST(least(floor(l_extendedprice / 5000), 20) AS INT) AS bin,
            COUNT(*) AS n,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM lineitem GROUP BY 1
     """,
     doc="Fixed-width price histogram: map-side bin expr, one hash agg.",
@@ -625,7 +629,7 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     return l.groupBy(bin_col.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec("l_extendedprice")).alias("sum_price"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
     )
 
 
@@ -644,7 +648,7 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS seg_bal
       FROM customer GROUP BY 1
     )
-    SELECT c_mktsegment, n_cust, seg_bal,
+    SELECT c_mktsegment, n_cust, CAST(seg_bal AS DOUBLE) AS seg_bal,
            round(CAST(seg_bal AS DOUBLE) / CAST(SUM(seg_bal) OVER () AS DOUBLE),
                  6) AS share
     FROM seg
@@ -661,7 +665,7 @@ def segment_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.select(
         "c_mktsegment",
         "n_cust",
-        "seg_bal",
+        F.col("seg_bal").cast("double").alias("seg_bal"),
         F.round(
             F.col("seg_bal").cast("double")
             / F.sum("seg_bal").over(w).cast("double"),
@@ -732,7 +736,7 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(revenue) OVER () AS total
       FROM r
     )
-    SELECT o_custkey, revenue,
+    SELECT o_custkey, CAST(revenue AS DOUBLE) AS revenue,
            round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
     FROM c
     WHERE CAST(cum - revenue AS DOUBLE) / CAST(total AS DOUBLE) < 0.8
@@ -759,7 +763,7 @@ def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         < 0.8
     ).select(
         "o_custkey",
-        "revenue",
+        F.col("revenue").cast("double").alias("revenue"),
         F.round(
             F.col("cum").cast("double") / F.col("total").cast("double"), 6
         ).alias("cum_share"),
@@ -947,7 +951,7 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
       FROM orders GROUP BY 1
     )
-    SELECT month, revenue,
+    SELECT month, CAST(revenue AS DOUBLE) AS revenue,
            round(CAST(revenue - lag(revenue) OVER (ORDER BY month) AS DOUBLE)
                  / CAST(lag(revenue) OVER (ORDER BY month) AS DOUBLE), 6)
              AS mom_growth
@@ -966,7 +970,7 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("revenue").over(w)
     return m.select(
         "month",
-        "revenue",
+        F.col("revenue").cast("double").alias("revenue"),
         F.round(
             (F.col("revenue") - prev).cast("double") / prev.cast("double"), 6
         ).alias("mom_growth"),

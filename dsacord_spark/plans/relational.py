@@ -28,6 +28,20 @@ def _dec(c) -> F.Column:
     return (F.col(c) if isinstance(c, str) else c).cast(_D)
 
 
+def _dsum(c) -> F.Column:
+    """Decimal-exact sum, cast to double AT THE OUTPUT BOUNDARY.
+
+    Internally decimal (summation-order independent — the right call
+    under AQE); the final cast makes the fetched pandas dtype float64 on
+    BOTH engines (DuckDB returns SUM(DECIMAL) as DECIMAL(38,2) which
+    pandas fetches as float64, while Spark's Decimal fetches as
+    object(Decimal) — equal values, different dtypes, diverging under
+    any dtype-sensitive hash; root-caused in VERDICT.md round 1). The
+    decimal→double conversion is correctly rounded in both engines
+    (unscaled value < 2^53), so the doubles are bit-identical."""
+    return F.sum(_dec(c)).cast("double")
+
+
 def _ts_str(c) -> F.Column:
     return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
 
@@ -42,10 +56,10 @@ def _ts_str(c) -> F.Column:
     "pricing_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
@@ -60,11 +74,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * (F.lit(1).cast(_D) - _dec("l_discount"))).alias(
-                "sum_disc_price"
-            ),
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast(_D) - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
             (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).cast("double").alias(
                 "avg_qty"
             ),
@@ -356,7 +370,7 @@ def quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT n_name,
            COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -374,7 +388,7 @@ def join_equi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).alias("revenue"),
+            _dsum("o_totalprice").alias("revenue"),
         )
     )
 
@@ -459,7 +473,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     doc="CUBE grouping sets (SURVEY §2.5 A3).",
@@ -468,7 +482,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(_dec("o_totalprice")).alias("sum_price"),
+        _dsum("o_totalprice").alias("sum_price"),
     )
 
 
@@ -577,9 +591,9 @@ def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     sql="""
     SELECT event_id, user_id,
-           SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
              PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
     FROM events
     """,
     doc="Running decimal sum per user (frame = unbounded preceding..current).",
@@ -594,7 +608,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.sum(_dec("value")).over(w).alias("running_value"),
+        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
     )
 
 
@@ -632,7 +646,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
     doc="Tumbling 1h window counts per event_type (epoch-aligned both engines).",
@@ -643,7 +657,7 @@ def window_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value")).alias("sum_value"),
+            _dsum("value").alias("sum_value"),
         )
         .select(
             _ts_str(F.col("w.start")).alias("window_start"),
@@ -670,13 +684,13 @@ def window_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sess AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM gaps)
     SELECT user_id, session_id,
            strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM sess GROUP BY user_id, session_id
     """,
     doc="Sessionization (4h inactivity gap) — session_window semantics (SURVEY §2.10).",
@@ -699,7 +713,7 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _ts_str(F.min("ts")).alias("session_start"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(_dec("value")).alias("sum_value"),
+            _dsum("value").alias("sum_value"),
         )
     )
 
@@ -712,7 +726,7 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
     """,
@@ -735,8 +749,8 @@ def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status",
     sql="""
     SELECT l_returnflag,
-           SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_open,
-           SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_finished
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_finished
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Pivot on l_linestatus (conditional-agg oracle).",
@@ -744,8 +758,12 @@ def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.sum(F.when(F.col("l_linestatus") == "O", _dec("l_quantity"))).alias("qty_open"),
-        F.sum(F.when(F.col("l_linestatus") == "F", _dec("l_quantity"))).alias("qty_finished"),
+        F.sum(F.when(F.col("l_linestatus") == "O", _dec("l_quantity")))
+        .cast("double")
+        .alias("qty_open"),
+        F.sum(F.when(F.col("l_linestatus") == "F", _dec("l_quantity")))
+        .cast("double")
+        .alias("qty_finished"),
     )
 
 
@@ -881,7 +899,7 @@ def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_map_explode",
     sql="""
     SELECT event_type, k AS prop_key, COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS sum_v
+           CAST(SUM(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_v
     FROM (SELECT event_type, props, unnest(json_keys(props)) AS k FROM events)
     GROUP BY 1, 2
     """,
@@ -909,8 +927,9 @@ def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity,
         CAST(l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice,
         CAST(l_discount AS DECIMAL(18,2)) AS l_discount FROM lineitem)
-    SELECT * FROM (UNPIVOT m ON l_quantity, l_extendedprice, l_discount
-                   INTO NAME measure VALUE val)
+    SELECT l_orderkey, l_linenumber, measure, CAST(val AS DOUBLE) AS val
+    FROM (UNPIVOT m ON l_quantity, l_extendedprice, l_discount
+          INTO NAME measure VALUE val)
     """,
     doc="Unpivot three lineitem measures to long form (melt).",
 )
@@ -927,7 +946,7 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_quantity", "l_extendedprice", "l_discount"],
         "measure",
         "val",
-    )
+    ).withColumn("val", F.col("val").cast("double"))
 
 
 # ---------------------------------------------------------------------------
@@ -991,7 +1010,7 @@ _SKEW_SALT = 8
     "join_skew_salted",
     sql="""
     SELECT o_orderpriority, COUNT(*) AS n,
-           SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -1013,7 +1032,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            _dsum("l_quantity").alias("sum_qty"),
         )
     )
 
@@ -1028,7 +1047,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     sql="""
     SELECT l.l_orderkey,
-           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,2))) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            CAST(o.o_orderdate AS VARCHAR) AS o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1051,7 +1070,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -1073,11 +1092,11 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT l_orderkey) AS n_orders,
            COUNT(DISTINCT l_returnflag) AS n_flags,
-           SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
            CAST(MIN(l_shipdate) AS VARCHAR) AS min_shipdate,
            CAST(MAX(l_shipdate) AS VARCHAR) AS max_shipdate,
-           MIN(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
-           MAX(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty
+           CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+           CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
     FROM lineitem
     """,
     doc="One-pass column profile: counts, distincts, null counts, extremes.",
@@ -1093,8 +1112,8 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("l_shipdate").cast("string").alias("min_shipdate"),
         F.max("l_shipdate").cast("string").alias("max_shipdate"),
-        F.min(_dec("l_quantity")).alias("min_qty"),
-        F.max(_dec("l_quantity")).alias("max_qty"),
+        F.min(_dec("l_quantity")).cast("double").alias("min_qty"),
+        F.max(_dec("l_quantity")).cast("double").alias("max_qty"),
     )
 
 
@@ -1110,7 +1129,7 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per_key AS (
       SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
     stats AS (
-      SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt,
+      SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt,
              round(MAX(cnt) / (SUM(cnt) / CAST(COUNT(*) AS DOUBLE)), 4) AS skew_ratio
       FROM per_key),
     top AS (

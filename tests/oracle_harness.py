@@ -2,9 +2,20 @@
 catalog query in Spark AND its oracle SQL in DuckDB over the same parquet,
 then compare row count, sorted column names, and order-insensitive values.
 
-Comparison is stricter than a hash: exact equality for ints/strings/bools/
-decimals, exact-or-1e-9-relative for floats (and it reports WHERE the
-mismatch is, which a hash can't)."""
+Driver-strictness model (hardened in round 2 after 13 hash-fails shipped
+through the old tolerance-based compare): the driver fetches both sides into
+pandas and hashes a value representation that is
+  - INSENSITIVE to integer width (round 1: `window_rank_topn` passed with
+    Spark int32 `row_number` vs DuckDB int64), but
+  - SENSITIVE to numeric *kind*: Decimal('12345.60') vs 12345.6, and
+    DuckDB's SUM(BIGINT)->HUGEINT->float64 `6.0` vs Spark's int64 `6`,
+    were exactly the 13 round-1 failures.
+So this harness fetches DuckDB via `.df()` and Spark via `.toPandas()`
+(the same boundary the driver crosses), canonicalizes numpy scalars to
+Python values WITHOUT changing their kind, and requires repr-exact cell
+equality (float_rtol=0 — no tolerance). A query that passes here fetches
+kind-identical, bit-identical values on both engines.
+"""
 
 from __future__ import annotations
 
@@ -13,6 +24,8 @@ import os
 from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -20,7 +33,7 @@ TABLES = [
 ]
 
 
-def run_oracle(sql: str, sf_dir: str):
+def run_oracle_df(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     try:
         for t in TABLES:
@@ -29,76 +42,91 @@ def run_oracle(sql: str, sf_dir: str):
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
                 )
-        cur = con.execute(sql)
-        cols = [d[0] for d in cur.description]
-        rows = cur.fetchall()
-        return cols, rows
+        return con.execute(sql).df()
     finally:
         con.close()
 
 
-def _norm_cell(v):
+def _canon_cell(v):
+    """Canonical, kind-preserving form of one fetched cell.
+
+    numpy integer -> int, numpy float -> float (width erased, kind kept);
+    Decimal stays Decimal (so a Decimal leaking to the output boundary is
+    a FAILURE against a float oracle, by design); NaN/None unified per
+    kind so float-NaN == float-NaN and None == None across engines."""
+    if v is None:
+        return ("null",)
+    if isinstance(v, (bool, np.bool_)):  # before int: bool subclasses int
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            # NULL in an object/nullable column fetches as NaN on one
+            # engine and None on the other; the driver treats them as
+            # equal (f3_parse_bool was driver-green in round 1 with
+            # exactly this split), so unify with ("null",)
+            return ("null",)
+        return ("f", repr(f))
+    if isinstance(v, np.bool_):
+        return ("b", bool(v))
     if isinstance(v, Decimal):
-        return ("dec", str(v))
-    if isinstance(v, float):
-        return ("f", v)
-    if isinstance(v, list):
-        return ("l", tuple(_norm_cell(x) for x in v))
-    return ("v", v)
+        return ("dec", repr(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("l", tuple(_canon_cell(x) for x in v))
+    # pandas fetches SQL NULL in object columns as None or NaN depending
+    # on the path; treat pd.NA / NaT uniformly as null
+    if v is pd.NaT or v is pd.NA:
+        return ("null",)
+    return ("v", v if not isinstance(v, (bytes, bytearray)) else bytes(v))
 
 
-def _sort_key(row):
-    return tuple(
-        (t, repr(v)) for t, v in row
-    )
+def _canon_rows(df: pd.DataFrame):
+    order = sorted(df.columns)
+    sub = df[order]
+    rows = []
+    for tup in sub.itertuples(index=False, name=None):
+        rows.append(tuple(_canon_cell(c) for c in tup))
+    rows.sort(key=repr)
+    return order, rows
 
 
-def compare(spark_df, oracle_cols, oracle_rows, float_rtol=1e-9):
-    """Return a list of human-readable problems (empty == match)."""
+def compare_pandas(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
+    """Return a list of human-readable problems (empty == match).
+
+    Strict: repr-exact values, no float tolerance, kind-sensitive."""
     problems = []
-    s_cols = list(spark_df.columns)
-    if sorted(s_cols) != sorted(oracle_cols):
-        problems.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(oracle_cols)}")
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_pdf.columns)} "
+            f"oracle={sorted(oracle_pdf.columns)}"
+        )
         return problems
-    # reorder both to sorted column order (driver sorts by name)
-    order = sorted(s_cols)
-    s_idx = [s_cols.index(c) for c in order]
-    o_idx = [oracle_cols.index(c) for c in order]
-
-    s_rows = [tuple(r[i] for i in s_idx) for r in spark_df.collect()]
-    o_rows = [tuple(r[i] for i in o_idx) for r in oracle_rows]
-    if len(s_rows) != len(o_rows):
-        problems.append(f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}")
-
-    s_n = sorted(
-        (tuple(_norm_cell(c) for c in r) for r in s_rows), key=_sort_key
-    )
-    o_n = sorted(
-        (tuple(_norm_cell(c) for c in r) for r in o_rows), key=_sort_key
-    )
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(
+            f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+        )
+    _, s_rows = _canon_rows(spark_pdf)
+    order, o_rows = _canon_rows(oracle_pdf)
     mismatches = 0
-    for i, (sr, orow) in enumerate(zip(s_n, o_n)):
-        if sr == orow:
-            continue
-        # allow float tolerance cell-wise
-        ok = True
-        for (st, sv), (ot, ov) in zip(sr, orow):
-            if st == "f" and ot == "f" and sv is not None and ov is not None:
-                if sv == ov:
-                    continue
-                if math.isclose(sv, ov, rel_tol=float_rtol, abs_tol=1e-12):
-                    continue
-                ok = False
-                break
-            elif (st, sv) != (ot, ov):
-                ok = False
-                break
-        if not ok:
+    for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
+        if sr != orow:
             mismatches += 1
             if mismatches <= 3:
-                problems.append(f"row {i} (sorted): spark={sr} oracle={orow}")
+                detail = [
+                    f"{c}: spark={s} oracle={o}"
+                    for c, s, o in zip(order, sr, orow)
+                    if s != o
+                ]
+                problems.append(f"row {i} (sorted): " + "; ".join(detail))
     if mismatches > 3:
         problems.append(f"... {mismatches} mismatching rows total")
+    if mismatches:
+        problems.append(
+            f"fetched dtypes: spark={dict(spark_pdf.dtypes.astype(str))} "
+            f"oracle={dict(oracle_pdf.dtypes.astype(str))}"
+        )
     return problems
 
 
@@ -110,5 +138,17 @@ def check_query(spark, name: str, sf_dir: str):
     if spec.sql is None:
         assert df.count() >= 0
         return []
-    cols, rows = run_oracle(spec.sql, sf_dir)
-    return compare(df, cols, rows)
+    oracle_pdf = run_oracle_df(spec.sql, sf_dir)
+    return compare_pandas(df.toPandas(), oracle_pdf)
+
+
+# Back-compat shims for callers of the round-1 API ---------------------------
+
+def run_oracle(sql: str, sf_dir: str):
+    pdf = run_oracle_df(sql, sf_dir)
+    return list(pdf.columns), [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+
+
+def compare(spark_df, oracle_cols, oracle_rows, float_rtol=0):
+    oracle_pdf = pd.DataFrame(oracle_rows, columns=oracle_cols)
+    return compare_pandas(spark_df.toPandas(), oracle_pdf)

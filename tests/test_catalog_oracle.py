@@ -19,6 +19,29 @@ def test_catalog_query_matches_oracle(spark, sf_dir, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+def test_driver_window_rotation():
+    """The driver checks the FIRST 50 queries() entries only. Pin the
+    round-2 window: the 13 fixed hash-fails lead (proving the fix gets
+    driver signal), every windowed entry is oracle-eligible (no rows-only
+    slot wasted), and no duplicates."""
+    from dsacord_spark.plans.catalog import _DRIVER_PRIORITY, oracle_sql, queries
+
+    names = list(queries().keys())
+    assert len(_DRIVER_PRIORITY) == 50
+    assert len(set(_DRIVER_PRIORITY)) == 50
+    assert names[:50] == _DRIVER_PRIORITY
+    sql = oracle_sql()
+    assert all(n in sql for n in _DRIVER_PRIORITY)
+    assert names[:13] == [
+        "pricing_summary", "join_equi_agg", "agg_cube", "window_running_sum",
+        "window_tumbling_hour", "session_windows", "json_props_agg",
+        "pivot_status", "json_map_explode", "unpivot_measures",
+        "join_skew_salted", "profile_lineitem", "skew_report_orders",
+    ]
+    # total catalog unchanged by the reordering
+    assert len(names) == len(set(names))
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     """agg_approx_distinct is rows-only by design (HLL seeds are
     engine-specific) — this is its quality gate instead: the sketch
