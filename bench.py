@@ -185,11 +185,32 @@ def main() -> None:
     # Include every other catalog query too (cheaper, still timed).
     rest = [q for q in sorted(registry) if q not in headline]
 
-    # Warm-up: JVM + parquet footer caches.
+    # Warm-up: JVM + parquet footer caches, plus one tiny availableNow
+    # stream so the first streaming query in the sweep doesn't bill
+    # one-time streaming-engine classloading (~5s) to its own timing.
     registry[headline[0]].fn(spark, sf_dir).count()
+    try:
+        import datetime as _dt
+
+        from dsacord_spark.streaming.pipeline import sessionize_bounded
+
+        tiny = spark.createDataFrame(
+            [("w", _dt.datetime(2025, 1, 1, 0, 0, 0)),
+             ("w", _dt.datetime(2025, 1, 1, 9, 0, 0))],
+            "user_id string, ts timestamp",
+        )
+        sessionize_bounded(spark, tiny).count()
+    except Exception as exc:  # pragma: no cover
+        print(f"bench: stream warm-up failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
-    for name in headline + rest:
+    for qi, name in enumerate(headline + rest):
+        # a few queries persist frames their returned (lazy) plan consumes
+        # (simhash signatures, gap-fill hourly agg — see PLANS.md known
+        # costs); the sweep releases those pinned blocks periodically so
+        # they don't accumulate across 100+ queries
+        if qi and qi % 16 == 0:
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             df = registry[name].fn(spark, sf_dir)
@@ -207,17 +228,54 @@ def main() -> None:
         ingest = {"error": str(exc)}
         timings["ingest_e2e"] = -1.0
 
-    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    total = round(sum(t for t in timings.values() if t >= 0), 2)
+    # The driver captures only the tail (~1 KB) of stdout; round 1's line
+    # with all 108 per-query floats overflowed it and BENCH_r01.json got
+    # "parsed": null. Keep the stdout line compact: headline queries only,
+    # 2dp, summary keys first. The full per-query detail goes to
+    # BENCH_DETAIL.json in the repo root (committed alongside the code).
+    failed = sorted(q for q, t in timings.items() if t < 0)
+    slowest = dict(
+        sorted(
+            ((q, t) for q, t in timings.items() if t >= 0),
+            key=lambda kv: -kv[1],
+        )[:3]
+    )
     out = {
         "metric": "catalog_total_wall",
         "value": total,
         "unit": "sec",
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "queries": {q: round(timings[q], 2) for q in headline if q in timings},
+        "slowest": {q: round(t, 2) for q, t in slowest.items()},
+        "ingest_rows_per_s": ingest.get("rows_per_s", -1),
+        "ingest_sec": ingest.get("seconds", -1),
+        "baseline_rows_per_s": BASELINE_ROWS_PER_S,
+    }
+    detail = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
         "queries": timings,
+        "failed": failed,
         "ingest": ingest,
         "sf": sf_dir,
         "cpus": cpus,
     }
-    print(json.dumps(out))
+    try:
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json")
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:  # pragma: no cover
+        print(f"bench: could not write BENCH_DETAIL.json: {exc}", file=sys.stderr)
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 900, f"bench stdout line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":
