@@ -1,0 +1,208 @@
+"""Multimodal decode tests: real header sniffing (PNG/GIF/BMP/JPEG built
+in-test from the public format specs, stdlib only), the Pillow tier via a
+minimal stub module (Pillow itself is not in this container), and the
+Arrow-batched Spark plumbing end-to-end.
+
+Reference has no media handling (SURVEY §2 — multimodal is a north-star
+layer-B addition); these tests pin the three-tier decode contract in
+dsacord_spark/multimodal/binary.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+import types
+import zlib
+
+import pytest
+
+from dsacord_spark.multimodal import binary as mm
+
+
+def make_png(width: int = 5, height: int = 3, color_type: int = 2) -> bytes:
+    """A real, valid PNG built from the spec: signature, IHDR, IDAT
+    (zlib-compressed scanlines), IEND."""
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((x * 37 + y * 11 + c) % 256
+                        for x in range(width) for c in range(channels))
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_gif(width: int = 7, height: int = 4) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
+
+
+def make_bmp(width: int = 9, height: int = 6) -> bytes:
+    # 14-byte file header + BITMAPINFOHEADER with dims at offset 18
+    return (
+        b"BM" + b"\x00" * 16 + struct.pack("<ii", width, height) + b"\x00" * 20
+    )
+
+
+def make_jpeg(width: int = 11, height: int = 8) -> bytes:
+    # SOI, APP0 stub, SOF0 frame header carrying the dimensions, EOI
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0_payload = struct.pack(">BHHB", 8, height, width, 3) + b"\x01\x11\x00" * 3
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + len(sof0_payload)) + sof0_payload
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+class TestHeaderSniff:
+    def test_png(self):
+        meta = mm._decode_one(make_png(5, 3, color_type=2))
+        assert (meta["format"], meta["width"], meta["height"], meta["n_channels"]) == (
+            "png", 5, 3, 3
+        )
+
+    def test_png_rgba(self):
+        meta = mm._decode_one(make_png(2, 2, color_type=6))
+        assert meta["n_channels"] == 4
+
+    def test_gif(self):
+        meta = mm._decode_one(make_gif(7, 4))
+        assert (meta["format"], meta["width"], meta["height"]) == ("gif", 7, 4)
+
+    def test_bmp_and_bottom_up_height(self):
+        meta = mm._decode_one(make_bmp(9, 6))
+        assert (meta["format"], meta["width"], meta["height"]) == ("bmp", 9, 6)
+        # negative height = top-down BMP; reported height is absolute
+        assert mm._decode_one(make_bmp(9, -6))["height"] == 6
+
+    def test_jpeg(self):
+        meta = mm._decode_one(make_jpeg(11, 8))
+        assert (meta["format"], meta["width"], meta["height"], meta["n_channels"]) == (
+            "jpeg", 11, 8, 3
+        )
+
+    def test_non_image_falls_back_to_fake(self):
+        meta = mm._decode_one(b"just some text bytes")
+        assert meta["format"] == "fake/deterministic"
+        assert len(meta["feature"]) == 8
+
+    def test_sniffed_meta_has_all_columns(self):
+        meta = mm._decode_one(make_png())
+        assert set(meta) == {
+            "n_bytes", "format", "width", "height", "n_channels", "feature",
+        }
+        assert meta["n_bytes"] == len(make_png())
+
+
+class _StubImage:
+    """Minimal PIL.Image stand-in implementing exactly the surface
+    _pil_decode/_pil_resize use."""
+
+    def __init__(self, width, height, bands="RGB", fmt="PNG"):
+        self.width, self.height = width, height
+        self.format = fmt
+        self._bands = bands
+
+    # context manager + loading
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def load(self):
+        return None
+
+    def getbands(self):
+        return tuple(self._bands)
+
+    def convert(self, mode):
+        return _StubImage(self.width, self.height, bands=mode, fmt=self.format)
+
+    def resize(self, size):
+        return _StubImage(size[0], size[1], bands=self._bands, fmt=self.format)
+
+    def getdata(self):
+        return [17] * (self.width * self.height)
+
+    def tobytes(self):
+        return b"\x11" * (self.width * self.height * len(self._bands))
+
+
+class TestPillowTier:
+    @pytest.fixture()
+    def stub_pil(self, monkeypatch):
+        sniff = mm._sniff_header
+
+        def fake_open(buf):
+            meta = sniff(buf.getvalue())
+            if meta is None:
+                raise OSError("cannot identify image file")
+            return _StubImage(
+                meta["width"], meta["height"],
+                bands="RGBA" if meta["n_channels"] == 4 else "RGB",
+                fmt=meta["format"].upper(),
+            )
+
+        pil = types.ModuleType("PIL")
+        pil_image = types.ModuleType("PIL.Image")
+        pil_image.open = fake_open
+        pil.Image = pil_image
+        monkeypatch.setitem(sys.modules, "PIL", pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+        return pil
+
+    def test_decode_uses_pillow_when_available(self, stub_pil):
+        meta = mm._decode_one(make_png(5, 3))
+        assert (meta["format"], meta["width"], meta["height"]) == ("png", 5, 3)
+        assert len(meta["feature"]) == 8
+        # stub pixels are constant 17 -> scaled to 17/255*2-1
+        assert meta["feature"][0] == pytest.approx(17 / 255 * 2 - 1)
+
+    def test_decode_pillow_failure_falls_back(self, stub_pil):
+        meta = mm._decode_one(b"not an image at all")
+        assert meta["format"] == "fake/deterministic"
+
+    def test_resize_uses_pillow_when_available(self, stub_pil, spark):
+        media = spark.createDataFrame(
+            [(1, bytearray(make_png(5, 3)), "image"),
+             (2, bytearray(b"plain bytes"), "image")],
+            "media_id long, data binary, modality string",
+        )
+        rows = {r["media_id"]: r for r in mm.resize_images(media, 4, 4).collect()}
+        assert rows[1]["n_bytes"] == 4 * 4 * 3  # real (stubbed) RGB resize
+        assert rows[2]["n_bytes"] == 4 * 4 * 3  # fake kernel also hits target
+
+
+class TestSparkPlumbing:
+    def test_decode_images_over_real_png(self, spark):
+        media = spark.createDataFrame(
+            [(1, bytearray(make_png(5, 3))), (2, bytearray(b"text-bytes"))],
+            "media_id long, data binary",
+        )
+        rows = {r["media_id"]: r for r in mm.decode_images(media).collect()}
+        assert rows[1]["format"] == "png"
+        assert (rows[1]["width"], rows[1]["height"]) == (5, 3)
+        assert rows[2]["format"] == "fake/deterministic"
+        assert len(rows[1]["feature"]) == 8
+
+    def test_decode_deterministic(self, spark):
+        media = spark.createDataFrame(
+            [(i, bytearray(make_gif(3 + i, 2))) for i in range(10)],
+            "media_id long, data binary",
+        )
+        a = sorted(map(tuple, mm.decode_images(media).collect()))
+        b = sorted(map(tuple, mm.decode_images(media).collect()))
+        assert a == b
