@@ -398,6 +398,13 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with no shuffle before the per-query top-k.
 # ---------------------------------------------------------------------------
 _KNN_K = 10
+# Hard cap on the query-sample id range: the modulo filter alone grows
+# linearly with the corpus, and the sample is collected to the driver and
+# shipped (pickled q-matrix) into every block_topk_cosine task. The cap
+# makes it a true fixed-size query set (<= CAP/5 queries x 64 dims float64
+# ~= 1 MB) regardless of SF. Covers every vec_id at the test SFs, so
+# results are unchanged there; both engines apply the same cap.
+_KNN_MAX_QID = 10_000
 
 
 _UNIT_SQL = (
@@ -413,7 +420,7 @@ _UNIT_SQL = (
     WITH u AS (SELECT vec_id, label, {_UNIT_SQL.format(v='embedding')} AS uv
                FROM embeddings),
     q AS (SELECT vec_id AS q_id, uv AS q_uv, label AS q_label
-          FROM u WHERE vec_id % 5 = 0),
+          FROM u WHERE vec_id % 5 = 0 AND vec_id < {_KNN_MAX_QID}),
     sc AS (SELECT q_id, q_label, e.vec_id AS n_id, e.label AS n_label,
                   list_dot_product(q_uv, e.uv) AS cos
            FROM q, u e WHERE e.vec_id <> q_id),
@@ -447,8 +454,10 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dsacord_spark.operators.similarity import block_topk_cosine
 
     e = table(spark, sf_dir, "embeddings")
-    q_side = e.filter(F.col("vec_id") % 5 == 0)
-    # the query sample is small by contract (it ships into every task);
+    q_side = e.filter(
+        (F.col("vec_id") % 5 == 0) & (F.col("vec_id") < _KNN_MAX_QID)
+    )
+    # the id cap makes the sample genuinely fixed-size (see _KNN_MAX_QID);
     # collecting it here is the same materialization the broadcast-hash
     # build side would do
     q_rows = [

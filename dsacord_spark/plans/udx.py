@@ -156,7 +156,11 @@ def grouped_map_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n = len(out)
         rn = np.arange(n, dtype=np.float64)
-        out["pct"] = np.round(0.5 if n == 1 else rn / (n - 1), 6)
+        # round half AWAY from zero to match DuckDB's round() and Spark's
+        # round() — np.round is half-to-even and diverges whenever
+        # rn/(n-1)*1e6 lands exactly on .5 (values are non-negative here)
+        pct = np.float64(0.5) if n == 1 else rn / (n - 1)
+        out["pct"] = np.floor(pct * 1e6 + 0.5) / 1e6
         return out[["event_type", "event_id", "value", "pct"]]
 
     e = table(spark, sf_dir, "events")

@@ -76,15 +76,16 @@ def append_new_decisions(
     lake skips the probe entirely.
 
     `return_dts=True` additionally returns the distinct day-partition
-    values this append touched — the changed-partition list
-    refresh_rollup needs. The anti-joined batch is persisted across the
-    two actions so the lake probe is not re-run. Only meaningful for the
-    day-partitioned layout: without a created_at column (or with
-    partition_by_date=False) no dt partitions are written, so the
-    answer is []."""
+    values this batch COVERS (computed pre-anti-join, so a replayed
+    batch still reports its days — required for refresh_rollup to heal
+    a crash between append and refresh; see inline note). Only
+    meaningful for the day-partitioned layout: without a created_at
+    column (or with partition_by_date=False) no dt partitions are
+    written, so the answer is []."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    batch = df
     if fs.exists(hpath):
         existing = spark.read.parquet(path).select(key)
         df = df.join(existing, key, "left_anti")
@@ -94,21 +95,24 @@ def append_new_decisions(
     if not return_dts or not partitioned:
         write_decisions_parquet(df, path, mode="append", **write_kwargs)
         return [] if return_dts else None
-    df = df.persist()
-    try:
-        dts = [
-            r["dt"]
-            for r in df.select(
-                F.coalesce(
-                    F.date_format("created_at", "yyyy-MM-dd"), F.lit("unknown")
-                ).alias("dt")
-            )
-            .distinct()
-            .collect()
-        ]
-        write_decisions_parquet(df, path, mode="append", **write_kwargs)
-    finally:
-        df.unpersist()
+    # dts come from the PRE-anti-join batch, matching lake_with_rollup_sink's
+    # crash-safety contract: a replayed/duplicate batch still returns the
+    # days it covers, so a crash between a completed append and the rollup
+    # refresh is healed by the replay (the refresh is idempotent per day).
+    # Post-anti-join the same replay would return [] and leave the rollup
+    # stale. The batch is the small incoming side; scanning it once more
+    # for its distinct-day list is cheaper than persisting the join.
+    dts = [
+        r["dt"]
+        for r in batch.select(
+            F.coalesce(
+                F.date_format("created_at", "yyyy-MM-dd"), F.lit("unknown")
+            ).alias("dt")
+        )
+        .distinct()
+        .collect()
+    ]
+    write_decisions_parquet(df, path, mode="append", **write_kwargs)
     return sorted(dts)
 
 

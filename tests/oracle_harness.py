@@ -130,8 +130,20 @@ def compare_pandas(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame):
     return problems
 
 
+_checked = 0
+
+
 def check_query(spark, name: str, sf_dir: str):
     from dsacord_spark.plans.catalog import specs
+
+    # a few queries persist frames their returned lazy plan consumes
+    # (simhash signatures, gap-fill hourly agg — PLANS.md known costs);
+    # release pinned blocks periodically so the 100+-query sweep doesn't
+    # accumulate them
+    global _checked
+    _checked += 1
+    if _checked % 16 == 0:
+        spark.catalog.clearCache()
 
     spec = specs()[name]
     df = spec.fn(spark, sf_dir)

@@ -345,8 +345,12 @@ def test_append_new_decisions_reports_touched_days(spark, wire, tmp_path):
     valid, _ = split_quarantine(decisions_transform(wire))
     dts = append_new_decisions(spark, valid, out, return_dts=True)
     assert dts and all(len(d) == 10 or d == "unknown" for d in dts)
-    # full-overlap append touches nothing
-    assert append_new_decisions(spark, valid, out, return_dts=True) == []
+    # a replayed (full-overlap) batch appends no rows but still reports
+    # the days it covers, so a rollup refresh wired to the return value
+    # is healed by replay instead of left stale (crash-safety contract)
+    n_before = spark.read.parquet(out).count()
+    assert append_new_decisions(spark, valid, out, return_dts=True) == dts
+    assert spark.read.parquet(out).count() == n_before
 
 
 def test_rollup_sink_replay_recovers_from_crash_between_append_and_refresh(
