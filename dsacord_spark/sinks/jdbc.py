@@ -151,6 +151,43 @@ def write_batch(
     deduped.coalesce(num_partitions).foreachPartition(write_partition)
 
 
+def pg_connection_factory(
+    dsn: str | None = None,
+    socket_dir: str | None = None,
+    port: int = 5432,
+    user: str = "postgres",
+    dbname: str = "postgres",
+) -> Callable:
+    """Best-available Postgres connection factory for `write_batch`:
+    psycopg (production) when importable, else the bundled pure-Python
+    wire client (sinks/pgwire.py — trust-auth unix socket only). The
+    returned zero-arg callable is what write_batch ships to executors,
+    so it must be picklable: it closes over plain strings only."""
+    try:  # pragma: no cover - psycopg not in this container
+        import psycopg
+
+        conn_str = dsn or f"host={socket_dir} port={port} user={user} dbname={dbname}"
+
+        def _psycopg_factory():
+            return psycopg.connect(conn_str, autocommit=False)
+
+        return _psycopg_factory
+    except ImportError:
+        if socket_dir is None:
+            raise ValueError(
+                "pgwire fallback needs socket_dir (unix-socket trust auth)"
+            )
+
+        def _pgwire_factory(
+            _dir=socket_dir, _port=port, _user=user, _db=dbname
+        ):
+            from dsacord_spark.sinks.pgwire import connect
+
+            return connect(_dir, port=_port, user=_user, dbname=_db)
+
+        return _pgwire_factory
+
+
 def jdbc_append(df: DataFrame, url: str, table: str, properties: dict) -> None:
     """K1 via Spark's native JDBC writer (no upsert): append with
     batchsize 1000 — used when strategy='error' and a JVM driver exists."""

@@ -9,6 +9,14 @@ from dsacord_spark.session import get_spark
 SF_SMALL = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "postgres: live-Postgres integration (boots a scratch cluster; "
+        "skips when binaries/service user unavailable)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(
