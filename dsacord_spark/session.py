@@ -44,6 +44,11 @@ def get_spark(
         # only governs reads, and file WRITES always use the v1 committer)
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
+        # INT96 (the legacy default) writes NO min/max column statistics;
+        # TIMESTAMP_MICROS restores footer-stats min/max for timestamp
+        # columns (row-group skipping on ts predicates, driver-side
+        # metadata max-probes) and is the interop-standard encoding
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # default 10k Arrow records/batch halves nested-zip extraction
         # throughput on wide string rows; 100k keeps per-core batch memory

@@ -180,24 +180,35 @@ def sessionize_bounded(
     gap_s: int = 14400,
     key_col: str = "user_id",
     ts_col: str = "ts",
-    state_partitions: int = 8,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run the stateful sessionizer over a BOUNDED events DataFrame and
     return the complete closed-session set as a batch DataFrame.
 
     Mechanics: stage the events to a temp dir, append one sentinel row
-    whose timestamp sits past every possible open-session timeout, and run
-    an availableNow stream. The single data micro-batch has no watermark
-    yet, so nothing is dropped as late; Spark's trailing no-data batch then
-    carries watermark = sentinel time, firing every EventTimeTimeout and
-    flushing every real session (the sentinel's own session never closes
-    and is never emitted). Output is staged through parquet, not collected
-    to the driver.
+    PER KEY whose timestamp sits past every possible open-session
+    timeout, and run an availableNow stream. The single data micro-batch
+    has no watermark yet, so nothing is dropped as late — and because
+    every key's pandas frame ends with its own far-future sentinel, every
+    REAL session closes inside that one batch (the sentinel island is the
+    per-key "current" session, held in state and never emitted). The
+    trailing no-data batch then advances the watermark but fires ZERO
+    EventTimeTimeouts (each key's timeout sits gap_s past its sentinel),
+    so the flush batch costs no per-key Python dispatch at all — with a
+    single global sentinel it re-invoked every one of the N keys
+    (measured ~45% of stream wall at sf0.1). Output is staged through
+    parquet, not collected to the driver.
 
-    `state_partitions` sizes the state-store shuffle: per-partition state
-    store + Python worker overhead dominates when keys are few, so this
-    should scale with key cardinality (it is pinned at the first batch of
-    a checkpoint and cannot change later)."""
+    `state_partitions` sizes the state-store shuffle; default None
+    derives it from exact key cardinality (known from the sentinel
+    build): per-key Python dispatch dominates this operator, so
+    partitions spread keys across cores (~1 partition per 100 keys)
+    within [4, defaultParallelism//2] — at genuinely large key counts
+    pass an explicit value sized to the cluster (it is pinned at the
+    first batch of a checkpoint and cannot change later). The max
+    timestamp comes from the staged files' parquet footer stats (driver
+    metadata read, no Spark job); the sentinel file is written with
+    pyarrow (no Spark job)."""
     import os
     import shutil
     import tempfile
@@ -211,17 +222,68 @@ def sessionize_bounded(
         staged = events.select(
             F.col(key_col).cast("string").alias("user_id"),
             F.col(ts_col).alias("ts"),
-        ).persist()
-        staged.write.parquet(src)
-        hi = staged.agg(F.max("ts").alias("hi")).collect()[0]["hi"]
-        staged.unpersist()
-        sentinel = spark.createDataFrame(
-            [("__sentinel__",)], "user_id string"
-        ).select(
-            "user_id",
-            (F.lit(hi) + F.expr(f"INTERVAL {2 * gap_s + 1} SECOND")).alias("ts"),
         )
-        sentinel.write.mode("append").parquet(src)
+        staged.write.parquet(src)
+
+        import pyarrow.dataset as pa_ds
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        from datetime import timedelta
+
+        hi = None
+        stats_complete = True
+        for frag_path in pa_ds.dataset(src, format="parquet").files:
+            md = pq.ParquetFile(frag_path).metadata
+            for rg in range(md.num_row_groups):
+                if md.row_group(rg).num_rows == 0:
+                    continue
+                col = md.row_group(rg).column(1)
+                assert col.path_in_schema == "ts", col.path_in_schema
+                if col.statistics is not None and col.statistics.has_min_max:
+                    mx = col.statistics.max
+                    hi = mx if hi is None else max(hi, mx)
+                else:
+                    # INT96-encoded files (written outside get_spark's
+                    # TIMESTAMP_MICROS conf, e.g. a bare driver session)
+                    # carry no min/max — fall back to an agg job
+                    stats_complete = False
+        if not stats_complete:
+            hi = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+        if hi is None:
+            return spark.createDataFrame([], SESSION_OUTPUT_SCHEMA)
+        sentinel_ts = hi + timedelta(seconds=2 * gap_s + 1)
+        # one job fetches up to the driver-side cap of distinct keys; a
+        # corpus with more keys writes its sentinels distributed instead
+        # of through the driver
+        _KEY_CAP = 100_000
+        kdf = spark.read.parquet(src).select("user_id").distinct()
+        keys = [r["user_id"] for r in kdf.limit(_KEY_CAP + 1).collect()]
+        if not keys:
+            return spark.createDataFrame([], SESSION_OUTPUT_SCHEMA)
+        cores = spark.sparkContext.defaultParallelism
+        if len(keys) <= _KEY_CAP:
+            if state_partitions is None:
+                state_partitions = max(
+                    4, min(max(4, cores // 2), len(keys) // 100 + 1)
+                )
+            pq.write_table(
+                pa.table(
+                    {
+                        "user_id": pa.array(keys, pa.string()),
+                        "ts": pa.array(
+                            [sentinel_ts] * len(keys), pa.timestamp("us")
+                        ),
+                    }
+                ),
+                os.path.join(src, "part-sentinel.parquet"),
+            )
+        else:
+            if state_partitions is None:
+                state_partitions = cores
+            kdf.select(
+                "user_id", F.lit(sentinel_ts).alias("ts")
+            ).write.mode("append").parquet(src)
 
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         stream = spark.readStream.schema("user_id string, ts timestamp").parquet(src)
