@@ -634,6 +634,29 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, k=5)
 
 
+@register(
+    "ann_ivf_topk_blas",
+    sql=None,  # same semantics as ann_ivf_topk (equality pinned by
+    # tests/test_similarity_recall.py); no separate oracle because the
+    # BLAS path's float64 summation ORDER differs from the sequential
+    # fold the SQL reproduces — values agree here but are not
+    # guaranteed bit-identical on adversarial near-ties
+    doc="ann_ivf_topk with the production BLAS cell assignment "
+    "(operators/similarity.py:assign_cells_blas): one dgemm per Arrow "
+    "batch replaces the corpus x n_cells crossJoin + per-vector window "
+    "— no shuffle, no scored-pair materialization. The round-1 plan "
+    "audit's recorded revisit (VERDICT r1 task 8).",
+)
+def ann_ivf_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.operators.similarity import ivf_topk_blas
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk_blas(e, q, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic training-data selection: hash-based train/val/test split
 # and per-language stratified sampling. Hash-mod selection (not rand()) is

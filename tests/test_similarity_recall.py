@@ -176,3 +176,34 @@ def test_block_topk_empty_queries_and_nan_ordering(spark):
     # NULL-cosine degenerate vec 3 ranks after the 0.9-cosine vec 2
     assert [r["neighbor_id"] for r in got] == [2, 3]
     assert got[1]["cos"] is None
+
+
+def test_ivf_blas_assignment_matches_declarative(spark, sf_dir):
+    """The BLAS (mapInPandas dgemm+argmax) cell assignment and the
+    declarative (broadcast crossJoin + window) path must agree end-to-end
+    on the synthetic corpus: same cells, same neighbors, same ranks,
+    same rounded cosines. Summation order differs (BLAS vs sequential
+    fold), so this also guards against near-tie drift."""
+    from dsacord_spark.plans.analysis import ann_ivf_topk, ann_ivf_topk_blas
+
+    a = sorted(map(tuple, ann_ivf_topk(spark, sf_dir).collect()))
+    b = sorted(map(tuple, ann_ivf_topk_blas(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_ivf_blas_nprobe_expansion(spark, sf_dir):
+    """nprobe>1 emits one row per probe with ranks 1..nprobe, ties to
+    the lower centroid id (stable argsort == the window's tie-break)."""
+    from dsacord_spark.operators.similarity import assign_cells_blas
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    rows = assign_cells_blas(emb.limit(20), cent, nprobe=3).collect()
+    per_vec: dict = {}
+    for r in rows:
+        per_vec.setdefault(r["vec_id"], []).append(r["probe_rank"])
+    assert len(per_vec) == 20
+    assert all(sorted(v) == [1, 2, 3] for v in per_vec.values())
