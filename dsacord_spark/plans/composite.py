@@ -41,7 +41,7 @@ def _dec(c) -> F.Column:
     sql="""
     SELECT n_name,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -72,7 +72,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = table(spark, sf_dir, "lineitem")
     c = table(spark, sf_dir, "customer")
-    revenue = _dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
     return (
         l.join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
@@ -98,7 +100,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_item_topk",
     sql="""
     SELECT c_custkey, c_name, n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -120,7 +122,9 @@ def q10_returned_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = table(spark, sf_dir, "nation")
-    revenue = _dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])

@@ -1047,7 +1047,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     sql="""
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
            CAST(o.o_orderdate AS VARCHAR) AS o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1065,7 +1065,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("date"))
     l = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
-    revenue = _dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(4,2)")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
