@@ -4,7 +4,9 @@ for the driver."""
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -15,56 +17,68 @@ import dsacord_spark.plans.extended  # noqa: F401  (registers extended ops)
 import dsacord_spark.plans.composite  # noqa: F401  (registers composite ops)
 import dsacord_spark.plans.curation  # noqa: F401  (registers curation ops)
 import dsacord_spark.plans.udx  # noqa: F401  (registers UDTF/UDAF surface)
+import dsacord_spark.plans.tpch_rest  # noqa: F401  (registers TPC-H suite rest)
 from dsacord_spark.plans.registry import QuerySpec, get_registry
 
-# The driver's correctness check covers the FIRST 50 registry entries
-# (round 1 checked exactly the first 50 in import order, leaving 58 catalog
-# queries with no driver signal — VERDICT.md round 1). Emission order is
-# therefore rotated each round so every query eventually gets driver-side
-# verification:
-#   round 2 window = the 13 round-1 hash-fails (now fixed — proves the
-#   output-boundary dtype fix), 2 round-1-green sentinels (harness
-#   regression canaries), and 35 queries the driver has never checked
-#   (all of composite/curation/udx, the unchecked analysis/advanced
-#   entries, and agg_stats_moments).
-# Remaining never-checked entries (rest of extended) rotate in next round.
-_DRIVER_PRIORITY = [
-    # 13 round-1 hash-fails, fixed this round
-    "pricing_summary", "join_equi_agg", "agg_cube", "window_running_sum",
-    "window_tumbling_hour", "session_windows", "json_props_agg",
-    "pivot_status", "json_map_explode", "unpivot_measures",
-    "join_skew_salted", "profile_lineitem", "skew_report_orders",
-    # round-1-green sentinels
-    "f1_parse_time", "dedup_minhash_lsh",
-    # never driver-checked: composite
-    "q5_local_supplier_volume", "q10_returned_item_topk", "q18_large_orders",
-    "dedup_components", "events_funnel", "agg_mode_per_group",
-    "q7_volume_shipping", "q17_small_qty_revenue",
-    # never driver-checked: curation
-    "decontaminate_train_test", "text_tfidf_topk", "dedup_chunk_exact",
-    "ann_quantized_rerank", "corpus_mix_weights", "knn_label_accuracy",
-    "text_chunk_windows", "corpus_mix_sample", "corpus_vocab_growth",
-    # never driver-checked: UDX surface
-    "udtf_sentence_split", "udaf_grouped_median", "grouped_map_percentile",
-    # never driver-checked: analysis
-    "text_rolling_fingerprint", "ann_ivf_topk", "split_train_test",
-    "sample_stratified",
-    # never driver-checked: advanced (oracle-eligible)
-    "join_asof_rates", "join_asof_forward", "join_range_buckets",
-    "agg_grouping_sets", "agg_rollup", "agg_percentiles",
-    "window_range_frame", "multimodal_binary_stats", "session_stateful",
-    "window_distribution",
-    # never driver-checked: extended (1 slot left in the 50-window)
-    "agg_stats_moments",
-]
+# The driver's per-round correctness check covers only the FIRST 50
+# registry entries (round 1 checked exactly the first 50 in import order,
+# leaving 58 of 108 catalog queries with no driver signal — VERDICT.md r1).
+# Emission order is therefore derived from the driver's own recorded
+# history (CORRECTNESS_r*.json at the repo root) so every round's
+# 50-query window maximizes NEW signal, with no per-round hand editing:
+#   group 0 — queries whose LATEST driver check failed any of the three
+#             booleans: they lead the window so the fix is proven;
+#   group 1 — never driver-checked, oracle-eligible entries (value-hash
+#             signal is worth more than a rows-only check);
+#   group 2 — never driver-checked, rows-only entries;
+#   group 3 — previously green, oldest round first (regression canaries
+#             rotate back in over time).
+# Within a group, registration (module import) order is kept. If the
+# history files are unreadable the registry order stands — the sweep
+# still covers the first 50.
+
+
+def _driver_history() -> dict[str, dict]:
+    """Latest driver verdict per query from CORRECTNESS_r*.json files."""
+    hist: dict[str, dict] = {}
+    root = Path(__file__).resolve().parents[2]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if isinstance(rec, dict):
+                hist[name] = {**rec, "_round": path.name}
+    return hist
 
 
 def _ordered() -> dict[str, QuerySpec]:
     reg = get_registry()
-    missing = [n for n in _DRIVER_PRIORITY if n not in reg]
-    assert not missing, f"_DRIVER_PRIORITY names not registered: {missing}"
-    out = {n: reg[n] for n in _DRIVER_PRIORITY}
-    out.update((n, s) for n, s in reg.items() if n not in out)
+    try:
+        hist = _driver_history()
+    except Exception:  # pragma: no cover - defensive: never break the driver
+        hist = {}
+    seq = {name: i for i, name in enumerate(reg)}
+
+    def sort_key(name: str):
+        rec = hist.get(name)
+        if rec is not None:
+            ok = bool(
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match", True)
+            ) and rec.get("err") is None
+            if not ok:
+                return (0, "", seq[name])
+            return (3, rec.get("_round", ""), seq[name])
+        if reg[name].sql is not None:
+            return (1, "", seq[name])
+        return (2, "", seq[name])
+
+    out = {n: reg[n] for n in sorted(reg, key=sort_key)}
     return out
 
 
