@@ -49,6 +49,89 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_real_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL media derived from `documents`: image rows get
+    a valid 24-bit BMP (pixels seeded from md5(text)), audio rows a valid
+    PCM WAV (stdlib `wave` writer, samples seeded the same way), video
+    rows stay opaque bytes (no container format is writable with the
+    stdlib — the one honest stub left). Unlike `synthesize_media` (raw
+    text bytes, kept for the SQL-oracle stats query), everything this
+    emits exercises the REAL decode tiers: BMP pixel decode, WAV header +
+    PCM parse. Generation runs in mapInPandas so the media bytes are
+    built where the data lives, never on the driver."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                mod = ("image", "audio", "video")[int(doc_id) % 3]
+                seed = hashlib.md5(str(text).encode()).digest()
+                if mod == "image":
+                    data = make_bmp_bytes(seed, width=8 + seed[0] % 9,
+                                          height=8 + seed[1] % 9)
+                elif mod == "audio":
+                    data = make_wav_bytes(seed, n_frames=64 + seed[0],
+                                          sample_rate=8000)
+                else:
+                    data = str(text).encode()
+                rows.append({"media_id": int(doc_id), "data": data,
+                             "modality": mod})
+            yield pd.DataFrame(rows, columns=["media_id", "data", "modality"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="media_id long, data binary, modality string"
+    )
+
+
+def make_bmp_bytes(seed: bytes, width: int = 8, height: int = 8) -> bytes:
+    """A real, valid 24-bit uncompressed BMP; pixels are a deterministic
+    stream derived from the seed (public BITMAPINFOHEADER layout)."""
+    import struct
+
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    body = bytearray()
+    stream = bytearray()
+    i = 0
+    while len(stream) < width * height * 3:
+        stream += hashlib.md5(seed + i.to_bytes(4, "big")).digest()
+        i += 1
+    for y in range(height):
+        start = y * row_raw
+        body += stream[start : start + row_raw]
+        body += b"\x00" * pad
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(body)
+
+
+def make_wav_bytes(seed: bytes, n_frames: int = 128, sample_rate: int = 8000,
+                   n_channels: int = 1) -> bytes:
+    """A real PCM WAV built with the stdlib `wave` writer; 16-bit samples
+    are a deterministic stream derived from the seed."""
+    import io
+    import struct
+    import wave
+
+    stream = bytearray()
+    i = 0
+    while len(stream) < n_frames * n_channels * 2:
+        stream += hashlib.md5(seed + b"wav" + i.to_bytes(4, "big")).digest()
+        i += 1
+    frames = bytes(stream[: n_frames * n_channels * 2])
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
 def _have_pillow() -> bool:
     try:  # pragma: no cover - not installed in this container
         import PIL.Image  # noqa: F401
@@ -141,12 +224,48 @@ def _fake_decode_one(data: bytes) -> dict:
     }
 
 
+def _bmp_pixel_feature(data: bytes, width: int, height: int) -> list[float] | None:
+    """REAL pixel-level feature for uncompressed 24-bit BMPs, no codec
+    needed: per-quadrant luma means over the raw BGR rows, scaled to
+    [-1, 1]. Returns None for compressed/other-depth BMPs."""
+    import struct
+
+    if len(data) < 30:
+        return None
+    pixel_offset = struct.unpack("<I", data[10:14])[0]
+    bpp = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0] if len(data) >= 34 else 0
+    if bpp != 24 or compression != 0:
+        return None
+    row_raw = width * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    if len(data) < pixel_offset + stride * height:
+        return None
+    sums = [0.0] * 4
+    counts = [0] * 4
+    for y in range(height):
+        row = data[pixel_offset + y * stride : pixel_offset + y * stride + row_raw]
+        qy = 0 if y < height // 2 else 1
+        for x in range(width):
+            b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+            luma = 0.299 * r + 0.587 * g + 0.114 * b
+            q = qy * 2 + (0 if x < width // 2 else 1)
+            sums[q] += luma
+            counts[q] += 1
+    means = [s / c if c else 0.0 for s, c in zip(sums, counts)]
+    # 8-dim: quadrant means plus mirrored complements (stable layout
+    # shared with the other decode tiers)
+    feat = [(m / 255.0) * 2.0 - 1.0 for m in means]
+    return feat + [-f for f in feat]
+
+
 def _decode_one(data: bytes) -> dict:
-    """Three-tier decode: full pixel decode via Pillow when installed;
-    else a pure-stdlib header sniff (real format/width/height/channels,
-    hash-derived placeholder feature — pixels need a codec); else the
-    deterministic fake for non-image bytes (e.g. the synthesize_media
-    text stand-ins)."""
+    """Tiered decode: full pixel decode via Pillow when installed; else a
+    pure-stdlib header sniff (real format/width/height/channels) with
+    REAL pixel features for uncompressed 24-bit BMPs and a hash-derived
+    placeholder feature for compressed formats (pixels need a codec);
+    else the deterministic fake for non-image bytes (e.g. the
+    synthesize_media text stand-ins)."""
     if _have_pillow():  # pragma: no cover - PIL not in this container
         try:
             return _pil_decode(data)
@@ -156,8 +275,93 @@ def _decode_one(data: bytes) -> dict:
     if sniffed is not None:
         meta = _fake_decode_one(data)  # placeholder feature vector
         meta.update(sniffed)
+        if sniffed["format"] == "bmp":
+            real = _bmp_pixel_feature(
+                data, sniffed["width"], sniffed["height"]
+            )
+            if real is not None:
+                meta["feature"] = real
         return meta
     return _fake_decode_one(data)
+
+
+AUDIO_META_SCHEMA = (
+    "media_id long, n_bytes long, format string, n_channels int, "
+    "sample_rate int, n_frames long, duration_ms long, feature array<float>"
+)
+
+
+def _decode_audio_one(data: bytes) -> dict:
+    """REAL WAV decode via the stdlib `wave` module: header metadata plus
+    an 8-segment RMS envelope over the PCM samples as the feature vector.
+    Non-WAV bytes fall back to the deterministic fake (format
+    'fake/deterministic', metadata derived from the byte stream)."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            n_channels = w.getnchannels()
+            sample_rate = w.getframerate()
+            n_frames = w.getnframes()
+            width = w.getsampwidth()
+            frames = w.readframes(n_frames)
+    except (wave.Error, EOFError, struct.error):
+        fake = _fake_decode_one(data)
+        return {
+            "n_bytes": len(data),
+            "format": "fake/deterministic",
+            "n_channels": fake["n_channels"],
+            "sample_rate": 8000,
+            "n_frames": fake["width"] * fake["height"],
+            "duration_ms": fake["width"],
+            "feature": fake["feature"],
+        }
+    if width == 2 and n_frames:
+        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        seg = max(1, len(samples) // 8)
+        feature = []
+        for i in range(8):
+            chunk = samples[i * seg : (i + 1) * seg]
+            if chunk:
+                rms = (sum(s * s for s in chunk) / len(chunk)) ** 0.5
+                feature.append(rms / 32768.0)
+            else:
+                feature.append(0.0)
+    else:
+        feature = [0.0] * 8
+    return {
+        "n_bytes": len(data),
+        "format": "wav",
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "n_frames": n_frames,
+        "duration_ms": int(n_frames * 1000 / sample_rate) if sample_rate else 0,
+        "feature": feature,
+    }
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """mapInPandas audio decode: (media_id, data) -> WAV metadata + RMS
+    envelope. Arrow batches in and out, like decode_images."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "n_bytes", "format", "n_channels", "sample_rate",
+            "n_frames", "duration_ms", "feature",
+        ]
+        for pdf in it:
+            out = []
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                meta = _decode_audio_one(bytes(data))
+                meta["media_id"] = media_id
+                out.append(meta)
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.select("media_id", "data").mapInPandas(
+        batches, schema=AUDIO_META_SCHEMA
+    )
 
 
 def decode_images(media: DataFrame) -> DataFrame:

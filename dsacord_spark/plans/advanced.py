@@ -337,15 +337,38 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_meta",
-    sql=None,  # pandas-UDF decode stub: rows-only check (decode is faked)
-    doc="mapInPandas image-decode stub -> typed metadata + feature vector.",
+    sql=None,  # decode runs in Python kernels: rows-only driver check;
+    # pixel-exactness is pinned by tests/test_multimodal.py instead
+    doc="mapInPandas image decode over REAL generated BMPs "
+    "(synthesize_real_media): header metadata plus pixel-level "
+    "quadrant-luma features, no codec dependency.",
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dsacord_spark.multimodal.binary import decode_images, synthesize_media
+    from dsacord_spark.multimodal.binary import (
+        decode_images, synthesize_real_media,
+    )
 
     d = table(spark, sf_dir, "documents")
-    media = synthesize_media(d).filter(F.col("modality") == "image")
+    media = synthesize_real_media(d).filter(F.col("modality") == "image")
     return decode_images(media)
+
+
+@register(
+    "multimodal_audio_meta",
+    sql=None,  # wave decode runs in Python kernels: rows-only driver
+    # check; sample-exactness is pinned by tests/test_multimodal.py
+    doc="mapInPandas audio decode over REAL generated PCM WAVs "
+    "(stdlib wave): channels/rate/frames/duration plus an 8-segment "
+    "RMS envelope feature.",
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.multimodal.binary import (
+        decode_audio, synthesize_real_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    media = synthesize_real_media(d).filter(F.col("modality") == "audio")
+    return decode_audio(media)
 
 
 @register(
@@ -362,14 +385,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_resize",
-    sql=None,  # pandas-UDF resize stub: rows-only check (kernel is faked)
-    doc="Image resize stub: binary in -> fixed-size binary out via mapInPandas.",
+    sql=None,  # resize runs in Python kernels: rows-only driver check
+    doc="Image resize over REAL generated BMPs: Pillow kernel when "
+    "installed, deterministic byte-stride kernel otherwise; binary in, "
+    "fixed-size binary out via mapInPandas.",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dsacord_spark.multimodal.binary import resize_images, synthesize_media
+    from dsacord_spark.multimodal.binary import (
+        resize_images, synthesize_real_media,
+    )
 
     d = table(spark, sf_dir, "documents")
-    return resize_images(synthesize_media(d))
+    return resize_images(synthesize_real_media(d))
 
 
 # ---------------------------------------------------------------------------

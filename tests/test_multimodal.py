@@ -206,3 +206,59 @@ class TestSparkPlumbing:
         a = sorted(map(tuple, mm.decode_images(media).collect()))
         b = sorted(map(tuple, mm.decode_images(media).collect()))
         assert a == b
+
+
+class TestRealGeneratedMedia:
+    def test_make_bmp_is_decodable_with_real_pixels(self):
+        bmp = mm.make_bmp_bytes(b"seed-1", width=9, height=7)
+        meta = mm._decode_one(bmp)
+        assert (meta["format"], meta["width"], meta["height"]) == ("bmp", 9, 7)
+        # real pixel feature: quadrant luma means + mirrored complements
+        feat = meta["feature"]
+        assert len(feat) == 8
+        assert feat[4:] == [-f for f in feat[:4]]
+        assert all(-1.0 <= f <= 1.0 for f in feat)
+        # different seed -> different pixels -> different feature
+        other = mm._decode_one(mm.make_bmp_bytes(b"seed-2", width=9, height=7))
+        assert other["feature"] != feat
+
+    def test_make_wav_is_decodable_with_stdlib_wave(self):
+        wav = mm.make_wav_bytes(b"seed-1", n_frames=100, sample_rate=8000)
+        meta = mm._decode_audio_one(wav)
+        assert meta["format"] == "wav"
+        assert meta["n_channels"] == 1
+        assert meta["sample_rate"] == 8000
+        assert meta["n_frames"] == 100
+        assert meta["duration_ms"] == 12  # 100 frames at 8 kHz
+        assert len(meta["feature"]) == 8
+        assert any(f > 0 for f in meta["feature"])  # real RMS energy
+
+    def test_audio_fallback_on_non_wav(self):
+        meta = mm._decode_audio_one(b"definitely not riff")
+        assert meta["format"] == "fake/deterministic"
+
+    def test_synthesize_real_media_modalities(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+        media = mm.synthesize_real_media(docs)
+        rows = media.collect()
+        by_mod = {}
+        for r in rows:
+            by_mod.setdefault(r["modality"], []).append(bytes(r["data"]))
+        assert set(by_mod) == {"image", "audio", "video"}
+        assert all(d[:2] == b"BM" for d in by_mod["image"])
+        assert all(d[:4] == b"RIFF" for d in by_mod["audio"])
+
+    def test_decode_audio_over_spark(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+        media = mm.synthesize_real_media(docs).filter("modality = 'audio'")
+        out = mm.decode_audio(media).collect()
+        assert out and all(r["format"] == "wav" for r in out)
+        assert all(r["sample_rate"] == 8000 for r in out)
+
+    def test_real_media_deterministic(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(10)
+        a = sorted((r["media_id"], bytes(r["data"]))
+                   for r in mm.synthesize_real_media(docs).collect())
+        b = sorted((r["media_id"], bytes(r["data"]))
+                   for r in mm.synthesize_real_media(docs).collect())
+        assert a == b
