@@ -83,14 +83,45 @@ def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every pair sharing >=1 shingle.
+    """EXACT n-gram Jaccard pairs at >= threshold, via prefix filtering
+    (the All-Pairs family, Bayardo et al., WWW'07): only each doc's
+    RAREST |x| - ceil(t*|x|) + 1 shingles (canonical order: global doc
+    frequency asc, hash asc) enter the candidate join — any pair with
+    J >= t must share a prefix shingle, so no qualifying pair is lost —
+    then candidates are verified exactly with an array intersection over
+    the full shingle sets. Results are identical to the naive full
+    inverted-index join; the SQL oracle keeps the naive formulation (two
+    independent algorithms, one answer).
 
-    Scale: the self-join is on the shingle value (inverted index), so cost
-    is sum over shingles of df^2 — bounded by dropping ultra-common
-    shingles in a production pipeline; the MinHash variant below is the
-    preferred path at 100 TB because its candidate set does not grow with
-    shingle frequency."""
+    Scale: the naive index join costs sum over shingles of df^2, which a
+    handful of stop-shingle-grade trigrams turns quadratic; the prefix
+    join only expands rare shingles, so candidates track the true
+    duplicate density. Verification shuffles per-doc shingle ARRAYS on
+    the candidate keys — bounded by candidate count, not corpus^2. The
+    routing is ADAPTIVE because the machinery isn't free (df ranking +
+    window + array verify ≈ 3.7s vs the naive join's 2.5s on the benign
+    5k-doc corpus): one cheap aggregate over the persisted index
+    estimates the naive join's expansion sum(df^2); when it exceeds
+    30x the index size the naive join is heading quadratic and the
+    prefix path wins, otherwise naive is cheaper. Both branches are
+    exact, so the route never changes the answer. The MinHash variant
+    below stays the preferred path when even exact verification is too
+    much."""
     ngr = _shingle_index(df, id_col, text_col, n)
+    dfreq = ngr.groupBy("hg").agg(F.count(F.lit(1)).alias("dfreq"))
+    stats = dfreq.agg(
+        F.sum(F.col("dfreq") * F.col("dfreq")).alias("exp2"),
+        F.sum("dfreq").alias("nrows"),
+    ).collect()[0]
+    blowup = (stats["exp2"] or 0) / max(1, stats["nrows"] or 0)
+    if blowup <= 30:
+        return _ngram_jaccard_naive(ngr, threshold)
+    return _ngram_jaccard_prefix(ngr, dfreq, threshold)
+
+
+def _ngram_jaccard_naive(ngr: DataFrame, threshold: float) -> DataFrame:
+    """Full inverted-index join + per-pair intersection counts — cheapest
+    when no shingle is stop-word-grade common."""
     sizes = ngr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a, b = ngr.alias("a"), ngr.alias("b")
     inter = (
@@ -103,6 +134,58 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _ngram_jaccard_prefix(
+    ngr: DataFrame, dfreq: DataFrame, threshold: float
+) -> DataFrame:
+    """Prefix-filtered candidates + exact array-intersection verify."""
+    arrays = ngr.groupBy("doc").agg(
+        F.sort_array(F.collect_set("hg")).alias("set"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    wdoc = W.partitionBy("doc").orderBy(F.col("dfreq").asc(), F.col("hg").asc())
+    prefix = (
+        ngr.join(dfreq, "hg")
+        .withColumn("rnk", F.row_number().over(wdoc))
+        .join(ngr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz")), "doc")
+        .filter(
+            F.col("rnk")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("doc", "hg")
+    )
+    pa, pb = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a.hg") == F.col("b.hg")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    aa = arrays.select(
+        F.col("doc").alias("doc_a"), F.col("set").alias("set_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    ab = arrays.select(
+        F.col("doc").alias("doc_b"), F.col("set").alias("set_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    return (
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+        )
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -313,7 +396,12 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     converges in O(log n) rounds with the same join-shape per round.
     Raises RuntimeError rather than returning a wrong answer if the
     fixpoint is not reached within max_iter."""
-    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # persist the DIRECTED edges before symmetrizing: union(e, swap(e))
+    # evaluates its input twice, and the input here is the whole pair-
+    # generation pipeline (measured ~2x the query without this persist)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).persist()
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -325,6 +413,19 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     # count also materializes the persist before the loop re-reads it).
     spark = pairs.sparkSession
     n_edges = sym.count()
+    edges.unpersist()  # sym is materialized now; the directed copy is done
+    # Small-graph shortcut: near-dup edge lists from bucketed candidate
+    # generation are tiny relative to the corpus (they hold only actual
+    # duplicate evidence). Below the threshold, union-find on the driver
+    # beats any distributed loop — one collect replaces d rounds of
+    # join+agg+checkpoint (measured 2-3s saved at a 256-edge graph, and
+    # the gap grows with diameter). The distributed loop stays for edge
+    # lists that genuinely cannot fit one machine.
+    if n_edges <= 1_000_000:
+        try:
+            return _driver_union_find(spark, sym)
+        finally:
+            sym.unpersist()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     loop_parts = max(1, min(int(prev_parts), n_edges // 500_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
@@ -332,6 +433,41 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         return _propagate_min_labels(sym, max_iter)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _driver_union_find(spark, sym: DataFrame) -> DataFrame:
+    """Exact connected components on the driver (path-compressed
+    union-find); output labels are the component-min doc id, identical to
+    the propagation fixpoint."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    # one parallel collect — the caller guarantees the edge bound, and
+    # toLocalIterator would fetch the 32 shuffle partitions serially
+    for row in sym.collect():
+        a, b = row["src"], row["dst"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {n: find(n) for n in parent}
+    comp_min: dict = {}
+    for n, r in roots.items():
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    rows = [(n, comp_min[roots[n]]) for n in sorted(roots)]
+    id_type = sym.schema["src"].dataType.simpleString()
+    return spark.createDataFrame(rows, f"doc_id {id_type}, cluster_id {id_type}")
 
 
 def _propagate_min_labels(sym: DataFrame, max_iter: int) -> DataFrame:

@@ -1,0 +1,114 @@
+"""Connected-components equivalence: the driver union-find shortcut and
+the distributed min-label-propagation loop must produce identical
+(doc_id, cluster_id) labelings — both against each other and against the
+catalog's recursive-CTE oracle (covered by the sweep). Chains exercise
+multi-round convergence; the threshold routing is pinned so neither path
+silently disappears."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dsacord_spark.operators.dedup import (
+    _driver_union_find,
+    _propagate_min_labels,
+    duplicate_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long").withColumn(
+        "jaccard", F.lit(1.0)
+    )
+
+
+PAIRS = [
+    # a 6-node chain (diameter forces several propagation rounds)
+    (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+    # a triangle
+    (10, 11), (11, 12), (10, 12),
+    # an isolated pair
+    (20, 21),
+]
+EXPECTED = {
+    1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+    10: 10, 11: 10, 12: 10,
+    20: 20, 21: 20,
+}
+
+
+def _sym(spark):
+    e = _edges(spark, PAIRS).select("doc_a", "doc_b")
+    return e.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        e.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+
+
+def test_union_find_labels(spark):
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in _driver_union_find(spark, _sym(spark)).collect()
+    }
+    assert got == EXPECTED
+
+
+def test_propagation_loop_matches_union_find(spark):
+    sym = _sym(spark).persist()
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in _propagate_min_labels(sym, max_iter=30).collect()
+    }
+    assert got == EXPECTED
+
+
+def test_duplicate_components_takes_small_path(spark):
+    """Below the 1M-edge threshold duplicate_components routes to the
+    union-find (same labels, no iteration budget consumed)."""
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_components(_edges(spark, PAIRS), max_iter=0).collect()
+    }
+    # max_iter=0 would make the distributed loop raise; the small path
+    # never iterates, so reaching here proves the routing
+    assert got == EXPECTED
+
+
+def test_string_ids_preserved(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "doc_a string, doc_b string"
+    ).withColumn("jaccard", F.lit(1.0))
+    out = duplicate_components(e)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_prefix_and_naive_jaccard_agree(spark):
+    """The adaptive router picks between two EXACT algorithms; pin that
+    they produce identical pair sets on a corpus with common-shingle
+    blowup (which routes to the prefix path) by comparing against the
+    naive formulation run directly."""
+    from pyspark.sql import functions as F
+
+    from dsacord_spark.operators.dedup import (
+        _ngram_jaccard_naive,
+        _ngram_jaccard_prefix,
+        _shingle_index,
+    )
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta "),
+            (F.col("id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    ngr = _shingle_index(docs, "doc_id", "text", 3)
+    dfreq = ngr.groupBy("hg").agg(F.count(F.lit(1)).alias("dfreq"))
+    naive = sorted(map(tuple, _ngram_jaccard_naive(ngr, 0.9).collect()))
+    prefix = sorted(map(tuple, _ngram_jaccard_prefix(ngr, dfreq, 0.9).collect()))
+    assert naive == prefix
+    assert naive, "corpus should contain duplicate groups"
+    ngr.unpersist()

@@ -178,3 +178,45 @@ def test_gapfill_scans_events_once_per_branch_no_cartesian(spark, sf_dir):
     plan = _plan(queries()["events_hourly_gapfill"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert len(re.findall(r"\(\d+\)\s+Window", plan)) == 1, plan
+
+
+def test_q6_pushdown_reaches_scan(spark, sf_dir):
+    """Q6 is the pure-pushdown probe: all four range predicates reach
+    PushedFilters and the scan reads exactly the four referenced columns."""
+    from dsacord_spark.plans.tpch_rest import q6_forecast_revenue
+
+    plan = _plan(q6_forecast_revenue(spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)", plan).group(1)
+    for frag in ("l_discount,0.02", "l_discount,0.06", "l_quantity,24.0"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_tpch_rest_no_cartesian_products(spark, sf_dir):
+    """No query in the completed suite may plan a CartesianProduct or an
+    unbounded (non-broadcast) nested loop."""
+    import dsacord_spark.plans.tpch_rest as t
+
+    for fn in (
+        t.q2_min_cost_supplier, t.q4_priority_late_ship, t.q8_market_share,
+        t.q9_product_profit, t.q11_important_parts, t.q12_ship_delay_priority,
+        t.q13_customer_distribution, t.q14_promo_revenue, t.q15_top_supplier,
+        t.q16_part_supplier_counts, t.q19_disjunctive_revenue,
+        t.q20_heavy_small_part_suppliers, t.q21_latest_shipper,
+        t.q22_idle_customers,
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_q21_window_formulation_exchange_budget(spark, sf_dir):
+    """The window formulation of Q21 holds the correlated-EXISTS cascade
+    to <= 5 exchanges (a literal aggregate-and-rejoin translation planned
+    16)."""
+    from dsacord_spark.plans.tpch_rest import q21_latest_shipper
+
+    plan = _plan(q21_latest_shipper(spark, sf_dir))
+    n = len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan))
+    assert n <= 5, n
