@@ -204,12 +204,17 @@ def main() -> None:
         print(f"bench: stream warm-up failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
-    for qi, name in enumerate(headline + rest):
+    order = headline + rest
+    for qi, name in enumerate(order):
         # a few queries persist frames their returned (lazy) plan consumes
         # (simhash signatures, gap-fill hourly agg — see PLANS.md known
-        # costs); the sweep releases those pinned blocks periodically so
-        # they don't accumulate across 100+ queries
-        if qi and qi % 16 == 0:
+        # costs); the sweep releases those pinned blocks at FAMILY
+        # boundaries (name prefix change) so they don't accumulate across
+        # 100+ queries, while families that share a persisted frame (the
+        # dedup_* queries all reuse the shingle index via Spark's
+        # plan-matching cache) keep it warm within the family
+        fam = name.split("_", 1)[0]
+        if qi and fam != order[qi - 1].split("_", 1)[0]:
             spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
