@@ -228,6 +228,75 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Canonical selection: the DELIVERABLE of the dedup pipeline — one kept
+# document per near-dup cluster (longest text wins, doc id breaks ties),
+# singletons keep themselves. Output: every doc with its cluster and the
+# kept flag, so downstream both filters (kept=true) and audits (what was
+# dropped, and for which canonical). Scale: components as above, then one
+# broadcast-sized join (cluster labels are |duplicates|, not |corpus|) and
+# a per-cluster rank window over only the clustered docs.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_keep_canonical",
+    sql=f"""
+    WITH RECURSIVE {_ngr_cte(3).strip()},
+    sizes AS (SELECT doc, count(*) AS sz FROM ngr GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM ngr a JOIN ngr b ON a.hg = b.hg AND a.doc < b.doc
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(node, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst),
+    comp AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+    ranked AS (
+      SELECT doc_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM labeled)
+    SELECT doc_id, cluster_id, rn = 1 AS kept FROM ranked
+    """,
+    doc="Dedup deliverable: every document labeled with its near-dup "
+    "cluster (singletons label themselves) and a kept flag — longest "
+    "text per cluster wins, doc id breaks ties.",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    comp = duplicate_components(pairs).withColumnRenamed(
+        "cluster_id", "comp_cluster"
+    )
+    labeled = (
+        d.select("doc_id", "n_chars")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("comp_cluster"), F.col("doc_id"))
+        )
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "cluster_id", (F.col("rn") == 1).alias("kept"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Event funnel: how many users performed view -> click -> purchase in
 # strict first-occurrence order. One shuffle (groupBy user), then a
 # single-row conditional agg unpivoted to one row per stage. Timestamps

@@ -16,7 +16,9 @@ every pretraining run tunes) and a kNN label-vote evaluation over the
 embedding table (the standard embedding-quality probe).
 
 All hashes are md5-derived (functions/hashing.py) so every query here is
-fully value-checked against the DuckDB oracle — no rows-only entries.
+fully value-checked against the DuckDB oracle, except
+text_compression_ratio whose zlib kernel has no DuckDB twin (rows-only,
+determinism pinned by pytest).
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ from dsacord_spark.functions.hashing import md5_long, md5_long_sql
 from dsacord_spark.functions.text import tokens
 from dsacord_spark.functions.vectors import norm, to_double_array
 from dsacord_spark.operators.dedup import _shingle_index
+from dsacord_spark.plans.analysis import _ngr_cte
 from dsacord_spark.plans.registry import register, table
 
 _TOKS_SQL = (
@@ -712,4 +715,108 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("vocab_size"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix: exact-content duplicates that span
+# two different sources, counted per source pair. The per-source twin of
+# exact dedup — the report a curation run uses to decide which source to
+# drop when feeds overlap. Scale: one shuffle on the content hash;
+# hash-group sizes are duplicate multiplicities (tiny), so the in-group
+# pair expansion is bounded by true duplicate density, never corpus^2.
+# ---------------------------------------------------------------------------
+@register(
+    "source_overlap_matrix",
+    sql=f"""
+    WITH {_ngr_cte(3).strip()},
+    sizes AS (SELECT doc, count(*) AS sz FROM ngr GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM ngr a JOIN ngr b ON a.hg = b.hg AND a.doc < b.doc
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+    lab AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM pairs
+      JOIN documents da ON da.doc_id = doc_a
+      JOIN documents db ON db.doc_id = doc_b)
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM lab GROUP BY 1, 2
+    """,
+    doc="Cross-source contamination matrix: near-duplicate pairs "
+    "(trigram Jaccard >= 0.5, same evidence as dedup_ngram_jaccard) "
+    "counted per unordered source pair — the report a curation run uses "
+    "to decide which overlapping feed to drop. Diagonal entries "
+    "(source_a = source_b) are within-source duplication.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    srcs = d.select("doc_id", "source")
+    sa = srcs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = srcs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal: zlib ratio per document, aggregated
+# per language. Highly repetitive/boilerplate text compresses far below
+# natural prose, making the ratio a standard cheap quality gate (used
+# alongside the repetition filters). Python kernel (zlib) in mapInPandas
+# -> rows-only driver check; determinism within one zlib build is pinned
+# by pytest. Scale: pure map work + one tiny agg, zero wide shuffles
+# before the final 5-row group.
+# ---------------------------------------------------------------------------
+@register(
+    "text_compression_ratio",
+    sql=None,  # zlib runs in a Python kernel; DuckDB has no twin
+    doc="Per-language compression-ratio stats: zlib(level=6) bytes over "
+    "raw bytes, mean/min per lang — the cheap repetition/boilerplate "
+    "gate.",
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import zlib
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def ratios(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raw = [str(t).encode() for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "lang": pdf["lang"],
+                    "ratio": [
+                        (len(zlib.compress(b, 6)) / len(b)) if b else 1.0
+                        for b in raw
+                    ],
+                }
+            )
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select("lang", "text").mapInPandas(
+        ratios, schema="lang string, ratio double"
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ratio"), 6).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
     )

@@ -112,3 +112,28 @@ def test_prefix_and_naive_jaccard_agree(spark):
     assert naive == prefix
     assert naive, "corpus should contain duplicate groups"
     ngr.unpersist()
+
+
+def test_compression_ratio_deterministic(spark, sf_dir):
+    """zlib kernel determinism within one build: two runs, identical
+    rounded stats (the rows-only driver check can't see values)."""
+    from dsacord_spark.plans.curation import text_compression_ratio
+
+    a = sorted(map(tuple, text_compression_ratio(spark, sf_dir).collect()))
+    b = sorted(map(tuple, text_compression_ratio(spark, sf_dir).collect()))
+    assert a == b
+    assert all(0.0 < r[2] <= 1.5 for r in a)  # mean_ratio sane
+
+
+def test_keep_canonical_covers_corpus_once(spark, sf_dir):
+    """Every document appears exactly once; exactly one kept doc per
+    cluster; canonical is the longest (ties: lowest id)."""
+    from dsacord_spark.plans.composite import dedup_keep_canonical
+
+    rows = dedup_keep_canonical(spark, sf_dir).collect()
+    docs = [r["doc_id"] for r in rows]
+    assert len(docs) == len(set(docs))
+    per_cluster: dict = {}
+    for r in rows:
+        per_cluster.setdefault(r["cluster_id"], []).append(r["kept"])
+    assert all(sum(ks) == 1 for ks in per_cluster.values())
