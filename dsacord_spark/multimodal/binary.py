@@ -2,13 +2,21 @@
 typed metadata, processed by Arrow-batched pandas UDFs.
 
 The Spark-side plumbing (schemas, mapInPandas batch shapes, partitioning)
-is real and tested. Decode is three-tier: full pixel decode via Pillow
-when installed (`_pil_decode`); a pure-stdlib header sniffer that reads
-real format/width/height/channels from PNG/GIF/BMP/JPEG headers
-(`_sniff_header`) when the bytes are a recognized image; and a clearly
-marked deterministic fake (`_fake_decode_one`) for non-image bytes such
-as the `synthesize_media` text stand-ins. Only the pixel-level feature
-vector requires a codec; everything else is real in this container.
+is real and tested, and so are the decode paths for all three
+modalities in this container, no codec libraries required:
+
+- images: full pixel decode via Pillow when installed (`_pil_decode`);
+  else a pure-stdlib header sniffer for PNG/GIF/BMP/JPEG
+  (`_sniff_header`) with REAL pixel features for uncompressed 24-bit
+  BMPs (`_bmp_pixel_feature`); compressed formats get header-only
+  metadata with a clearly marked hash-derived placeholder feature.
+- audio: real PCM WAV parse via the stdlib `wave` module
+  (`_decode_audio_one`): header metadata + RMS envelope over samples.
+- video: real RIFF/AVI demux (`parse_avi`): container metadata, frame
+  bytes, timebase-driven frame sampling, per-frame luma.
+
+Bytes no tier recognizes fall to the deterministic fake
+(`_fake_decode_one`), clearly labeled in the output's format column.
 
 At 100 TB: media bytes live in the lake as binary columns (or object-
 store pointers) partitioned by modality/date; decode runs in mapInPandas
@@ -52,13 +60,14 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
 def synthesize_real_media(docs: DataFrame) -> DataFrame:
     """Deterministic REAL media derived from `documents`: image rows get
     a valid 24-bit BMP (pixels seeded from md5(text)), audio rows a valid
-    PCM WAV (stdlib `wave` writer, samples seeded the same way), video
-    rows stay opaque bytes (no container format is writable with the
-    stdlib — the one honest stub left). Unlike `synthesize_media` (raw
-    text bytes, kept for the SQL-oracle stats query), everything this
-    emits exercises the REAL decode tiers: BMP pixel decode, WAV header +
-    PCM parse. Generation runs in mapInPandas so the media bytes are
-    built where the data lives, never on the driver."""
+    PCM WAV (stdlib `wave` writer), video rows a valid RIFF/AVI with
+    uncompressed BGR24 frames — all three modalities are real files whose
+    decode paths run for real in this container. Unlike
+    `synthesize_media` (raw text bytes, kept for the SQL-oracle stats
+    query), everything this emits exercises the real decode tiers: BMP
+    pixel decode, WAV header + PCM parse, AVI demux + frame sampling.
+    Generation runs in mapInPandas so the media bytes are built where the
+    data lives, never on the driver."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -73,7 +82,10 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
                     data = make_wav_bytes(seed, n_frames=64 + seed[0],
                                           sample_rate=8000)
                 else:
-                    data = str(text).encode()
+                    data = make_avi_bytes(
+                        seed, width=8, height=6,
+                        n_frames=6 + seed[0] % 10, fps=10,
+                    )
                 rows.append({"media_id": int(doc_id), "data": data,
                              "modality": mod})
             yield pd.DataFrame(rows, columns=["media_id", "data", "modality"])
@@ -389,15 +401,37 @@ def decode_images(media: DataFrame) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 5) -> DataFrame:
-    """Video frame sampling stub: one output row per sampled frame
+    """Video frame sampling: one output row per sampled frame
     (mapInPandas as a flat-map — row counts grow, Arrow batches bound
-    memory). Frame 'content' is a deterministic hash of (bytes, index)."""
+    memory). RIFF/AVI bytes are REALLY demuxed (`parse_avi`): frames are
+    sampled on the stream's own timebase (every_ms against the
+    container's us_per_frame), the md5 is of the actual frame bytes, and
+    timestamps are real presentation times. Non-AVI bytes fall back to
+    the deterministic fake (hash of bytes + index)."""
 
     def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for media_id, data in zip(pdf["media_id"], pdf["data"]):
                 raw = bytes(data)
+                avi = parse_avi(raw)
+                if avi is not None and avi["frames"]:
+                    stride = max(
+                        1, round(every_ms * 1000 / max(1, avi["us_per_frame"]))
+                    )
+                    picked = list(range(0, len(avi["frames"]), stride))[:max_frames]
+                    for out_idx, f_idx in enumerate(picked):
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "frame_idx": out_idx,
+                                "frame_ts_ms": f_idx * avi["us_per_frame"] // 1000,
+                                "frame_md5": hashlib.md5(
+                                    avi["frames"][f_idx]
+                                ).hexdigest(),
+                            }
+                        )
+                    continue
                 n = min(max_frames, 1 + len(raw) % max_frames)
                 for i in range(n):
                     rows.append(
@@ -479,3 +513,178 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
     return media.filter(F.col("modality") == "image").select(
         "media_id", "data"
     ).mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: minimal RIFF/AVI container with uncompressed BGR24 frames (the
+# public AVI layout: hdrl(avih + strl(strh/strf)) + movi('00db' chunks)).
+# Writable and parseable with struct alone, so the video modality is real
+# end-to-end in this container: real frame bytes, real timing metadata,
+# real per-frame sampling.
+# ---------------------------------------------------------------------------
+
+
+def make_avi_bytes(
+    seed: bytes,
+    width: int = 8,
+    height: int = 6,
+    n_frames: int = 12,
+    fps: int = 10,
+) -> bytes:
+    """A real, valid AVI: RIFF('AVI ') with a main header, one
+    uncompressed-video stream, and n_frames raw bottom-up BGR frames in
+    the movi list; pixel bytes are a deterministic seed-derived stream."""
+    import struct
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def list_chunk(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    row_raw = width * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    frame_bytes = stride * height
+    us_per_frame = 1_000_000 // fps
+
+    frames = []
+    stream = bytearray()
+    i = 0
+    while len(stream) < frame_bytes * n_frames:
+        stream += hashlib.md5(seed + b"avi" + i.to_bytes(4, "big")).digest()
+        i += 1
+    for f in range(n_frames):
+        frames.append(bytes(stream[f * frame_bytes : (f + 1) * frame_bytes]))
+
+    avih = struct.pack(
+        "<14I",
+        us_per_frame, frame_bytes * fps, 0, 0x10, n_frames, 0, 1,
+        frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"\x00\x00\x00\x00"
+        + struct.pack("<10I", 0, 0, 0, 1, fps, 0, n_frames, frame_bytes, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = list_chunk(
+        b"hdrl",
+        chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = list_chunk(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(data: bytes) -> dict | None:
+    """Parse the minimal AVI layout: returns width/height/n_frames/
+    us_per_frame and the raw frame byte chunks, or None when the bytes
+    are not a RIFF AVI."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    meta: dict = {"frames": []}
+
+    def walk(buf: bytes) -> None:
+        i = 0
+        while i + 8 <= len(buf):
+            tag = buf[i : i + 4]
+            (size,) = struct.unpack("<I", buf[i + 4 : i + 8])
+            payload = buf[i + 8 : i + 8 + size]
+            if tag == b"LIST":
+                walk(payload[4:])
+            elif tag == b"avih" and size >= 40:
+                vals = struct.unpack("<10I", payload[:40])
+                meta.update(
+                    us_per_frame=vals[0], n_frames=vals[4],
+                    width=vals[8], height=vals[9],
+                )
+            elif tag in (b"00db", b"00dc"):
+                meta["frames"].append(payload)
+            i += 8 + size + (size % 2)
+
+    walk(data[12:])
+    if "width" not in meta:
+        return None
+    return meta
+
+
+def _bgr_frame_luma(frame: bytes, width: int, height: int) -> float:
+    """Mean luma of one raw bottom-up BGR frame (stride-padded rows)."""
+    row_raw = width * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    total = 0.0
+    n = 0
+    for y in range(height):
+        row = frame[y * stride : y * stride + row_raw]
+        for x in range(width):
+            b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+            total += 0.299 * r + 0.587 * g + 0.114 * b
+            n += 1
+    return total / n if n else 0.0
+
+
+VIDEO_META_SCHEMA = (
+    "media_id long, n_bytes long, format string, width int, height int, "
+    "n_frames int, duration_ms long, mean_luma double"
+)
+
+
+def decode_video(media: DataFrame) -> DataFrame:
+    """mapInPandas video decode: REAL AVI demux (dimensions, frame count,
+    duration from the container header) plus mean luma over the actual
+    frame pixels. Non-AVI bytes get the deterministic fake metadata."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "n_bytes", "format", "width", "height", "n_frames",
+            "duration_ms", "mean_luma",
+        ]
+        for pdf in it:
+            rows = []
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data)
+                avi = parse_avi(raw)
+                if avi is not None:
+                    lumas = [
+                        _bgr_frame_luma(f, avi["width"], avi["height"])
+                        for f in avi["frames"]
+                    ]
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "n_bytes": len(raw),
+                            "format": "avi/bgr24",
+                            "width": avi["width"],
+                            "height": avi["height"],
+                            "n_frames": len(avi["frames"]),
+                            "duration_ms": len(avi["frames"])
+                            * avi["us_per_frame"] // 1000,
+                            "mean_luma": round(
+                                sum(lumas) / len(lumas), 6
+                            ) if lumas else 0.0,
+                        }
+                    )
+                else:
+                    fake = _fake_decode_one(raw)
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "n_bytes": len(raw),
+                            "format": "fake/deterministic",
+                            "width": fake["width"],
+                            "height": fake["height"],
+                            "n_frames": 0,
+                            "duration_ms": 0,
+                            "mean_luma": 0.0,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "data").mapInPandas(
+        batches, schema=VIDEO_META_SCHEMA
+    )

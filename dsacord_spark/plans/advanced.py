@@ -372,15 +372,36 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_frame_sample",
-    sql=None,  # flat-map frame sampling stub: rows-only check
-    doc="Video frame-sampling stub: one row per sampled frame via mapInPandas.",
+    "multimodal_video_meta",
+    sql=None,  # AVI demux runs in Python kernels: rows-only driver
+    # check; container-exactness is pinned by tests/test_multimodal.py
+    doc="mapInPandas video decode over REAL generated RIFF/AVI "
+    "containers: dimensions/frame-count/duration from the header plus "
+    "mean luma over the actual BGR frame pixels.",
 )
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dsacord_spark.multimodal.binary import sample_frames, synthesize_media
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.multimodal.binary import (
+        decode_video, synthesize_real_media,
+    )
 
     d = table(spark, sf_dir, "documents")
-    return sample_frames(synthesize_media(d))
+    media = synthesize_real_media(d).filter(F.col("modality") == "video")
+    return decode_video(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    sql=None,  # AVI demux runs in Python kernels: rows-only check
+    doc="Video frame sampling over REAL generated AVIs: frames picked on "
+    "the container timebase, md5 of actual frame bytes, real timestamps.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.multimodal.binary import (
+        sample_frames, synthesize_real_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return sample_frames(synthesize_real_media(d))
 
 
 @register(

@@ -262,3 +262,47 @@ class TestRealGeneratedMedia:
         b = sorted((r["media_id"], bytes(r["data"]))
                    for r in mm.synthesize_real_media(docs).collect())
         assert a == b
+
+
+class TestAviVideo:
+    def test_make_avi_roundtrip(self):
+        avi = mm.make_avi_bytes(b"s1", width=8, height=6, n_frames=12, fps=10)
+        meta = mm.parse_avi(avi)
+        assert (meta["width"], meta["height"]) == (8, 6)
+        assert len(meta["frames"]) == 12
+        assert meta["us_per_frame"] == 100_000
+        # stride-padded BGR24 frame size
+        assert all(len(f) == 24 * 6 for f in meta["frames"])
+
+    def test_parse_rejects_non_avi(self):
+        assert mm.parse_avi(b"not riff") is None
+        assert mm.parse_avi(mm.make_wav_bytes(b"s")) is None  # RIFF but WAVE
+
+    def test_sample_frames_uses_container_timebase(self, spark):
+        avi = mm.make_avi_bytes(b"s2", width=8, height=6, n_frames=10, fps=10)
+        media = spark.createDataFrame(
+            [(1, bytearray(avi), "video")],
+            "media_id long, data binary, modality string",
+        )
+        rows = sorted(
+            mm.sample_frames(media, every_ms=300, max_frames=4).collect(),
+            key=lambda r: r["frame_idx"],
+        )
+        # 10 fps -> 100ms/frame; 300ms sampling -> every 3rd frame
+        assert [r["frame_ts_ms"] for r in rows] == [0, 300, 600, 900]
+        # md5 is of the REAL frame bytes
+        meta = mm.parse_avi(avi)
+        import hashlib as _h
+
+        assert rows[0]["frame_md5"] == _h.md5(meta["frames"][0]).hexdigest()
+
+    def test_decode_video_real_metadata(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+        media = mm.synthesize_real_media(docs).filter("modality = 'video'")
+        out = mm.decode_video(media).collect()
+        assert out and all(r["format"] == "avi/bgr24" for r in out)
+        assert all(r["n_frames"] >= 6 for r in out)
+        assert all(0.0 < r["mean_luma"] < 255.0 for r in out)
+        assert all(
+            r["duration_ms"] == r["n_frames"] * 100 for r in out
+        )  # 10 fps
