@@ -421,6 +421,78 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream interval join and watermarked streaming dedup, run over a
+# bounded stream (run_bounded_stream) so the REAL streaming operators get
+# full value checks against batch SQL oracles. Scale notes: the interval
+# join's time bound lets Spark expire buffered state on both sides once
+# the watermark passes (unbounded state otherwise); the dedup's state is
+# bounded by the watermark horizon instead of growing forever.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_join_interval",
+    sql="""
+    SELECT v.user_id,
+           strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    doc="Watermarked stream-stream interval join (views matched to "
+    "clicks within 1h), drained over a bounded stream and value-checked "
+    "against the batch join oracle — the real streaming join path, not "
+    "a batch twin.",
+)
+def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.streaming.pipeline import (
+        join_event_streams, run_bounded_stream,
+    )
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def transform(stream: DataFrame) -> DataFrame:
+        views = stream.filter(F.col("event_type") == "view")
+        clicks = stream.filter(F.col("event_type") == "click")
+        return join_event_streams(
+            views, clicks, key="user_id", within="1 hour", watermark="0 seconds"
+        )
+
+    out = run_bounded_stream(spark, e, transform)
+    return out.select(
+        "user_id",
+        _ts_str(F.col("l_ts")).alias("view_ts"),
+        _ts_str(F.col("r_ts")).alias("click_ts"),
+    )
+
+
+@register(
+    "stream_dedup_watermark",
+    sql="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming dedup (dropDuplicatesWithinWatermark on user x type) "
+    "over a bounded stream; the per-type survivor counts equal the batch "
+    "distinct-user counts — checks the real streaming-dedup state path.",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.streaming.pipeline import dedup_stream, run_bounded_stream
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    out = run_bounded_stream(
+        spark,
+        e,
+        lambda stream: dedup_stream(
+            stream, ["user_id", "event_type"], watermark="10 seconds"
+        ),
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Custom stateful streaming operator (SURVEY §2.10): per-key session
 # assembly via applyInPandasWithState, run here over a bounded stream so
 # the DuckDB island-SQL oracle gives a full value check on the streaming

@@ -40,9 +40,24 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(name: str, sql: str | None, doc: str = ""):
-    """Decorator: add a (spark_fn, oracle_sql) pair to the catalog."""
+    """Decorator: add a (spark_fn, oracle_sql) pair to the catalog.
+
+    Guards against the stacked-decorator mistake (inserting code between
+    a @register and its def leaves two decorators on one function, so
+    two catalog names silently point at the same callable — shipped once
+    in round 2 before this check): re-registering a name and registering
+    one function under two names both fail at import."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in _REGISTRY:
+            raise ValueError(f"catalog name registered twice: {name!r}")
+        for existing in _REGISTRY.values():
+            if existing.fn is fn:
+                raise ValueError(
+                    f"function {fn.__name__!r} already registered as "
+                    f"{existing.name!r}; refusing to alias it as {name!r} "
+                    "(stacked @register decorators?)"
+                )
         _REGISTRY[name] = QuerySpec(name=name, fn=fn, sql=sql, doc=doc)
         return fn
 

@@ -529,3 +529,56 @@ def join_event_streams(
     return l.join(r, cond, "inner").select(
         F.col("k").alias(key), "l_ts", "r_ts"
     )
+
+
+def run_bounded_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Run a streaming transform over a BOUNDED frame and return its
+    complete output as a batch DataFrame: stage the input to a temp
+    parquet dir, apply `transform` to the file-source stream, drain with
+    availableNow through a parquet foreachBatch sink, and materialize
+    the result (localCheckpoint) before the temp dir is removed.
+
+    This is how the catalog gives REAL streaming operators (stream-stream
+    joins, watermarked dedup) a full value check against the batch SQL
+    oracle: the streaming code path executes for real, the bounded input
+    makes the answer deterministic, and the oracle states the equivalent
+    batch semantics."""
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="dsacord-bstream-")
+    src, out, ckpt = (os.path.join(work, d) for d in ("src", "out", "ckpt"))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # stateful-stream shuffles (join/dedup state stores) pay per-
+        # partition state machinery; the session default is sized for the
+        # batch catalog, not for a bounded stream's state stores (same
+        # tuning story as sessionize_bounded; pinned at first batch)
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        df.write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+
+        def sink(batch_df: DataFrame, _epoch: int) -> None:
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            transform(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        if not os.path.isdir(out):
+            return spark.createDataFrame([], transform(df).schema)
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(work, ignore_errors=True)
