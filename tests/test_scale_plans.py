@@ -220,3 +220,62 @@ def test_q21_window_formulation_exchange_budget(spark, sf_dir):
     plan = _plan(q21_latest_shipper(spark, sf_dir))
     n = len(re.findall(r"\(\d+\) (?:Broadcast)?Exchange", plan))
     assert n <= 5, n
+
+
+def test_zorder_write_gives_multi_column_skipping(spark, sf_dir, tmp_path):
+    """Z-order clustering must shrink BOTH columns' per-file ranges:
+    a single-column sort leaves the second column's per-file min/max at
+    nearly full width (no skipping), the Morton layout bounds both. The
+    assertion reads real parquet footer statistics."""
+    import pyarrow.parquet as pq
+
+    from dsacord_spark.sinks.parquet import zorder_write
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    n_rows = li.count()
+
+    sorted_dir, z_dir = str(tmp_path / "srt"), str(tmp_path / "zord")
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(sorted_dir)
+    )
+    zorder_write(li, z_dir, ["l_orderkey", "l_partkey"], n_files=16)
+
+    def avg_range_fraction(d: str, col: str) -> float:
+        import glob as _g
+
+        spans, lo_all, hi_all = [], None, None
+        metas = []
+        for f in _g.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(col)
+            lo = min(md.row_group(g).column(ci).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(ci).statistics.max
+                     for g in range(md.num_row_groups))
+            metas.append((lo, hi))
+            lo_all = lo if lo_all is None else min(lo_all, lo)
+            hi_all = hi if hi_all is None else max(hi_all, hi)
+        width = max(1, hi_all - lo_all)
+        return sum((hi - lo) / width for lo, hi in metas) / len(metas)
+
+    # correctness: same multiset of rows
+    assert spark.read.parquet(z_dir).count() == n_rows
+    assert (
+        spark.read.parquet(z_dir)
+        .exceptAll(spark.read.parquet(sorted_dir))
+        .count()
+        == 0
+    )
+    # single-column sort: partkey per-file range ~ full width (>= 80%)
+    assert avg_range_fraction(sorted_dir, "l_partkey") > 0.8
+    # z-order: BOTH dims bounded — partkey range must at least halve,
+    # orderkey range must stay far below full width
+    z_part = avg_range_fraction(z_dir, "l_partkey")
+    z_order_k = avg_range_fraction(z_dir, "l_orderkey")
+    assert z_part < 0.5, z_part
+    assert z_order_k < 0.5, z_order_k
