@@ -262,6 +262,30 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_percentiles",
+    sql=None,
+    doc="approx_percentile (t-digest-style sketch, accuracy 10000) next "
+    "to the exact percentile per status — rows-only check by design "
+    "(sketch internals are engine-specific); the rank-error gate lives "
+    "in tests/test_catalog_oracle.py. The sketch is the 100 TB path: "
+    "exact percentile sorts every group, the sketch is one mergeable "
+    "pass.",
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile(
+            "o_totalprice", F.lit(0.5), F.lit(10000)
+        ).alias("approx_median"),
+        F.approx_percentile(
+            "o_totalprice", F.lit(0.9), F.lit(10000)
+        ).alias("approx_p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("exact_median"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("exact_p90"),
+    )
+
+
+@register(
     "agg_percentiles",
     sql="""
     SELECT o_orderstatus,

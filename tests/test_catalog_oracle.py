@@ -68,3 +68,20 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for r in rows:
         err = abs(r["approx_customers"] - r["exact_customers"]) / r["exact_customers"]
         assert err <= 0.05, (r["o_orderstatus"], r["approx_customers"], r["exact_customers"])
+
+
+def test_approx_percentile_rank_error_bound(spark, sf_dir):
+    """approx_percentile at accuracy=10000 must land within 1% RELATIVE
+    value error of the exact percentile on every group (the sketch's
+    guarantee is rank error 1/accuracy; on this data distribution that
+    maps well inside 1% of value)."""
+    from dsacord_spark.plans.catalog import specs
+
+    rows = specs()["agg_approx_percentiles"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for approx, exact in (
+            (r["approx_median"], r["exact_median"]),
+            (r["approx_p90"], r["exact_p90"]),
+        ):
+            assert abs(approx - exact) / abs(exact) < 0.01, r
