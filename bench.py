@@ -278,8 +278,17 @@ def main() -> None:
             fh.write("\n")
     except OSError as exc:  # pragma: no cover
         print(f"bench: could not write BENCH_DETAIL.json: {exc}", file=sys.stderr)
+    # the driver captures ~1KB of stdout tail: degrade the line gracefully
+    # instead of asserting AFTER a successful sweep (an abort here would
+    # reproduce the exact parsed:null failure this code prevents)
     line = json.dumps(out, separators=(",", ":"))
-    assert len(line) < 900, f"bench stdout line too long ({len(line)} chars)"
+    for drop in ("queries", "slowest"):
+        if len(line) < 900:
+            break
+        out.pop(drop, None)
+        print(f"bench: dropped {drop!r} from stdout line (too long); "
+              "full detail in BENCH_DETAIL.json", file=sys.stderr)
+        line = json.dumps(out, separators=(",", ":"))
     print(line)
 
 

@@ -614,14 +614,18 @@ def parse_avi(data: bytes) -> dict | None:
 
 
 def _bgr_frame_luma(frame: bytes, width: int, height: int) -> float:
-    """Mean luma of one raw bottom-up BGR frame (stride-padded rows)."""
+    """Mean luma of one raw bottom-up BGR frame (stride-padded rows).
+    Tolerates short/compressed chunks (a real-world AVI may carry '00dc'
+    compressed frames smaller than stride*height): only complete pixels
+    actually present are averaged; an unusable chunk scores 0.0 instead
+    of crashing the task."""
     row_raw = width * 3
     stride = row_raw + (4 - row_raw % 4) % 4
     total = 0.0
     n = 0
     for y in range(height):
         row = frame[y * stride : y * stride + row_raw]
-        for x in range(width):
+        for x in range(len(row) // 3):
             b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
             total += 0.299 * r + 0.587 * g + 0.114 * b
             n += 1

@@ -156,10 +156,17 @@ def _ngram_jaccard_prefix(
     prefix = (
         ngr.join(dfreq, "hg")
         .withColumn("rnk", F.row_number().over(wdoc))
-        .join(ngr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz")), "doc")
+        .join(arrays.select("doc", "sz"), "doc")
         .filter(
+            # ceil over a float product can overshoot an exact integer
+            # (0.07*100 = 7.000000000000001 -> ceil 8), which would make
+            # the prefix one shingle too SHORT and silently drop
+            # candidates at exactly the threshold; the epsilon only ever
+            # lengthens the prefix (extra candidates are verified away)
             F.col("rnk")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+            <= F.col("sz")
+            - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+            + 1
         )
         .select("doc", "hg")
     )
@@ -419,9 +426,11 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     # duplicate evidence). Below the threshold, union-find on the driver
     # beats any distributed loop — one collect replaces d rounds of
     # join+agg+checkpoint (measured 2-3s saved at a 256-edge graph, and
-    # the gap grows with diameter). The distributed loop stays for edge
-    # lists that genuinely cannot fit one machine.
-    if n_edges <= 1_000_000:
+    # the gap grows with diameter). The cap is sized for the DRIVER's
+    # collect cost (200k Row objects ~ tens of MB incl. the JVM buffer),
+    # not for "still feels small" — the distributed loop handles
+    # everything larger.
+    if n_edges <= 200_000:
         try:
             return _driver_union_find(spark, sym)
         finally:

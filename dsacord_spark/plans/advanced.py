@@ -507,8 +507,13 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_bounded_stream(
         spark,
         e,
+        # horizon far past the dataset's whole time span: the oracle
+        # equality (survivors == distinct keys) must hold even if the
+        # runner ever splits the input into multiple micro-batches —
+        # with a short horizon, duplicates farther apart than it that
+        # land in different batches would BOTH survive state eviction
         lambda stream: dedup_stream(
-            stream, ["user_id", "event_type"], watermark="10 seconds"
+            stream, ["user_id", "event_type"], watermark="3650 days"
         ),
     )
     return out.groupBy("event_type").agg(

@@ -163,6 +163,12 @@ def pg_connection_factory(
     wire client (sinks/pgwire.py — trust-auth unix socket only). The
     returned zero-arg callable is what write_batch ships to executors,
     so it must be picklable: it closes over plain strings only."""
+    if dsn is None and socket_dir is None:
+        raise ValueError(
+            "pg_connection_factory needs a dsn or a socket_dir — failing "
+            "fast here beats a per-task 'could not translate host \"None\"' "
+            "on every executor"
+        )
     try:  # pragma: no cover - psycopg not in this container
         import psycopg
 

@@ -88,6 +88,12 @@ class _Cursor:
     def execute(self, sql: str, params=None):
         if params is not None:
             sql = _interpolate(sql, params)
+        # DB-API semantics: a transaction starts implicitly on the first
+        # statement after connect/commit/ROLLBACK — not only when a new
+        # cursor is created. Without this, a cursor reused across a
+        # rollback (the upsert-on-conflict retry in jdbc.write_batch)
+        # would autocommit each chunk outside any transaction.
+        self._conn._ensure_txn()
         cols, rows, tag = self._conn._query(sql)
         self.description = [(c,) for c in cols] if cols else None
         self._rows = rows
@@ -104,6 +110,7 @@ class _Cursor:
         # statements the DB-API contract implies, one round-trip
         stmts = [_interpolate(sql, p) for p in param_seq]
         if stmts:
+            self._conn._ensure_txn()
             self._conn._query(";\n".join(stmts))
         self._rows, self.description, self.rowcount = [], None, -1
         return self
@@ -180,10 +187,12 @@ class Connection:
             # 'I' empty query, 'N' notice, 'S' param status: ignored
 
     # -- DB-API surface -----------------------------------------------------
-    def cursor(self) -> _Cursor:
+    def _ensure_txn(self) -> None:
         if not self._in_txn:
             self._query("BEGIN")
             self._in_txn = True
+
+    def cursor(self) -> _Cursor:
         return _Cursor(self)
 
     def commit(self):

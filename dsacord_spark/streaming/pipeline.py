@@ -349,9 +349,14 @@ def sessionize_bounded(
         import pyarrow.parquet as pq
         import pyarrow as pa
 
-        from datetime import timedelta
+        from datetime import timezone
 
-        hi = None
+        # All sentinel math runs on EPOCH MICROSECONDS (instants), never
+        # wall-clock datetimes: Spark's TIMESTAMP_MICROS files are
+        # UTC-adjusted while a naive pyarrow write would be NTZ, and
+        # mixing the two shifts the sentinel by the session-timezone
+        # offset (eating the 2*gap safety margin under e.g. UTC+8).
+        hi_us = None
         stats_complete = True
         for frag_path in pa_ds.dataset(src, format="parquet").files:
             md = pq.ParquetFile(frag_path).metadata
@@ -361,18 +366,28 @@ def sessionize_bounded(
                 col = md.row_group(rg).column(1)
                 assert col.path_in_schema == "ts", col.path_in_schema
                 if col.statistics is not None and col.statistics.has_min_max:
+                    # stats for UTC-adjusted micros fetch as naive-UTC
+                    # datetimes -> back to epoch micros explicitly
                     mx = col.statistics.max
-                    hi = mx if hi is None else max(hi, mx)
+                    mx_us = int(
+                        mx.replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+                    )
+                    hi_us = mx_us if hi_us is None else max(hi_us, mx_us)
                 else:
                     # INT96-encoded files (written outside get_spark's
                     # TIMESTAMP_MICROS conf, e.g. a bare driver session)
                     # carry no min/max — fall back to an agg job
                     stats_complete = False
         if not stats_complete:
-            hi = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
-        if hi is None:
+            # unix_micros is timezone-independent (true instant)
+            hi_us = (
+                spark.read.parquet(src)
+                .agg(F.max(F.unix_micros(F.col("ts"))))
+                .collect()[0][0]
+            )
+        if hi_us is None:
             return spark.createDataFrame([], SESSION_OUTPUT_SCHEMA)
-        sentinel_ts = hi + timedelta(seconds=2 * gap_s + 1)
+        sentinel_us = hi_us + (2 * gap_s + 1) * 1_000_000
         # one job fetches up to the driver-side cap of distinct keys; a
         # corpus with more keys writes its sentinels distributed instead
         # of through the driver
@@ -391,8 +406,12 @@ def sessionize_bounded(
                 pa.table(
                     {
                         "user_id": pa.array(keys, pa.string()),
+                        # epoch-micros into a tz-aware (UTC-adjusted)
+                        # column — the same convention Spark's own files
+                        # use, so the file-source reads one time scale
                         "ts": pa.array(
-                            [sentinel_ts] * len(keys), pa.timestamp("us")
+                            [sentinel_us] * len(keys),
+                            pa.timestamp("us", tz="UTC"),
                         ),
                     }
                 ),
@@ -402,7 +421,8 @@ def sessionize_bounded(
             if state_partitions is None:
                 state_partitions = cores
             kdf.select(
-                "user_id", F.lit(sentinel_ts).alias("ts")
+                "user_id",
+                F.timestamp_micros(F.lit(sentinel_us)).alias("ts"),
             ).write.mode("append").parquet(src)
 
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -564,20 +584,25 @@ def run_bounded_stream(
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         df.write.parquet(src)
         stream = spark.readStream.schema(df.schema).parquet(src)
+        transformed = transform(stream)
 
         def sink(batch_df: DataFrame, _epoch: int) -> None:
             batch_df.write.mode("append").parquet(out)
 
         q = (
-            transform(stream)
-            .writeStream.foreachBatch(sink)
+            transformed.writeStream.foreachBatch(sink)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("bounded stream did not drain within 600s")
         if not os.path.isdir(out):
-            return spark.createDataFrame([], transform(df).schema)
+            # schema comes from the streaming plan (a streaming-only
+            # transform like dropDuplicatesWithinWatermark would reject a
+            # batch frame)
+            return spark.createDataFrame([], transformed.schema)
         return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -64,7 +64,7 @@ def test_propagation_loop_matches_union_find(spark):
 
 
 def test_duplicate_components_takes_small_path(spark):
-    """Below the 1M-edge threshold duplicate_components routes to the
+    """Below the small-graph edge threshold duplicate_components routes to the
     union-find (same labels, no iteration budget consumed)."""
     got = {
         r["doc_id"]: r["cluster_id"]

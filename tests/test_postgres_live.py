@@ -203,3 +203,32 @@ class TestLiveSink:
         write_batch(_decisions_df(spark, rows), factory,
                     strategy="error", num_partitions=2)
         assert _scalar(factory, "SELECT count(*) FROM decisions") == ("2500",)
+
+
+class TestWireTransactions:
+    def test_statement_after_rollback_is_transactional(self, factory, fresh_table):
+        """DB-API contract regression: after a rollback, the next
+        statement on the SAME cursor must open a new transaction — if it
+        autocommitted, the uncommitted row below would survive close()
+        (this is exactly the path the upsert-on-conflict retry takes)."""
+        conn = factory()
+        cur = conn.cursor()
+        cur.execute("INSERT INTO decisions (uuid) VALUES ('t1')")
+        conn.rollback()
+        cur.executemany(
+            "INSERT INTO decisions (uuid) VALUES (%s)", [("t2",), ("t3",)]
+        )
+        conn.close()  # no commit: the rows must vanish with the txn
+        assert _scalar(factory, "SELECT count(*) FROM decisions") == ("0",)
+
+    def test_commit_after_rollback_persists(self, factory, fresh_table):
+        conn = factory()
+        cur = conn.cursor()
+        cur.execute("INSERT INTO decisions (uuid) VALUES ('a')")
+        conn.rollback()
+        cur.execute("INSERT INTO decisions (uuid) VALUES ('b')")
+        conn.commit()
+        conn.close()
+        assert _scalar(
+            factory, "SELECT string_agg(uuid, ',') FROM decisions"
+        ) == ("b",)

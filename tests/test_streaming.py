@@ -386,3 +386,42 @@ def test_sessionize_tws_matches_classic(spark):
         )
 
     assert run("tws") == run("classic")
+
+
+def test_sessionize_bounded_timezone_safe():
+    """Regression for the sentinel timezone bug: under a session pinned
+    east of UTC (+08:00) with TIMESTAMP_MICROS output, the per-key
+    sentinels must still sit 2*gap past every event as INSTANTS — a
+    naive (NTZ) sentinel write would land 8h early and swallow each
+    key's trailing session. Runs in a subprocess so the shared session's
+    timezone is untouched."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys, datetime
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.session.timeZone", "Asia/Shanghai")
+         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+         .getOrCreate())
+from dsacord_spark.streaming.pipeline import sessionize_bounded
+rows = [("A", datetime.datetime(2025, 1, 1, 10, 0, 0)),
+        ("A", datetime.datetime(2025, 1, 1, 10, 10, 0)),
+        ("A", datetime.datetime(2025, 1, 1, 20, 0, 0)),
+        ("B", datetime.datetime(2025, 1, 1, 11, 0, 0))]
+df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+got = sorted((r["user_id"], str(r["session_start"]), r["n_events"])
+             for r in sessionize_bounded(spark, df, gap_s=14400).collect())
+expected = [("A", "2025-01-01 10:00:00", 2),
+            ("A", "2025-01-01 20:00:00", 1),
+            ("B", "2025-01-01 11:00:00", 1)]
+assert got == expected, got
+print("TZ-SAFE-PASS")
+"""
+    res = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert "TZ-SAFE-PASS" in res.stdout, res.stdout[-2000:] + res.stderr[-2000:]
