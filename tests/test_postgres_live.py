@@ -232,3 +232,40 @@ class TestWireTransactions:
         assert _scalar(
             factory, "SELECT string_agg(uuid, ',') FROM decisions"
         ) == ("b",)
+
+
+class TestLiteralRoundTrip:
+    def test_fuzzed_values_round_trip(self, factory, fresh_table):
+        """Adversarial literal encoding against the REAL server: strings
+        with quotes/backslashes/braces/newlines/unicode and arrays
+        thereof must come back byte-identical through quote_literal
+        interpolation (deterministic corpus, not hypothesis, so the
+        round-trip is reproducible in CI)."""
+        corpus = [
+            "plain",
+            "it's got 'quotes'",
+            "back\\slash and \\n literal",
+            "{brace,comma}",
+            "line\nbreak\ttab",
+            "ünïcødé ∑ 中文",
+            "''double''",
+            " %s placeholder-lookalike ",
+            "",
+        ]
+        conn = factory()
+        cur = conn.cursor()
+        for i, s in enumerate(corpus):
+            cur.execute(
+                "INSERT INTO decisions (uuid, entity_id, decision_visibility)"
+                " VALUES (%s, %s, %s)",
+                (f"u{i}", s, [s, s + "2"]),
+            )
+        conn.commit()
+        for i, s in enumerate(corpus):
+            got = cur.execute(
+                "SELECT entity_id, decision_visibility[1],"
+                " decision_visibility[2] FROM decisions WHERE uuid = %s",
+                (f"u{i}",),
+            ).fetchone()
+            assert got == (s, s, s + "2"), (s, got)
+        conn.close()
