@@ -207,3 +207,29 @@ def test_ivf_blas_nprobe_expansion(spark, sf_dir):
         per_vec.setdefault(r["vec_id"], []).append(r["probe_rank"])
     assert len(per_vec) == 20
     assert all(sorted(v) == [1, 2, 3] for v in per_vec.values())
+
+
+def test_ivf_kmeans_recall_floor(spark, sf_dir):
+    """Trained centroids must not degrade recall vs the 0-iteration
+    (first-n) quantizer at the same nprobe; assert a floor at the
+    0-iter measured level (0.83 at sf0.001) minus slack for parameter
+    retuning. Also sanity: training is deterministic (two runs agree)."""
+    from dsacord_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_kmeans,
+        kmeans_centroids,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    bf = brute_force_topk(e, q, k=10).select("q_id", "neighbor_id")
+    n_truth = bf.count()
+    km = ivf_topk_kmeans(e, q, n_cells=16, nprobe=5, k=10, iters=3)
+    recall = bf.join(km, ["q_id", "neighbor_id"]).count() / n_truth
+    assert recall >= 0.80, recall
+
+    c1 = kmeans_centroids(e, k=8, iters=2)
+    c2 = kmeans_centroids(e, k=8, iters=2)
+    assert c1 == c2
