@@ -1,0 +1,148 @@
+"""Curation CLI — layer B as a runnable tool: near-dup detection,
+cluster canonical selection, and kept-document output over any parquet
+corpus with (id, text) columns.
+
+    python -m dsacord_spark.curate \
+        --input /data/documents.parquet --output /data/kept \
+        --method minhash --threshold 0.5 [--id-col doc_id --text-col text]
+
+Methods map to the operators in operators/dedup.py: `exact` (content
+hash groups), `jaccard` (exact n-gram Jaccard with the adaptive
+naive/prefix-filter routing), `minhash` (MinHash-LSH candidates with
+exact verification — the default at scale). Output: the kept documents
+as parquet, plus a one-line JSON report on stdout (counts, drop rate,
+elapsed) in the same spirit as the reference's end-of-run metrics
+epilogue (/root/reference/main.go:156-165)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    method: str = "minhash",
+    threshold: float = 0.5,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Return `docs` plus (cluster_id, kept): one kept doc per near-dup
+    cluster (longest text wins, id breaks ties), singletons keep
+    themselves. The library form of the CLI."""
+    from dsacord_spark.operators.dedup import (
+        duplicate_components,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    if method == "exact":
+        pairs = (
+            docs.alias("a")
+            .join(
+                docs.alias("b"),
+                (F.col(f"a.{text_col}") == F.col(f"b.{text_col}"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+    elif method == "jaccard":
+        pairs = ngram_jaccard_pairs(docs, id_col, text_col, n=ngram,
+                                    threshold=threshold)
+    elif method == "minhash":
+        pairs = minhash_lsh_pairs(docs, id_col, text_col, n=ngram,
+                                  threshold=threshold)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    comp = duplicate_components(pairs).withColumnRenamed(
+        "cluster_id", "__comp_cluster"
+    ).withColumnRenamed("doc_id", "__comp_doc")
+    labeled = (
+        docs.withColumn("__len", F.length(F.col(text_col)))
+        .join(
+            F.broadcast(comp),
+            F.col(id_col) == F.col("__comp_doc"),
+            "left",
+        )
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("__comp_cluster"), F.col(id_col))
+        )
+        .drop("__comp_cluster", "__comp_doc")
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("__len").desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .withColumn("kept", F.col("__rn") == 1)
+        .drop("__rn", "__len")
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="dsacord-spark-curate",
+        description="Near-dup curation over a parquet corpus: detect, "
+        "cluster, keep one canonical document per cluster.",
+    )
+    p.add_argument("--input", required=True, help="Input parquet path")
+    p.add_argument("--output", required=True, help="Output parquet dir (kept docs)")
+    p.add_argument("--method", choices=("exact", "jaccard", "minhash"),
+                   default="minhash")
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="Jaccard similarity threshold")
+    p.add_argument("--ngram", type=int, default=3, help="Shingle width (words)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--report-dropped", default=None,
+                   help="Optional parquet dir for the dropped docs "
+                   "(doc, cluster, canonical) audit trail")
+    p.add_argument("--master", default=None, help="Spark master override")
+    a = p.parse_args(argv)
+
+    from dsacord_spark.session import get_spark
+
+    spark = get_spark(app_name="dsacord-curate", master=a.master)
+    t0 = time.perf_counter()
+    docs = spark.read.parquet(a.input)
+    labeled = dedup_corpus(
+        docs, method=a.method, threshold=a.threshold, ngram=a.ngram,
+        id_col=a.id_col, text_col=a.text_col,
+    ).persist()
+    kept = labeled.filter(F.col("kept")).drop("kept")
+    kept.write.mode("overwrite").parquet(a.output)
+    n_total = labeled.count()
+    n_kept = kept.count()
+    if a.report_dropped:
+        labeled.filter(~F.col("kept")).select(
+            F.col(a.id_col), "cluster_id"
+        ).write.mode("overwrite").parquet(a.report_dropped)
+    labeled.unpersist()
+    print(
+        json.dumps(
+            {
+                "method": a.method,
+                "docs_in": n_total,
+                "docs_kept": n_kept,
+                "docs_dropped": n_total - n_kept,
+                "drop_rate": round(1 - n_kept / max(1, n_total), 6),
+                "elapsed_s": round(time.perf_counter() - t0, 2),
+                "output": a.output,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -82,3 +82,51 @@ def test_main_parquet_sink_end_to_end(spark, tmp_path, monkeypatch, capsys):
     assert rc == 1  # the 403 day surfaces as a day error -> nonzero exit
     back = spark.read.parquet(str(tmp_path / "landing" / "decisions"))
     assert [r["uuid"] for r in back.collect()] == ["cli-row"]
+
+
+class TestCurateCli:
+    def test_curate_end_to_end(self, spark, sf_dir, tmp_path):
+        """The curation CLI over the synthetic documents: kept output is
+        one canonical per cluster, the report line parses, and the
+        dropped audit trail matches docs_in - docs_kept."""
+        import json as _json
+
+        from dsacord_spark.curate import main as curate_main
+
+        out = str(tmp_path / "kept")
+        dropped = str(tmp_path / "dropped")
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = curate_main([
+                "--input", f"{sf_dir}/documents.parquet",
+                "--output", out,
+                "--method", "minhash",
+                "--threshold", "0.5",
+                "--report-dropped", dropped,
+                "--master", "local[4]",
+            ])
+        assert rc == 0
+        report = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert report["docs_in"] == report["docs_kept"] + report["docs_dropped"]
+        assert report["docs_dropped"] > 0  # the corpus is near-dup heavy
+        kept = spark.read.parquet(out)
+        assert kept.count() == report["docs_kept"]
+        # exactly one kept doc per cluster
+        assert kept.groupBy("cluster_id").count().filter("count > 1").count() == 0
+        assert spark.read.parquet(dropped).count() == report["docs_dropped"]
+
+    def test_dedup_corpus_exact_method(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dsacord_spark.curate import dedup_corpus
+
+        docs = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "unique text here")],
+            "doc_id long, text string",
+        )
+        lab = dedup_corpus(docs, method="exact")
+        kept = sorted(r["doc_id"] for r in lab.filter(F.col("kept")).collect())
+        assert kept == [1, 3]
