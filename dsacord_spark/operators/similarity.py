@@ -645,3 +645,92 @@ def ivf_topk_kmeans(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index as a CELL-PARTITIONED parquet lake:
+    trained centroids (kmeans_centroids), BLAS assignment, then
+    `.write.partitionBy("cell")` — the layout that turns the catalog's
+    in-memory cell join into PARTITION PRUNING at serve time: a probe
+    query physically reads nprobe/n_cells of the corpus (directory-level
+    skipping, before any row is touched). Centroids are persisted as
+    JSON beside the data so the index is self-contained. This is the
+    serving architecture the in-memory `ivf_topk*` operators simulate."""
+    import json
+    import os
+
+    centroid_rows = kmeans_centroids(
+        emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = assign_cells_blas(
+        emb, centroid_rows, id_col, vec_col, nprobe=1
+    ).drop("probe_rank")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    meta = {
+        "n_cells": n_cells,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids": [(int(c), list(map(float, v))) for c, v in centroid_rows],
+    }
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as fh:
+        json.dump(meta, fh)
+    return centroid_rows
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Serve top-k ANN from a `build_ivf_index` lake: assign each query
+    to its nprobe nearest cells (BLAS, centroids from the index's own
+    metadata), then scan ONLY those cell partitions (`cell IN (...)`
+    prunes at the directory level — verified by plan test) and run the
+    same score/top-k tail as the in-memory operators. Results are
+    identical to `ivf_topk_kmeans` built with the same parameters."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
+        meta = json.load(fh)
+    centroid_rows = [(int(c), v) for c, v in meta["centroids"]]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    probes = (
+        assign_cells_blas(queries, centroid_rows, "q_id", "q_vec", nprobe=nprobe)
+        .withColumnRenamed("__vn", "__qn")
+        .drop("probe_rank")
+    )
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    corpus = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(cells))
+        .withColumnRenamed("__vn", "__en")
+    )
+    cand = F.broadcast(probes).join(corpus, "cell").filter(
+        F.col("q_id") != F.col(id_col)
+    )
+    scored = cand.select(
+        "q_id",
+        F.col(id_col).alias("neighbor_id"),
+        _pair_cos(
+            dot(F.col("q_vec"), F.col(vec_col)), F.col("__qn"), F.col("__en")
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -233,3 +233,38 @@ def test_ivf_kmeans_recall_floor(spark, sf_dir):
     c1 = kmeans_centroids(e, k=8, iters=2)
     c2 = kmeans_centroids(e, k=8, iters=2)
     assert c1 == c2
+
+
+def test_persisted_ivf_index_prunes_partitions_and_matches_inmemory(
+    spark, sf_dir, tmp_path
+):
+    """The cell-partitioned IVF lake must (a) answer identically to the
+    in-memory ivf_topk_kmeans with the same parameters and (b) plan the
+    probe scan with directory-level partition pruning — the physical
+    'read nprobe/n_cells of the corpus' guarantee."""
+    import io as _io
+    import re
+    from contextlib import redirect_stdout
+
+    from dsacord_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_kmeans,
+        query_ivf_index,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(e, path, n_cells=16, iters=3)
+    served = query_ivf_index(spark, path, q, nprobe=4, k=5)
+    mem = ivf_topk_kmeans(e, q, n_cells=16, nprobe=4, k=5, iters=3)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, mem.collect()))
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "cell" in m.group(1), plan
