@@ -820,3 +820,116 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("ratio"), 6).alias("mean_ratio"),
         F.round(F.min("ratio"), 6).alias("min_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination: the 100 TB formulation of the same
+# operator. decontaminate_train_test broadcasts the DISTINCT test
+# n-gram set — fine while benchmarks are small, but the held-out side
+# of a real decontamination run can be billions of n-grams. The Bloom
+# variant replaces the broadcast set with a FIXED-SIZE bit array built
+# and probed entirely in JVM Column algebra (no Python in the hot
+# path):
+#   build: per test n-gram, k double-hashed positions -> (word, mask)
+#          -> bit_or per 64-bit word -> a <=2^14-row broadcast table;
+#   probe: per train n-gram, the same k probes join that table; a
+#          candidate needs ALL k bits set;
+#   verify: candidates (tiny after filtering) exact-join the test set,
+#          so false positives are removed and the answer is EXACT —
+#          same oracle as the broadcast formulation, two independent
+#          implementations.
+# ---------------------------------------------------------------------------
+_BLOOM_BITS = 1 << 20  # 128 KiB of filter
+_BLOOM_K = 5
+
+
+def _with_bloom_probes(df: DataFrame, hg_col: str) -> DataFrame:
+    """Explode each row into its k double-hashed Bloom probes:
+    pos_j = (h1 + j*h2) mod m with h2 forced odd (full-cycle probing),
+    split into the 64-bit word index `w` and the in-word bit `mask`.
+    Pure Column algebra (shiftleft over a Column shift amount goes
+    through expr — the Python helper only takes int literals)."""
+    # every intermediate stays far below 2^63 (ANSI mode aborts on long
+    # overflow): reduce h1 into the table domain first, derive the
+    # second hash from a 31-bit slice, and force it odd for full-cycle
+    # probing
+    h1 = F.pmod(F.col(hg_col), F.lit(_BLOOM_BITS))
+    h2 = F.pmod(
+        F.pmod(F.col(hg_col), F.lit(2_147_483_647)) * F.lit(2654435761),
+        F.lit(_BLOOM_BITS),
+    ).bitwiseOR(F.lit(1))
+    out = df.withColumn(
+        "__j", F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)]))
+    ).withColumn(
+        "__pos", F.pmod(h1 + F.col("__j") * h2, F.lit(_BLOOM_BITS))
+    )
+    return out.withColumn("w", F.shiftright(F.col("__pos"), 6)).withColumn(
+        "mask",
+        F.expr("shiftleft(cast(1 as bigint), cast(__pos % 64 as int))"),
+    ).drop("__j", "__pos")
+
+
+@register(
+    "decontaminate_bloom",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t FROM documents),
+    ngr_s AS (
+      SELECT DISTINCT doc_id AS doc, array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS ng
+      FROM toks,
+           unnest(generate_series(1, greatest(len(t)-{_DECON_N - 1}, 1))) AS u(i)
+    ),
+    ngr AS (SELECT doc, {md5_long_sql('ng')} AS hg FROM ngr_s),
+    bkt AS (SELECT doc, hg, {md5_long_sql('CAST(doc AS VARCHAR)')} % 100 AS b FROM ngr),
+    tr AS (SELECT doc, hg FROM bkt WHERE b < 80),
+    te AS (SELECT DISTINCT hg FROM bkt WHERE b >= 90),
+    sz AS (SELECT doc, count(*) AS n_ngrams FROM tr GROUP BY doc),
+    sh AS (SELECT doc, count(*) AS n_shared FROM tr JOIN te USING (hg) GROUP BY doc)
+    SELECT sh.doc AS doc_id, n_shared, n_ngrams,
+           round(CAST(n_shared AS DOUBLE) / n_ngrams, 6) AS contamination_frac
+    FROM sh JOIN sz ON sz.doc = sh.doc
+    """,
+    doc="Decontamination via a JVM-native Bloom filter (128 KiB, k=5 "
+    "double-hashed probes as Column algebra: bit_or-aggregated words, "
+    "broadcast word-table join, all-bits-set candidacy) with an exact "
+    "verify join on the candidates only — identical EXACT output to "
+    "decontaminate_train_test (same oracle), but the test side ships as "
+    "a fixed-size filter instead of a broadcast n-gram set.",
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ngr = _shingle_index(d, "doc_id", "text", _DECON_N)
+    bucket = md5_long(F.col("doc").cast("string")) % F.lit(100)
+    tr = ngr.filter(bucket < 80)
+    te = ngr.filter(bucket >= 90).select("hg").distinct()
+
+    # build: word -> bits (bit_or over all test n-grams' probe masks)
+    bloom = (
+        _with_bloom_probes(te, "hg")
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    # probe: every (doc, hg) needs ALL k probes to find their bit set
+    probes = _with_bloom_probes(tr.select("doc", "hg"), "hg")
+    hits = (
+        probes.join(F.broadcast(bloom), "w")
+        .filter((F.col("bits").bitwiseAND(F.col("mask"))) == F.col("mask"))
+        .groupBy("doc", "hg")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == _BLOOM_K)
+        .select("doc", "hg")
+    )
+    # verify: exact join removes Bloom false positives -> EXACT result
+    shared = (
+        hits.join(te, "hg")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = tr.groupBy("doc").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    return shared.join(sizes, "doc").select(
+        F.col("doc").alias("doc_id"),
+        "n_shared",
+        "n_ngrams",
+        F.round(
+            F.col("n_shared").cast("double") / F.col("n_ngrams"), 6
+        ).alias("contamination_frac"),
+    )
