@@ -42,35 +42,52 @@ def dedup_corpus(
     )
 
     if method == "exact":
-        pairs = (
-            docs.alias("a")
-            .join(
-                docs.alias("b"),
-                (F.col(f"a.{text_col}") == F.col(f"b.{text_col}"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        # exact clusters come straight from a hash groupBy (one linear
+        # shuffle on the content hash) — a text-equality self-join would
+        # expand O(group^2) pairs and shuffle whole documents as keys
+        comp = (
+            docs.select(
+                F.col(id_col),
+                F.md5(F.col(text_col)).alias("__ch"),
             )
+            .withColumn(
+                "__comp_cluster",
+                F.min(F.col(id_col)).over(W.partitionBy("__ch")),
+            )
+            .filter(F.col(id_col) != F.col("__comp_cluster"))
             .select(
-                F.col(f"a.{id_col}").alias("doc_a"),
-                F.col(f"b.{id_col}").alias("doc_b"),
-                F.lit(1.0).alias("jaccard"),
+                F.col(id_col).alias("__comp_doc"), "__comp_cluster"
+            )
+            .union(
+                # ensure the canonical itself is labeled when it has dups
+                docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__ch"))
+                .groupBy("__ch")
+                .agg(F.min(id_col).alias("__comp_doc"),
+                     F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .select("__comp_doc", F.col("__comp_doc").alias("__comp_cluster"))
             )
         )
-    elif method == "jaccard":
-        pairs = ngram_jaccard_pairs(docs, id_col, text_col, n=ngram,
-                                    threshold=threshold)
-    elif method == "minhash":
-        pairs = minhash_lsh_pairs(docs, id_col, text_col, n=ngram,
-                                  threshold=threshold)
     else:
-        raise ValueError(f"unknown method {method!r}")
+        if method == "jaccard":
+            pairs = ngram_jaccard_pairs(docs, id_col, text_col, n=ngram,
+                                        threshold=threshold)
+        elif method == "minhash":
+            pairs = minhash_lsh_pairs(docs, id_col, text_col, n=ngram,
+                                      threshold=threshold)
+        else:
+            raise ValueError(f"unknown method {method!r}")
+        comp = duplicate_components(pairs).withColumnRenamed(
+            "cluster_id", "__comp_cluster"
+        ).withColumnRenamed("doc_id", "__comp_doc")
 
-    comp = duplicate_components(pairs).withColumnRenamed(
-        "cluster_id", "__comp_cluster"
-    ).withColumnRenamed("doc_id", "__comp_doc")
+    # plain join: the clustered-doc table is unbounded on dup-heavy
+    # corpora (the CLI's target), so no forced broadcast — AQE picks one
+    # when it actually fits
     labeled = (
         docs.withColumn("__len", F.length(F.col(text_col)))
         .join(
-            F.broadcast(comp),
+            comp,
             F.col(id_col) == F.col("__comp_doc"),
             "left",
         )

@@ -370,22 +370,7 @@ def ivf_topk(
     # probes is num_queries x nprobe rows — tiny by construction — while
     # the corpus assignment is the full dataset: broadcast the probe side
     # so the cell join never shuffles the corpus
-    cand = F.broadcast(probes).join(assigned, "cell").filter(
-        F.col("q_id") != F.col(id_col)
-    )
-    scored = cand.select(
-        "q_id",
-        F.col(id_col).alias("neighbor_id"),
-        _pair_cos(
-            dot(F.col("q_vec"), F.col(vec_col)), F.col("__qn"), F.col("__en")
-        ).alias("cos_sim"),
-    )
-    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
-    )
+    return _probe_score_topk(assigned, probes, k, id_col, vec_col)
 
 
 def assign_cells_blas(
@@ -466,6 +451,38 @@ def assign_cells_blas(
     )
 
 
+def _probe_score_topk(
+    assigned: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF tail: broadcast the (tiny) probe set onto the cell-
+    assigned corpus, exact-score the candidates, global top-k per query.
+    Used by every IVF variant (declarative, BLAS, trained, persisted) so
+    tie-breaking, self-exclusion, and rounding live in exactly one
+    place."""
+    cand = F.broadcast(probes).join(assigned, "cell").filter(
+        F.col("q_id") != F.col(id_col)
+    )
+    scored = cand.select(
+        "q_id",
+        F.col(id_col).alias("neighbor_id"),
+        _pair_cos(
+            dot(F.col("q_vec"), F.col(vec_col)), F.col("__qn"), F.col("__en")
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def ivf_topk_blas(
     emb: DataFrame,
     queries: DataFrame,
@@ -496,24 +513,7 @@ def ivf_topk_blas(
         .withColumnRenamed("__vn", "__qn")
         .drop("probe_rank")
     )
-    cand = F.broadcast(probes).join(assigned, "cell").filter(
-        F.col("q_id") != F.col(id_col)
-    )
-    scored = cand.select(
-        "q_id",
-        F.col(id_col).alias("neighbor_id"),
-        _pair_cos(
-            dot(F.col("q_vec"), F.col(vec_col)), F.col("__qn"), F.col("__en")
-        ).alias("cos_sim"),
-    )
-    w = W.partitionBy("q_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
-    )
+    return _probe_score_topk(assigned, probes, k, id_col, vec_col)
 
 
 def kmeans_centroids(
@@ -545,6 +545,11 @@ def kmeans_centroids(
         .select(vec_col)
         .collect()
     )
+    if not first:
+        return []
+    # a corpus smaller than k simply trains fewer centroids (matching
+    # ivf_topk_blas's limit(n_cells) behavior instead of an IndexError)
+    k = min(k, len(first))
     cents = np.array([r[vec_col] for r in first], dtype=np.float64)
     d = cents.shape[1]
 
@@ -627,24 +632,33 @@ def ivf_topk_kmeans(
         .withColumnRenamed("__vn", "__qn")
         .drop("probe_rank")
     )
-    cand = F.broadcast(probes).join(assigned, "cell").filter(
-        F.col("q_id") != F.col(id_col)
-    )
-    scored = cand.select(
-        "q_id",
-        F.col(id_col).alias("neighbor_id"),
-        _pair_cos(
-            dot(F.col("q_vec"), F.col(vec_col)), F.col("__qn"), F.col("__en")
-        ).alias("cos_sim"),
-    )
-    w = W.partitionBy("q_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
-    )
+    return _probe_score_topk(assigned, probes, k, id_col, vec_col)
+
+
+def _hadoop_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FS API so index
+    sidecars work on any Spark-reachable filesystem (hdfs://, s3a://),
+    not only local paths."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark, path: str) -> str:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        util = jvm.org.apache.commons.io.IOUtils
+        return bytes(util.toByteArray(stream)).decode("utf-8")
+    finally:
+        stream.close()
 
 
 def build_ivf_index(
@@ -679,8 +693,10 @@ def build_ivf_index(
         "vec_col": vec_col,
         "centroids": [(int(c), list(map(float, v))) for c, v in centroid_rows],
     }
-    with open(os.path.join(path, "_ivf_centroids.json"), "w") as fh:
-        json.dump(meta, fh)
+    _hadoop_write_text(
+        emb.sparkSession, os.path.join(path, "_ivf_centroids.json"),
+        json.dumps(meta),
+    )
     return centroid_rows
 
 
@@ -700,8 +716,9 @@ def query_ivf_index(
     import json
     import os
 
-    with open(os.path.join(path, "_ivf_centroids.json")) as fh:
-        meta = json.load(fh)
+    meta = json.loads(
+        _hadoop_read_text(spark, os.path.join(path, "_ivf_centroids.json"))
+    )
     centroid_rows = [(int(c), v) for c, v in meta["centroids"]]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
 
@@ -709,6 +726,9 @@ def query_ivf_index(
         assign_cells_blas(queries, centroid_rows, "q_id", "q_vec", nprobe=nprobe)
         .withColumnRenamed("__vn", "__qn")
         .drop("probe_rank")
+        .persist()  # consumed twice: the cells collect below and the
+        # final probe join — without this the query-side BLAS assignment
+        # job runs twice per serve call
     )
     cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
     corpus = (
@@ -716,21 +736,4 @@ def query_ivf_index(
         .filter(F.col("cell").isin(cells))
         .withColumnRenamed("__vn", "__en")
     )
-    cand = F.broadcast(probes).join(corpus, "cell").filter(
-        F.col("q_id") != F.col(id_col)
-    )
-    scored = cand.select(
-        "q_id",
-        F.col(id_col).alias("neighbor_id"),
-        _pair_cos(
-            dot(F.col("q_vec"), F.col(vec_col)), F.col("__qn"), F.col("__en")
-        ).alias("cos_sim"),
-    )
-    w = W.partitionBy("q_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
-    )
+    return _probe_score_topk(corpus, probes, k, id_col, vec_col)

@@ -282,7 +282,10 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labeled = (
         d.select("doc_id", "n_chars")
-        .join(F.broadcast(comp), "doc_id", "left")
+        # no forced broadcast: the clustered-doc table grows with true
+        # duplicate density (unbounded on dup-heavy corpora); AQE
+        # broadcasts when it actually fits
+        .join(comp, "doc_id", "left")
         .withColumn(
             "cluster_id", F.coalesce(F.col("comp_cluster"), F.col("doc_id"))
         )

@@ -120,6 +120,14 @@ def _parse_csv_frame(raw: bytes, source: str) -> pd.DataFrame:
                 list(_parse_csv_rows(raw, source)),
                 columns=CSV_COLUMNS + ["_source_file"],
             )
+    if not pdf.columns.is_unique:
+        # duplicate header names: reindex would raise; the row parser's
+        # first-wins header map handles them (matching the reference's
+        # name->index map, utils.go:167-170)
+        return pd.DataFrame(
+            list(_parse_csv_rows(raw, source)),
+            columns=CSV_COLUMNS + ["_source_file"],
+        )
     pdf = pdf.reindex(columns=CSV_COLUMNS).fillna("")
     pdf["_source_file"] = source
     return pdf

@@ -268,3 +268,38 @@ def test_persisted_ivf_index_prunes_partitions_and_matches_inmemory(
     plan = buf.getvalue()
     m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
     assert m and "cell" in m.group(1), plan
+
+
+def test_kmeans_small_and_empty_corpus(spark):
+    """A corpus smaller than k trains fewer centroids (no IndexError);
+    an empty corpus returns no centroids; the end-to-end top-k still
+    works on the short corpus."""
+    from dsacord_spark.operators.similarity import (
+        ivf_topk_kmeans,
+        kmeans_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    assert len(kmeans_centroids(emb, k=16, iters=2)) == 10
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kmeans_centroids(empty, k=4) == []
+    q = emb.limit(2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assert ivf_topk_kmeans(emb, q, n_cells=16, nprobe=4, k=3).count() == 6
+
+
+def test_csv_duplicate_header_tolerated(spark):
+    """Regression: a zip-member CSV with a duplicated header name parses
+    through the row-parser tier (last occurrence wins, matching the
+    reference's name->index map) instead of crashing the pyarrow tier's
+    reindex."""
+    from dsacord_spark.sources.zipsource import _parse_csv_frame
+
+    pdf = _parse_csv_frame(b"uuid,uuid,category\na,b,c\n", "m")
+    assert len(pdf) == 1
+    assert pdf.iloc[0]["uuid"] == "b"
+    assert pdf.iloc[0]["category"] == "c"
