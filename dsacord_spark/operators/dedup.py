@@ -15,9 +15,11 @@ the hot path, so every stage is Catalyst-optimized and shuffle-explicit):
                 has guaranteed recall), then exact hamming filter.
 
 All hashes derive from md5 (functions/hashing.py) so a SQL oracle can
-reproduce results bit-for-bit — Spark's xxhash64 would be faster but
-unverifiable; swap `md5_long` for `F.xxhash64` in production if oracle
-parity is not needed.
+reproduce results bit-for-bit. When oracle parity is not needed, pass
+`production_hash=True` (where offered) to hash shingles with Spark's
+native xxhash64 instead — identical pair sets (hash choice only affects
+bucketing, and 60-64-bit collisions are negligible at corpus scale;
+equality pinned by test) at a fraction of the hashing cost.
 """
 
 from __future__ import annotations
@@ -56,7 +58,13 @@ def _exploded_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     )
 
 
-def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _shingle_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    production_hash: bool = False,
+) -> DataFrame:
     """(doc, hg): the inverted shingle index with 60-bit hashed shingles,
     persisted — it is reused 2-3x per pair query (sizes + both join
     sides), and joining on a long beats joining on the shingle string ~2x.
@@ -73,15 +81,21 @@ def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
     ngrams = F.array_distinct(
         F.transform(offsets, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)))
     )
+    hasher = F.xxhash64 if production_hash else md5_long
     return (
         tk.select("doc", F.explode(ngrams).alias("ng"))
-        .select("doc", md5_long(F.col("ng")).alias("hg"))
+        .select("doc", hasher(F.col("ng")).alias("hg"))
         .persist()
     )
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    production_hash: bool = False,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs at >= threshold, via prefix filtering
     (the All-Pairs family, Bayardo et al., WWW'07): only each doc's
@@ -107,7 +121,7 @@ def ngram_jaccard_pairs(
     exact, so the route never changes the answer. The MinHash variant
     below stays the preferred path when even exact verification is too
     much."""
-    ngr = _shingle_index(df, id_col, text_col, n)
+    ngr = _shingle_index(df, id_col, text_col, n, production_hash=production_hash)
     dfreq = ngr.groupBy("hg").agg(F.count(F.lit(1)).alias("dfreq"))
     stats = dfreq.agg(
         F.sum(F.col("dfreq") * F.col("dfreq")).alias("exp2"),

@@ -137,3 +137,19 @@ def test_keep_canonical_covers_corpus_once(spark, sf_dir):
     for r in rows:
         per_cluster.setdefault(r["cluster_id"], []).append(r["kept"])
     assert all(sum(ks) == 1 for ks in per_cluster.values())
+
+
+def test_production_hash_gives_identical_pairs(spark, sf_dir):
+    """xxhash64 shingle hashing (production_hash=True) must yield the
+    same exact Jaccard pair set as the oracle-parity md5 path — hashing
+    only affects bucketing, never the verified similarity values."""
+    from dsacord_spark.operators.dedup import ngram_jaccard_pairs
+    from dsacord_spark.plans.registry import table
+
+    d = table(spark, sf_dir, "documents")
+    a = sorted(map(tuple,
+                   ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5).collect()))
+    b = sorted(map(tuple,
+                   ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5,
+                                       production_hash=True).collect()))
+    assert a == b
