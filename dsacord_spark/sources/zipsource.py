@@ -134,13 +134,37 @@ def _parse_csv_frame(raw: bytes, source: str) -> pd.DataFrame:
 
 
 def extract_zip_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body over binaryFile rows (path, content)."""
+    """mapInPandas body over binaryFile rows (path, content).
+
+    Per-archive error isolation (reference parity, main.go:183-206: a
+    failed day is logged to the error channel and the run continues): a
+    corrupt or truncated archive — outer or nested — is logged to the
+    worker's stderr and SKIPPED instead of failing the task; members
+    already extracted from it before the corruption point are kept."""
+    import sys as _sys
+    import zlib as _zlib
+
     cols = CSV_COLUMNS + ["_source_file"]
+
+    def _members_safe(content: bytes, path: str):
+        gen = _iter_csv_members(content, path)
+        while True:
+            try:
+                yield next(gen)
+            except StopIteration:
+                return
+            except (zipfile.BadZipFile, _zlib.error, OSError, EOFError) as exc:
+                print(
+                    f"dsacord extract: skipping corrupt archive {path}: {exc}",
+                    file=_sys.stderr,
+                )
+                return
+
     for pdf in it:
         for path, content in zip(pdf["path"], pdf["content"]):
             parts: list[pd.DataFrame] = []
             pending = 0
-            for member, csv_bytes in _iter_csv_members(bytes(content), str(path)):
+            for member, csv_bytes in _members_safe(bytes(content), str(path)):
                 part = _parse_csv_frame(csv_bytes, member)
                 if part.empty:
                     continue

@@ -405,3 +405,34 @@ def test_append_return_dts_without_created_at(spark, tmp_path):
     )
     assert append_new_decisions(spark, df, out, return_dts=True) == []
     assert spark.read.parquet(out).count() == 5
+
+
+def test_corrupt_archive_isolated_not_fatal(spark, tmp_path):
+    """Reference parity (main.go:183-206): a corrupt/truncated archive is
+    logged and skipped — the good archives in the same landing dir still
+    extract, and the task does not fail."""
+    import io
+    import zipfile
+
+    from dsacord_spark.sources.zipsource import read_staged_zips
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("a.csv", 'uuid,category\n"u1","C"\n"u2","D"\n')
+    (landing / "good.zip").write_bytes(buf.getvalue())
+    (landing / "bad.zip").write_bytes(b"PK\x03\x04 truncated garbage")
+    # nested corruption: valid outer zip holding a broken inner .zip
+    outer = io.BytesIO()
+    with zipfile.ZipFile(outer, "w") as zf:
+        zf.writestr("inner.zip", b"PK\x03\x04 also garbage")
+        zf.writestr("b.csv", 'uuid,category\n"u3","E"\n')
+    (landing / "mixed.zip").write_bytes(outer.getvalue())
+
+    rows = read_staged_zips(spark, str(landing)).collect()
+    got = sorted(r["uuid"] for r in rows)
+    # u1/u2 from the good archive survive; mixed.zip contributes whatever
+    # precedes its corruption point (member order within a zip is
+    # archive-defined, so b.csv may or may not precede the bad entry)
+    assert {"u1", "u2"}.issubset(set(got))
