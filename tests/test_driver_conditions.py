@@ -45,6 +45,7 @@ names = [
     "session_stateful",
     "stream_join_interval",      # bounded-stream runner under default confs
     "dedup_components",          # driver union-find small-graph path
+    "decontaminate_bloom",       # bit_or/shift Column algebra under bare conf
 ]
 for name in names:
     df = m.queries()[name](spark, SF)
