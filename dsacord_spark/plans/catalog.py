@@ -18,6 +18,7 @@ import dsacord_spark.plans.composite  # noqa: F401  (registers composite ops)
 import dsacord_spark.plans.curation  # noqa: F401  (registers curation ops)
 import dsacord_spark.plans.udx  # noqa: F401  (registers UDTF/UDAF surface)
 import dsacord_spark.plans.tpch_rest  # noqa: F401  (registers TPC-H suite rest)
+import dsacord_spark.plans.quality  # noqa: F401  (registers corpus-quality ops)
 from dsacord_spark.plans.registry import QuerySpec, get_registry
 
 # The driver's per-round correctness check covers only the FIRST 50

@@ -1,0 +1,293 @@
+"""Corpus-quality operators, round-2 additions to layer B: C4-style
+boilerplate-window coverage, a token-commonness (rarity) score, and
+embedding label-centroid structure.
+
+These close the remaining gaps a pretraining-data pipeline hits after
+dedup/decontamination: *boilerplate removal* (the C4/RefinedWeb step that
+strips text fragments repeated across many unrelated pages), a *vocabulary
+commonness score* (the integer-exact stand-in for a unigram-LM quality
+gate — gibberish has rare "words", boilerplate has ultra-common ones), and
+*label-centroid cosine structure* over the embedding table (the standard
+first look at whether labels are separable before spending on a probe).
+
+Determinism notes (registry.py rules apply):
+- boilerplate/rarity arithmetic is pure integer counting until one final
+  IEEE division, so both engines produce bit-identical doubles;
+- centroid sums fold the per-label vectors in vec_id order via
+  F.aggregate / list_reduce — both engines accumulate doubles strictly
+  left-to-right over the same sequence, so the centroids (and the cosines
+  derived from them) are bit-identical. A plain SUM() over rows would NOT
+  be deterministic under AQE; the sorted fold is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dsacord_spark.functions.hashing import md5_long, md5_long_sql
+from dsacord_spark.functions.text import tokens
+from dsacord_spark.functions.vectors import cosine, to_double_array
+from dsacord_spark.plans.registry import register, table
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(trim({c}), '\\s+'), x -> x <> '')"
+)
+
+# ---------------------------------------------------------------------------
+# Boilerplate-window coverage (C4 / RefinedWeb "repeated fragment" gate).
+# A word 8-gram window that occurs in >= 3 DISTINCT documents is
+# boilerplate evidence; a document's boilerplate fraction is the share of
+# its token positions covered by at least one such window. This is the
+# position-level refinement of dedup_chunk_exact: overlapping windows,
+# document-frequency threshold, and exact union-of-intervals coverage.
+# Scale: the window index is one scan + one shuffle on the 60-bit window
+# hash; the coverage explode is bounded by (boilerplate windows x 8), i.e.
+# by true boilerplate density, never corpus x corpus. At 100 TB the
+# window-hash index is a materialized bucketed table shared with the
+# dedup/decontamination family.
+# ---------------------------------------------------------------------------
+_BP_N = 8
+_BP_DF = 3
+_BP_KEEP = 0.3
+
+
+@register(
+    "text_boilerplate_coverage",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t FROM documents),
+    tk AS (SELECT doc_id AS doc, t, len(t) AS n_tokens FROM toks
+           WHERE len(t) >= 1),
+    win AS (
+      SELECT doc, n_tokens, i,
+             {md5_long_sql(f"array_to_string(t[i:i+{_BP_N - 1}], ' ')")} AS hg
+      FROM tk,
+           unnest(generate_series(1, greatest(n_tokens-{_BP_N - 1}, 1))) AS u(i)),
+    boiler AS (
+      SELECT hg FROM (
+        SELECT hg, count(DISTINCT doc) AS nd FROM win GROUP BY hg)
+      WHERE nd >= {_BP_DF}),
+    cov AS (
+      SELECT DISTINCT doc, p
+      FROM win JOIN boiler USING (hg),
+           unnest(generate_series(i, least(i+{_BP_N - 1}, n_tokens))) AS v(p)),
+    covc AS (SELECT doc, count(*) AS n_boiler_tokens FROM cov GROUP BY doc)
+    SELECT tk.doc AS doc_id, tk.n_tokens,
+           COALESCE(n_boiler_tokens, 0) AS n_boiler_tokens,
+           round(CAST(COALESCE(n_boiler_tokens, 0) AS DOUBLE) / tk.n_tokens, 6)
+             AS boiler_frac,
+           (CAST(COALESCE(n_boiler_tokens, 0) AS DOUBLE) / tk.n_tokens
+             <= {_BP_KEEP}) AS keep
+    FROM tk LEFT JOIN covc ON covc.doc = tk.doc
+    """,
+    doc="C4-style boilerplate gate: word 8-gram windows occurring in >= 3 "
+    "distinct docs are boilerplate; per doc, the exact token-position "
+    "coverage of those windows (union of overlapping intervals), the "
+    "covered fraction, and a keep flag (frac <= 0.3). One shuffle on the "
+    "window hash; coverage cost bounded by true boilerplate density.",
+)
+def text_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tk = (
+        d.select(F.col("doc_id").alias("doc"), tokens("text").alias("t"))
+        .withColumn("n_tokens", F.size("t"))
+        .filter(F.col("n_tokens") >= 1)
+    )
+    # materialize t before the per-offset slice (see _shingle_index note:
+    # inlining the tokenizer makes Catalyst re-split once per offset)
+    win = (
+        tk.select(
+            "doc",
+            "n_tokens",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.col("n_tokens") - F.lit(_BP_N - 1), F.lit(1)),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc",
+            "n_tokens",
+            "i",
+            md5_long(
+                F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), _BP_N))
+            ).alias("hg"),
+        )
+        .persist()
+    )
+    boiler = (
+        win.groupBy("hg")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .filter(F.col("nd") >= _BP_DF)
+        .select("hg")
+    )
+    cov = (
+        win.join(boiler, "hg")
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(
+                    F.col("i"),
+                    F.least(F.col("i") + F.lit(_BP_N - 1), F.col("n_tokens")),
+                )
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_boiler_tokens"))
+    )
+    frac = F.coalesce(F.col("n_boiler_tokens"), F.lit(0)).cast("double") / F.col(
+        "n_tokens"
+    )
+    return (
+        tk.select("doc", "n_tokens")
+        .join(cov, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_tokens",
+            F.coalesce(F.col("n_boiler_tokens"), F.lit(0)).alias(
+                "n_boiler_tokens"
+            ),
+            F.round(frac, 6).alias("boiler_frac"),
+            (frac <= _BP_KEEP).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-commonness (rarity) score: the integer-exact surrogate for a
+# unigram-LM quality gate. Mean/min corpus collection-frequency of a
+# document's tokens: gibberish scores a LOW mean (its "words" are rare),
+# boilerplate scores HIGH (ultra-common tokens). Integer sums both sides
+# (ln-based logprob is only faithfully rounded and could flip a rounding
+# boundary between engines — same reasoning as text_tfidf_topk's rational
+# idf). Scale: the token->cf table is a vocabulary-sized dimension —
+# orders of magnitude smaller than the corpus — so it broadcasts and the
+# token stream never shuffles; one partial-aggregated groupBy per doc.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_rarity_score",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t FROM documents),
+    tok AS (SELECT doc_id, tk FROM toks, unnest(t) AS u(tk)),
+    cf AS (SELECT tk, count(*) AS cf FROM tok GROUP BY tk)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(cf) AS BIGINT) AS sum_cf,
+           CAST(min(cf) AS BIGINT) AS min_cf,
+           round(CAST(sum(cf) AS DOUBLE) / count(*), 6) AS mean_cf
+    FROM tok JOIN cf USING (tk)
+    GROUP BY doc_id
+    """,
+    doc="Unigram commonness score per document: mean and min corpus "
+    "collection-frequency of its tokens (integer-exact unigram-LM "
+    "surrogate; low mean = gibberish-like rare vocabulary, high mean = "
+    "stopword/boilerplate-like). The vocabulary cf table broadcasts.",
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tk"))
+    cf = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cf"))
+    return (
+        tok.join(F.broadcast(cf), "tk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cf").alias("sum_cf"),
+            F.min("cf").alias("min_cf"),
+            F.round(
+                F.sum("cf").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_cf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid cosine structure over the embedding table: per-label mean
+# vector, then pairwise centroid cosines — the first-look separability
+# report before spending on a trained probe (high off-diagonal cosine =
+# confusable label pair). Determinism: per-label sums fold the vectors in
+# vec_id order (F.aggregate / list_reduce are strict left-to-right), so
+# both engines accumulate the identical double sequence. Scale: labels are
+# few; collect_list per label is bounded by the largest class. At 100 TB
+# the same fold runs per partition with a final ordered merge of partial
+# (sum, count) pairs — or drop exactness and use plain SUM; the catalog
+# keeps the oracle-exact form.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embed_label_centroids",
+    sql="""
+    WITH g AS (
+      SELECT label, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vs,
+             count(*) AS n
+      FROM embeddings GROUP BY label),
+    c AS (
+      SELECT label, CAST(n AS BIGINT) AS n,
+        list_transform(
+          list_reduce(vs, (acc, v) ->
+            list_transform(generate_series(1, len(acc)), i -> acc[i] + v[i])),
+          x -> x / n) AS cent
+      FROM g)
+    SELECT a.label AS label_a, b.label AS label_b,
+           a.n AS n_a, b.n AS n_b,
+           round(list_dot_product(a.cent, b.cent) /
+                 (sqrt(list_dot_product(a.cent, a.cent)) *
+                  sqrt(list_dot_product(b.cent, b.cent))), 6)
+             AS centroid_cosine
+    FROM c a JOIN c b ON a.label < b.label
+    """,
+    doc="Pairwise label-centroid cosines over the embedding table (label "
+    "separability report). Centroid sums fold vectors in vec_id order on "
+    "both engines, so results are bit-identical; the pair join is over "
+    "the tiny label set.",
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    g = e.groupBy("label").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id"), to_double_array("embedding").alias("v")
+                )
+            )
+        ).alias("vs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    zero = F.transform(F.col("vs")[0]["v"], lambda x: F.lit(0.0))
+    summed = F.aggregate(
+        F.col("vs"),
+        zero,
+        lambda acc, s: F.zip_with(acc, s["v"], lambda a, b: a + b),
+    )
+    cents = g.select(
+        "label", "n", F.transform(summed, lambda x: x / F.col("n")).alias("cent")
+    )
+    a = cents.select(
+        F.col("label").alias("label_a"),
+        F.col("n").alias("n_a"),
+        F.col("cent").alias("ca"),
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"),
+        F.col("n").alias("n_b"),
+        F.col("cent").alias("cb"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(cosine(F.col("ca"), F.col("cb")), 6).alias(
+                "centroid_cosine"
+            ),
+        )
+    )

@@ -46,6 +46,7 @@ names = [
     "stream_join_interval",      # bounded-stream runner under default confs
     "dedup_components",          # driver union-find small-graph path
     "decontaminate_bloom",       # bit_or/shift Column algebra under bare conf
+    "embed_label_centroids",     # nested HOF lambdas + struct sort_array fold
 ]
 for name in names:
     df = m.queries()[name](spark, SF)
