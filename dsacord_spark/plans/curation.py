@@ -903,21 +903,55 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     te = ngr.filter(bucket >= 90).select("hg").distinct()
 
     # build: word -> bits (bit_or over all test n-grams' probe masks)
+    # persisted: the <=2^14-row word table is referenced once per probe
+    # join below — without the persist each broadcast re-derives it from
+    # the test n-gram set
     bloom = (
         _with_bloom_probes(te, "hg")
         .groupBy("w")
         .agg(F.bit_or("mask").alias("bits"))
+        .persist()
     )
-    # probe: every (doc, hg) needs ALL k probes to find their bit set
-    probes = _with_bloom_probes(tr.select("doc", "hg"), "hg")
-    hits = (
-        probes.join(F.broadcast(bloom), "w")
-        .filter((F.col("bits").bitwiseAND(F.col("mask"))) == F.col("mask"))
-        .groupBy("doc", "hg")
-        .agg(F.count(F.lit(1)).alias("k_hits"))
-        .filter(F.col("k_hits") == _BLOOM_K)
-        .select("doc", "hg")
-    )
+    # probe: every (doc, hg) needs ALL k probes to find their bit set.
+    # k successive broadcast-hash joins against the <=2^14-row word table
+    # — entirely map-side, no explode and no shuffle (the previous
+    # explode(k) + groupBy(doc, hg) formulation paid a k-times-wider
+    # shuffle for the hit count; the conjunction of per-probe filters is
+    # the same predicate with zero exchanges, and each filter prunes the
+    # stream before the next join).
+    probe = tr.select("doc", "hg")
+    h1 = F.pmod(F.col("hg"), F.lit(_BLOOM_BITS))
+    h2 = F.pmod(
+        F.pmod(F.col("hg"), F.lit(2_147_483_647)) * F.lit(2654435761),
+        F.lit(_BLOOM_BITS),
+    ).bitwiseOR(F.lit(1))
+    for j in range(_BLOOM_K):
+        probe = (
+            probe.withColumn(
+                f"__p{j}", F.pmod(h1 + F.lit(j) * h2, F.lit(_BLOOM_BITS))
+            )
+            .withColumn(f"__w{j}", F.shiftright(F.col(f"__p{j}"), 6))
+            .withColumn(
+                f"__m{j}",
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), cast(__p{j} % 64 as int))"
+                ),
+            )
+            .join(
+                F.broadcast(
+                    bloom.select(
+                        F.col("w").alias(f"__w{j}"),
+                        F.col("bits").alias(f"__b{j}"),
+                    )
+                ),
+                f"__w{j}",
+            )
+            .filter(
+                (F.col(f"__b{j}").bitwiseAND(F.col(f"__m{j}")))
+                == F.col(f"__m{j}")
+            )
+        )
+    hits = probe.select("doc", "hg")
     # verify: exact join removes Bloom false positives -> EXACT result
     shared = (
         hits.join(te, "hg")
