@@ -58,7 +58,7 @@ def _exploded_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataF
     )
 
 
-def _shingle_index(
+def _shingle_frame(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -66,10 +66,8 @@ def _shingle_index(
     production_hash: bool = False,
 ) -> DataFrame:
     """(doc, hg): the inverted shingle index with 60-bit hashed shingles,
-    persisted — it is reused 2-3x per pair query (sizes + both join
-    sides), and joining on a long beats joining on the shingle string ~2x.
-    At 100 TB this is a materialized table (write once, bucket by hg),
-    not a cache.
+    unpersisted (see _shingle_index / build_shingle_index for the two
+    materialization forms).
 
     The token array is materialized in its own projection BEFORE the
     per-offset transform: inlining tokens() inside slice() makes Catalyst
@@ -85,8 +83,61 @@ def _shingle_index(
     return (
         tk.select("doc", F.explode(ngrams).alias("ng"))
         .select("doc", hasher(F.col("ng")).alias("hg"))
-        .persist()
     )
+
+
+def _shingle_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    production_hash: bool = False,
+) -> DataFrame:
+    """The session-cache form of the shingle index: persisted — it is
+    reused 2-3x per pair query (sizes + both join sides), and joining on
+    a long beats joining on the shingle string ~2x. At 100 TB use
+    build_shingle_index instead (write once, bucketed by hg)."""
+    return _shingle_frame(df, id_col, text_col, n, production_hash).persist()
+
+
+def build_shingle_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    table_name: str,
+    path: str | None = None,
+    buckets: int = 16,
+    production_hash: bool = False,
+) -> None:
+    """Materialize the shingle index as an hg-bucketed, hg-sorted table —
+    the write-once production form of _shingle_index's session cache.
+
+    Every consumer in the dedup/decontamination/overlap family joins this
+    index to itself (or to a probe set) ON hg; with both sides read from
+    the same bucketed table the sort-merge join reads co-located,
+    pre-sorted buckets: ZERO Exchange below the join, at any corpus size.
+    Build once per corpus snapshot, amortize across every pair query."""
+    writer = (
+        _shingle_frame(df, id_col, text_col, n, production_hash)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "hg")
+        .sortBy("hg")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def jaccard_pairs_from_index(
+    spark, table_name: str, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs served from a materialized shingle
+    index (build_shingle_index): identical output to the naive route of
+    ngram_jaccard_pairs, but the hg self-join is bucket-co-located —
+    no shuffle of the index on either side."""
+    return _ngram_jaccard_naive(spark.table(table_name), threshold)
 
 
 def ngram_jaccard_pairs(

@@ -279,3 +279,47 @@ def test_zorder_write_gives_multi_column_skipping(spark, sf_dir, tmp_path):
     z_order_k = avg_range_fraction(z_dir, "l_orderkey")
     assert z_part < 0.5, z_part
     assert z_order_k < 0.5, z_order_k
+
+
+def test_materialized_shingle_index_self_join_is_shuffle_free(
+    spark, sf_dir, tmp_path
+):
+    """build_shingle_index writes the (doc, hg) index bucketed+sorted by
+    hg; the pair self-join on hg then reads co-located buckets (zero
+    Exchange below the join), and the pairs served from the index are
+    identical to ngram_jaccard_pairs over the raw documents."""
+    from dsacord_spark.operators.dedup import (
+        build_shingle_index,
+        jaccard_pairs_from_index,
+        ngram_jaccard_pairs,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    build_shingle_index(
+        d, "doc_id", "text", 3, "t_shingle_b", path=str(tmp_path / "shingle")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ngr = spark.table("t_shingle_b")
+        a, b = ngr.alias("a"), ngr.alias("b")
+        joined = a.join(
+            b,
+            (F.col("a.hg") == F.col("b.hg")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # value parity with the session-cache route
+        got = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in jaccard_pairs_from_index(spark, "t_shingle_b", 0.5).collect()
+        }
+        want = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5).collect()
+        }
+        assert got == want and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_shingle_b")
