@@ -1,6 +1,6 @@
-"""Corpus-quality operators, round-2 additions to layer B: C4-style
-boilerplate-window coverage, a token-commonness (rarity) score, and
-embedding label-centroid structure.
+"""Corpus/data-quality operators, round-2 additions to layer B: C4-style
+boilerplate-window coverage, a token-commonness (rarity) score, embedding
+label-centroid structure, and robust (MAD) outlier detection.
 
 These close the remaining gaps a pretraining-data pipeline hits after
 dedup/decontamination: *boilerplate removal* (the C4/RefinedWeb step that
@@ -289,5 +289,88 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("ca"), F.col("cb")), 6).alias(
                 "centroid_cosine"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust (MAD) outlier detection per event_type: median and median
+# absolute deviation via EXACT interpolated percentiles (Spark
+# `percentile` == DuckDB `quantile_cont`, same parity agg_percentiles
+# pins), then the standard |x - med| > 3*MAD flag. Robust stats are the
+# data-quality twin of events_value_winsorize: winsorizing clamps tails,
+# this one *reports* them without being corrupted by them (a mean/stddev
+# z-score moves with the outliers it is hunting; percentile selection
+# does not — and unlike stddev's float sum-of-squares, it is
+# order-deterministic, so the value oracle stays exact). Scale: two
+# aggregations over the events stream plus two broadcast joins of the
+# tiny per-type stats table; no shuffle of the raw stream beyond the
+# groupBys' partial aggs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_anomaly_mad",
+    sql="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    j AS (
+      SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (event_type)),
+    st AS (
+      SELECT event_type, count(*) AS n, min(med) AS med,
+             quantile_cont(adev, 0.5) AS mad
+      FROM j GROUP BY event_type),
+    o AS (
+      SELECT j.event_type, count(*) AS n_outliers
+      FROM j JOIN st USING (event_type)
+      WHERE adev > 3 * mad GROUP BY j.event_type)
+    SELECT st.event_type, CAST(n AS BIGINT) AS n_events,
+           round(med, 6) AS median_value,
+           round(mad, 6) AS mad_value,
+           CAST(COALESCE(n_outliers, 0) AS BIGINT) AS n_outliers,
+           round(CAST(COALESCE(n_outliers, 0) AS DOUBLE) / n, 6)
+             AS outlier_frac
+    FROM st LEFT JOIN o USING (event_type)
+    """,
+    doc="Robust outlier report per event_type: exact interpolated median "
+    "and MAD (order-deterministic percentile selection, not float "
+    "moment sums), count and fraction of |value - median| > 3*MAD "
+    "events. Two stream aggregations + broadcast joins of the tiny "
+    "per-type stats.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    j = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
+    )
+    st = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("med").alias("med"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"),
+    )
+    o = (
+        j.join(F.broadcast(st.select("event_type", "mad")), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        st.join(o, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad_value"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+            F.round(
+                F.coalesce(F.col("n_outliers"), F.lit(0)).cast("double")
+                / F.col("n"),
+                6,
+            ).alias("outlier_frac"),
         )
     )
