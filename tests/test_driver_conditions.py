@@ -26,7 +26,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
 spark = (
-    SparkSession.builder.master("local[2]")
+    SparkSession.builder.master("local[4]")
     .appName("driver-conditions")
     .getOrCreate()
 )
@@ -34,7 +34,11 @@ import __spark_entry__ as m
 from tests.oracle_harness import run_oracle, compare
 
 SF = "/root/testdata/sf0.001"
-names = [
+# The driver's correctness gate runs the FIRST 50 queries() entries in
+# its own bare session — sweep exactly that window (whatever the
+# history-derived rotation currently puts there), plus a hand-picked set
+# of conf-sensitive paths that may sit outside it.
+extra = [
     "window_tumbling_hour",      # events: tz + ts encoding via table()
     "udtf_sentence_split",       # Python UDTF path
     "udaf_grouped_median",       # grouped-agg pandas UDF path
@@ -48,7 +52,14 @@ names = [
     "decontaminate_bloom",       # bit_or/shift Column algebra under bare conf
     "embed_label_centroids",     # nested HOF lambdas + struct sort_array fold
 ]
+window = list(m.queries())[:50]
+names = window + [n for n in extra if n not in window]
+osql = m.oracle_sql()
 for name in names:
+    if osql.get(name) is None:
+        assert m.queries()[name](spark, SF).count() >= 0, name
+        print(name, "OK rows-only")
+        continue
     df = m.queries()[name](spark, SF)
     cols, rows = run_oracle(m.oracle_sql()[name], SF)
     problems = compare(df, cols, rows)
@@ -67,7 +78,7 @@ def test_catalog_runs_in_bare_default_session():
         [sys.executable, "-c", _SCRIPT],
         capture_output=True,
         text=True,
-        timeout=420,
+        timeout=900,
         cwd="/root/repo",
     )
     assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-4000:]
