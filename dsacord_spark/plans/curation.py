@@ -29,12 +29,8 @@ from dsacord_spark.functions.hashing import md5_long, md5_long_sql
 from dsacord_spark.functions.text import tokens
 from dsacord_spark.functions.vectors import norm, to_double_array
 from dsacord_spark.operators.dedup import _shingle_index
-from dsacord_spark.plans.analysis import _ngr_cte
+from dsacord_spark.plans.analysis import _ngr_cte, _TOKS_SQL
 from dsacord_spark.plans.registry import register, table
-
-_TOKS_SQL = (
-    "list_filter(string_split_regex(trim({c}), '\\s+'), x -> x <> '')"
-)
 _SPLIT_HASH = md5_long_sql("CAST(doc_id AS VARCHAR)")
 
 # ---------------------------------------------------------------------------
@@ -843,21 +839,30 @@ _BLOOM_BITS = 1 << 20  # 128 KiB of filter
 _BLOOM_K = 5
 
 
+def _bloom_hashes(hg):
+    """(h1, h2) of the double-hashing scheme — THE single definition of
+    the probe-position math, shared by the filter build and the probe
+    side (a drift between the two would produce false NEGATIVES, which
+    the exact-verify join cannot repair).
+
+    Every intermediate stays far below 2^63 (ANSI mode aborts on long
+    overflow): h1 is reduced into the table domain first; h2 derives
+    from a 31-bit slice and is forced odd for full-cycle probing."""
+    h1 = F.pmod(hg, F.lit(_BLOOM_BITS))
+    h2 = F.pmod(
+        F.pmod(hg, F.lit(2_147_483_647)) * F.lit(2654435761),
+        F.lit(_BLOOM_BITS),
+    ).bitwiseOR(F.lit(1))
+    return h1, h2
+
+
 def _with_bloom_probes(df: DataFrame, hg_col: str) -> DataFrame:
     """Explode each row into its k double-hashed Bloom probes:
     pos_j = (h1 + j*h2) mod m with h2 forced odd (full-cycle probing),
     split into the 64-bit word index `w` and the in-word bit `mask`.
     Pure Column algebra (shiftleft over a Column shift amount goes
     through expr — the Python helper only takes int literals)."""
-    # every intermediate stays far below 2^63 (ANSI mode aborts on long
-    # overflow): reduce h1 into the table domain first, derive the
-    # second hash from a 31-bit slice, and force it odd for full-cycle
-    # probing
-    h1 = F.pmod(F.col(hg_col), F.lit(_BLOOM_BITS))
-    h2 = F.pmod(
-        F.pmod(F.col(hg_col), F.lit(2_147_483_647)) * F.lit(2654435761),
-        F.lit(_BLOOM_BITS),
-    ).bitwiseOR(F.lit(1))
+    h1, h2 = _bloom_hashes(F.col(hg_col))
     out = df.withColumn(
         "__j", F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)]))
     ).withColumn(
@@ -920,11 +925,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same predicate with zero exchanges, and each filter prunes the
     # stream before the next join).
     probe = tr.select("doc", "hg")
-    h1 = F.pmod(F.col("hg"), F.lit(_BLOOM_BITS))
-    h2 = F.pmod(
-        F.pmod(F.col("hg"), F.lit(2_147_483_647)) * F.lit(2654435761),
-        F.lit(_BLOOM_BITS),
-    ).bitwiseOR(F.lit(1))
+    h1, h2 = _bloom_hashes(F.col("hg"))
     for j in range(_BLOOM_K):
         probe = (
             probe.withColumn(

@@ -27,11 +27,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from dsacord_spark.functions.hashing import md5_long, md5_long_sql
 from dsacord_spark.functions.text import tokens
 from dsacord_spark.functions.vectors import cosine, to_double_array
+from dsacord_spark.plans.analysis import _TOKS_SQL
 from dsacord_spark.plans.registry import register, table
-
-_TOKS_SQL = (
-    "list_filter(string_split_regex(trim({c}), '\\s+'), x -> x <> '')"
-)
 
 # ---------------------------------------------------------------------------
 # Boilerplate-window coverage (C4 / RefinedWeb "repeated fragment" gate).
@@ -141,8 +138,12 @@ def text_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     frac = F.coalesce(F.col("n_boiler_tokens"), F.lit(0)).cast("double") / F.col(
         "n_tokens"
     )
+    # every doc with n_tokens >= 1 emits at least one window (offset 1 is
+    # always generated), so the per-doc size list is served from the
+    # persisted window frame instead of re-tokenizing the corpus
+    sizes = win.select("doc", "n_tokens").distinct()
     return (
-        tk.select("doc", "n_tokens")
+        sizes
         .join(cov, "doc", "left")
         .select(
             F.col("doc").alias("doc_id"),
@@ -302,10 +303,10 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this one *reports* them without being corrupted by them (a mean/stddev
 # z-score moves with the outliers it is hunting; percentile selection
 # does not — and unlike stddev's float sum-of-squares, it is
-# order-deterministic, so the value oracle stays exact). Scale: two
-# aggregations over the events stream plus two broadcast joins of the
-# tiny per-type stats table; no shuffle of the raw stream beyond the
-# groupBys' partial aggs.
+# order-deterministic, so the value oracle stays exact). Scale: three
+# scans of the events stream (median, stats, outlier count) with only
+# the tiny per-type frames persisted and broadcast; no shuffle of the
+# raw stream beyond the groupBys' partial aggs.
 # ---------------------------------------------------------------------------
 
 
@@ -337,14 +338,19 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Robust outlier report per event_type: exact interpolated median "
     "and MAD (order-deterministic percentile selection, not float "
     "moment sums), count and fraction of |value - median| > 3*MAD "
-    "events. Two stream aggregations + broadcast joins of the tiny "
-    "per-type stats.",
+    "events. Three scans of the stream (med, stats, outlier count) with "
+    "only the tiny per-type frames persisted/broadcast — caching the "
+    "full deviation stream would cost more than the re-scan at scale.",
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select("event_type", "value")
+    # med and st are per-type rows (tiny) but their subtrees scan the
+    # whole stream; both feed two consumers and Spark does no CSE across
+    # join branches, so persist them — unpersisted, the plan re-scans
+    # events ~6x and computes the exact percentile 3x
     med = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
-    )
+    ).persist()
     j = e.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
     )
@@ -352,7 +358,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("med").alias("med"),
         F.percentile("adev", F.lit(0.5)).alias("mad"),
-    )
+    ).persist()
     o = (
         j.join(F.broadcast(st.select("event_type", "mad")), "event_type")
         .filter(F.col("adev") > 3 * F.col("mad"))
