@@ -1,6 +1,7 @@
 """Corpus/data-quality operators, round-2 additions to layer B: C4-style
 boilerplate-window coverage, a token-commonness (rarity) score, embedding
-label-centroid structure, and robust (MAD) outlier detection.
+label-centroid structure, robust (MAD) outlier detection, and count-min
+heavy hitters.
 
 These close the remaining gaps a pretraining-data pipeline hits after
 dedup/decontamination: *boilerplate removal* (the C4/RefinedWeb step that
@@ -378,5 +379,90 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n"),
                 6,
             ).alias("outlier_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters: the streaming/mergeable answer to
+# text_token_topk. A depth-4 x width-1024 CMS built with the engine's
+# md5 hash family — deterministic constants, so (like the MinHash/LSH
+# family) the sketch is bit-reproducible in DuckDB and the entry gets a
+# FULL value oracle instead of a rows-only check. Output carries both
+# the sketch estimate and the exact count, making the one-sided error
+# (cms_count >= exact_count, within n_tokens/width) visible and
+# gate-able. Scale: the sketch is built from the vocabulary-sized
+# (token, count) table, not the occurrence stream — explode x depth of
+# the vocab, one 4096-group aggregation, broadcast join back; counters
+# merge across shards/streams by addition (the point of a CMS at
+# 100 TB: a fixed 32 KB summary per partition, merged associatively).
+# ---------------------------------------------------------------------------
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+@register(
+    "text_heavy_hitters_cms",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t FROM documents),
+    tok AS (SELECT tk FROM toks, unnest(t) AS u(tk)),
+    exact AS (SELECT tk, count(*) AS cnt FROM tok GROUP BY tk),
+    lv AS (
+      SELECT tk, cnt, i,
+             {md5_long_sql("tk || '#' || CAST(i AS VARCHAR)")} % {_CMS_WIDTH} AS b
+      FROM exact, unnest([0, 1, 2, 3]) AS u(i)),
+    cms AS (SELECT i, b, CAST(sum(cnt) AS BIGINT) AS w FROM lv GROUP BY i, b),
+    est AS (
+      SELECT tk, min(w) AS cms_count, min(cnt) AS exact_count
+      FROM lv JOIN cms USING (i, b) GROUP BY tk)
+    SELECT tk AS token,
+           CAST(cms_count AS BIGINT) AS cms_count,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           row_number() OVER (ORDER BY cms_count DESC, tk ASC) AS rank
+    FROM est ORDER BY cms_count DESC, tk ASC LIMIT 10
+    """,
+    doc="Top-10 heavy-hitter tokens by a depth-4 x width-1024 count-min "
+    "sketch (deterministic md5 hash family -> full value oracle), with "
+    "the exact count alongside so the sketch's one-sided error is "
+    "visible. Built from the vocab-sized count table; counters merge by "
+    "addition across shards.",
+)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("tk"))
+    exact = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (
+                    md5_long(F.concat_ws("#", F.col("tk"), F.lit(str(i))))
+                    % _CMS_WIDTH
+                ).alias("b"),
+            )
+            for i in range(_CMS_DEPTH)
+        ]
+    )
+    lv = exact.select("tk", "cnt", F.explode(probes).alias("p")).select(
+        "tk", "cnt", "p.i", "p.b"
+    )
+    cms = lv.groupBy("i", "b").agg(F.sum("cnt").alias("w"))
+    est = (
+        lv.join(F.broadcast(cms), ["i", "b"])
+        .groupBy("tk")
+        .agg(
+            F.min("w").alias("cms_count"),
+            F.min("cnt").alias("exact_count"),
+        )
+    )
+    win = W.orderBy(F.col("cms_count").desc(), F.col("tk").asc())
+    return (
+        est.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("tk").alias("token"), "cms_count", "exact_count", "rank"
         )
     )

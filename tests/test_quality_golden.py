@@ -98,3 +98,22 @@ def test_label_centroids_golden(spark, tmp_path):
     assert out[(0, 1)]["centroid_cosine"] == expect
     assert out[(0, 2)]["centroid_cosine"] == expect
     assert out[(1, 2)]["centroid_cosine"] == 0.0
+
+
+def test_cms_overestimates_and_finds_true_heavy_hitter(spark, tmp_path):
+    """CMS property pin on a vocabulary WIDER than the sketch (so
+    collisions actually occur): estimates never undercount, and the
+    dominant token still ranks first."""
+    # 3000 distinct filler tokens (> _CMS_WIDTH buckets) + one token
+    # repeated 500 times
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(3))) for i in range(1000)]
+    rows.append((9999, " ".join(["hot"] * 500)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = specs()["text_heavy_hitters_cms"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    assert all(r["cms_count"] >= r["exact_count"] for r in out)
+    top = out[0] if out[0]["rank"] == 1 else min(out, key=lambda r: r["rank"])
+    assert top["token"] == "hot" and top["exact_count"] == 500
