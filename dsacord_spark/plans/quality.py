@@ -1,7 +1,7 @@
 """Corpus/data-quality operators, round-2 additions to layer B: C4-style
 boilerplate-window coverage, a token-commonness (rarity) score, embedding
-label-centroid structure, robust (MAD) outlier detection, and count-min
-heavy hitters.
+label-centroid structure, robust (MAD) outlier detection, count-min
+heavy hitters, and the sequence-packing plan.
 
 These close the remaining gaps a pretraining-data pipeline hits after
 dedup/decontamination: *boilerplate removal* (the C4/RefinedWeb step that
@@ -465,4 +465,83 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("tk").alias("token"), "cms_count", "exact_count", "rank"
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing plan: GPT-style contiguous packing of the tokenized
+# corpus into fixed-length training sequences (capacity 512 tokens).
+# Docs are deterministically sharded (hash mod 32 — the unit of parallel
+# packing at scale), ordered by doc_id within the shard, and assigned to
+# the bin their starting offset falls in (floor(cum_before / 512): docs
+# straddling a boundary spill into the next bin, exactly like the
+# concat-then-chunk packing every pretraining run uses). Output is the
+# per-bin plan: doc count, token sum, and start/end offsets. Scale: one
+# window per shard (shards are independent — no global ordering, which
+# is the thing that would NOT scale), one final per-bin aggregation.
+# ---------------------------------------------------------------------------
+_PACK_SEQ = 512
+_PACK_SHARDS = 32
+
+
+@register(
+    "corpus_pack_sequences",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, len({_TOKS_SQL.format(c='text')}) AS n_tok FROM documents),
+    sh AS (
+      SELECT doc_id, n_tok,
+             {md5_long_sql("CAST(doc_id AS VARCHAR)")} % {_PACK_SHARDS} AS shard
+      FROM toks WHERE n_tok >= 1),
+    cum AS (
+      SELECT shard, doc_id, n_tok,
+             CAST(COALESCE(sum(n_tok) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM sh),
+    b AS (
+      SELECT shard, doc_id, n_tok, cum_before,
+             cum_before // {_PACK_SEQ} AS bin
+      FROM cum)
+    SELECT shard, bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(min(cum_before) AS BIGINT) AS start_offset,
+           CAST(max(cum_before + n_tok) AS BIGINT) AS end_offset
+    FROM b GROUP BY shard, bin
+    """,
+    doc="GPT-style sequence-packing plan: docs sharded by hash (the "
+    "parallel packing unit), ordered by doc_id within shard, assigned "
+    "to the 512-token bin their starting offset falls in "
+    "(concat-then-chunk semantics). Per-(shard, bin) doc count, token "
+    "sum, and offsets. One window per independent shard — no global "
+    "ordering anywhere.",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.size(tokens("text")).alias("n_tok")
+    ).filter(F.col("n_tok") >= 1)
+    sh = tk.withColumn(
+        "shard", md5_long(F.col("doc_id").cast("string")) % _PACK_SHARDS
+    )
+    win = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = sh.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tok").over(win), F.lit(0))
+    )
+    b = cum.withColumn(
+        "bin", F.floor(F.col("cum_before") / _PACK_SEQ)
+    )
+    return b.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("cum_before").alias("start_offset"),
+        F.max(F.col("cum_before") + F.col("n_tok")).alias("end_offset"),
     )
