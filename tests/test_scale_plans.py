@@ -323,3 +323,25 @@ def test_materialized_shingle_index_self_join_is_shuffle_free(
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_shingle_b")
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """The packing plan shuffles ONCE (on shard, for the per-shard
+    window); the per-(shard, bin) aggregation reuses that partitioning —
+    a global-ordering formulation would show a singleton-partition
+    window here instead."""
+    from dsacord_spark.plans.catalog import specs
+
+    plan = _plan(specs()["corpus_pack_sequences"].fn(spark, sf_dir))
+    assert "Window" in plan
+    assert len(re.findall(r"\(\d+\)\s+Exchange", plan)) == 1, plan
+
+
+def test_cms_joins_sketch_by_broadcast(spark, sf_dir):
+    """The 4096-counter CMS table must broadcast onto the vocab stream —
+    a sort-merge join here would shuffle the vocabulary on (i, b)."""
+    from dsacord_spark.plans.catalog import specs
+
+    plan = _plan(specs()["text_heavy_hitters_cms"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
