@@ -117,3 +117,30 @@ def test_cms_overestimates_and_finds_true_heavy_hitter(spark, tmp_path):
     assert all(r["cms_count"] >= r["exact_count"] for r in out)
     top = out[0] if out[0]["rank"] == 1 else min(out, key=lambda r: r["rank"])
     assert top["token"] == "hot" and top["exact_count"] == 500
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing-plan invariants on the real table: every doc lands in
+    exactly one bin, shard streams are contiguous (each bin starts where
+    the previous ended), and the bin id is the starting offset's
+    512-token slot."""
+    from collections import defaultdict
+
+    from dsacord_spark.functions.text import tokens as _toks
+    from pyspark.sql import functions as F
+
+    out = specs()["corpus_pack_sequences"].fn(spark, sf_dir).collect()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.size(_toks("text")).alias("n")
+    ).filter(F.col("n") >= 1)
+    total_docs, total_tokens = d.count(), d.agg(F.sum("n")).collect()[0][0]
+    assert sum(r["n_docs"] for r in out) == total_docs
+    assert sum(r["n_tokens"] for r in out) == total_tokens
+    by_shard = defaultdict(list)
+    for r in out:
+        by_shard[r["shard"]].append(r)
+        assert r["bin"] == r["start_offset"] // 512
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["bin"])
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur["start_offset"] == prev["end_offset"]
