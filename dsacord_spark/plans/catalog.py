@@ -30,13 +30,24 @@ from dsacord_spark.plans.registry import QuerySpec, get_registry
 #   group 0 — queries whose LATEST driver check failed any of the three
 #             booleans: they lead the window so the fix is proven;
 #   group 1 — never driver-checked, oracle-eligible entries (value-hash
-#             signal is worth more than a rows-only check);
+#             signal is worth more than a rows-only check); within the
+#             group, entries from the modules the round-1 verdict named
+#             as needing driver signal first (the TPC-H composites,
+#             the curation family, and the UDX trio — VERDICT.md r1
+#             "Next round" #2 lists them as the done-criterion), then
+#             the rest in registration order;
 #   group 2 — never driver-checked, rows-only entries;
 #   group 3 — previously green, oldest round first (regression canaries
 #             rotate back in over time).
-# Within a group, registration (module import) order is kept. If the
-# history files are unreadable the registry order stands — the sweep
-# still covers the first 50.
+# Within a group, registration (module import) order is kept otherwise.
+# If the history files are unreadable the registry order stands — the
+# sweep still covers the first 50.
+
+_WINDOW_PRIORITY_MODULES = (
+    "dsacord_spark.plans.composite",
+    "dsacord_spark.plans.curation",
+    "dsacord_spark.plans.udx",
+)
 
 
 def _driver_history() -> dict[str, dict]:
@@ -76,7 +87,8 @@ def _ordered() -> dict[str, QuerySpec]:
                 return (0, "", seq[name])
             return (3, rec.get("_round", ""), seq[name])
         if reg[name].sql is not None:
-            return (1, "", seq[name])
+            named = reg[name].fn.__module__ in _WINDOW_PRIORITY_MODULES
+            return (1, "" if named else "z", seq[name])
         return (2, "", seq[name])
 
     out = {n: reg[n] for n in sorted(reg, key=sort_key)}

@@ -53,6 +53,18 @@ def test_driver_window_rotation():
               if n in hist and all(
                   hist[n].get(k) for k in ("rows_match", "schema_match", "hash_match"))]
     assert greens and min(greens) == 13 + n_unchecked
+    # within the unchecked-oracle group, the families the r1 verdict
+    # named as the driver-signal done-criterion (composite TPC-H,
+    # curation, UDX) lead — all of them must sit inside the 50-window
+    for n in [
+        "q7_volume_shipping", "q10_returned_item_topk",
+        "q17_small_qty_revenue", "q18_large_orders", "dedup_components",
+        "decontaminate_train_test", "knn_label_accuracy",
+        "udtf_sentence_split", "udaf_grouped_median",
+        "grouped_map_percentile",
+    ]:
+        if n not in hist:
+            assert names.index(n) < 50, f"{n} fell outside the driver window"
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
