@@ -400,10 +400,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_DEPTH = 4
 _CMS_WIDTH = 1024
 
-
-@register(
-    "text_heavy_hitters_cms",
-    sql=f"""
+_CMS_SQL = f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t FROM documents),
     tok AS (SELECT tk FROM toks, unnest(t) AS u(tk)),
@@ -421,20 +418,14 @@ _CMS_WIDTH = 1024
            CAST(exact_count AS BIGINT) AS exact_count,
            row_number() OVER (ORDER BY cms_count DESC, tk ASC) AS rank
     FROM est ORDER BY cms_count DESC, tk ASC LIMIT 10
-    """,
-    doc="Top-10 heavy-hitter tokens by a depth-4 x width-1024 count-min "
-    "sketch (deterministic md5 hash family -> full value oracle), with "
-    "the exact count alongside so the sketch's one-sided error is "
-    "visible. Built from the vocab-sized count table; counters merge by "
-    "addition across shards.",
-)
-def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    """
 
-    d = table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(tokens("text")).alias("tk"))
-    exact = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt")).persist()
-    probes = F.array(
+
+def _cms_probes():
+    """(i, b) probe structs for a token column `tk` — THE single
+    definition of the CMS hash positions (shared by the batch build and
+    the streaming partials; drift would desynchronize the counters)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(i).alias("i"),
@@ -446,9 +437,13 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_CMS_DEPTH)
         ]
     )
-    lv = exact.select("tk", "cnt", F.explode(probes).alias("p")).select(
-        "tk", "cnt", "p.i", "p.b"
-    )
+
+
+def _cms_top10(lv: DataFrame) -> DataFrame:
+    """counters + top-10 from the (tk, cnt, i, b) probe frame: bucket
+    sums, broadcast back, min-over-depth estimate, ranked top-10."""
+    from pyspark.sql import Window as W
+
     cms = lv.groupBy("i", "b").agg(F.sum("cnt").alias("w"))
     est = (
         lv.join(F.broadcast(cms), ["i", "b"])
@@ -466,6 +461,60 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tk").alias("token"), "cms_count", "exact_count", "rank"
         )
     )
+
+
+@register(
+    "text_heavy_hitters_cms",
+    sql=_CMS_SQL,
+    doc="Top-10 heavy-hitter tokens by a depth-4 x width-1024 count-min "
+    "sketch (deterministic md5 hash family -> full value oracle), with "
+    "the exact count alongside so the sketch's one-sided error is "
+    "visible. Built from the vocab-sized count table; counters merge by "
+    "addition across shards.",
+)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("tk"))
+    exact = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    lv = exact.select("tk", "cnt", F.explode(_cms_probes()).alias("p")).select(
+        "tk", "cnt", "p.i", "p.b"
+    )
+    return _cms_top10(lv)
+
+
+@register(
+    "stream_heavy_hitters_cms",
+    sql=_CMS_SQL,
+    doc="The SAME top-10 CMS answer computed on the real streaming path: "
+    "documents staged as 4 files drained one micro-batch each "
+    "(maxFilesPerTrigger=1), per-batch PARTIAL (token, i, b) counts "
+    "appended via foreachBatch, merged by addition afterwards — the "
+    "mergeable-sketch property exercised for real, same oracle as the "
+    "batch formulation.",
+)
+def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.streaming.pipeline import run_bounded_stream
+
+    d = table(spark, sf_dir, "documents").select("text").repartition(4)
+
+    def batch_partial(batch: DataFrame) -> DataFrame:
+        tok = batch.select(F.explode(tokens("text")).alias("tk"))
+        lv = tok.select("tk", F.explode(_cms_probes()).alias("p")).select(
+            "tk", "p.i", "p.b"
+        )
+        return lv.groupBy("tk", "i", "b").agg(F.count(F.lit(1)).alias("c"))
+
+    partials = run_bounded_stream(
+        spark,
+        d,
+        lambda s: s,
+        reader_options={"maxFilesPerTrigger": "1"},
+        batch_transform=batch_partial,
+    )
+    # merge partial sketches by addition (the CMS merge operator), then
+    # reuse the exact same counter->top-10 path as the batch entry
+    merged = partials.groupBy("tk", "i", "b").agg(F.sum("c").alias("cnt"))
+    return _cms_top10(merged)
 
 
 # ---------------------------------------------------------------------------

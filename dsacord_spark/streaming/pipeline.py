@@ -556,6 +556,8 @@ def run_bounded_stream(
     df: DataFrame,
     transform: Callable[[DataFrame], DataFrame],
     shuffle_partitions: int | None = 8,
+    reader_options: dict[str, str] | None = None,
+    batch_transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """Run a streaming transform over a BOUNDED frame and return its
     complete output as a batch DataFrame: stage the input to a temp
@@ -567,7 +569,14 @@ def run_bounded_stream(
     joins, watermarked dedup) a full value check against the batch SQL
     oracle: the streaming code path executes for real, the bounded input
     makes the answer deterministic, and the oracle states the equivalent
-    batch semantics."""
+    batch semantics.
+
+    `reader_options` go to the file-source reader (e.g.
+    maxFilesPerTrigger=1 to force one micro-batch per staged file).
+    `batch_transform`, when given, is applied to each micro-batch INSIDE
+    foreachBatch before the append — the standard per-batch partial-
+    aggregation pattern (streaming append mode itself forbids bare
+    aggregations), used by the mergeable-sketch entries."""
     import os
     import shutil
     import tempfile
@@ -583,10 +592,15 @@ def run_bounded_stream(
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         df.write.parquet(src)
-        stream = spark.readStream.schema(df.schema).parquet(src)
+        reader = spark.readStream.schema(df.schema)
+        for k, v in (reader_options or {}).items():
+            reader = reader.option(k, v)
+        stream = reader.parquet(src)
         transformed = transform(stream)
 
         def sink(batch_df: DataFrame, _epoch: int) -> None:
+            if batch_transform is not None:
+                batch_df = batch_transform(batch_df)
             batch_df.write.mode("append").parquet(out)
 
         q = (
@@ -601,8 +615,9 @@ def run_bounded_stream(
         if not os.path.isdir(out):
             # schema comes from the streaming plan (a streaming-only
             # transform like dropDuplicatesWithinWatermark would reject a
-            # batch frame)
-            return spark.createDataFrame([], transformed.schema)
+            # batch frame); batch_transform reshapes it like the sink did
+            empty = spark.createDataFrame([], transformed.schema)
+            return batch_transform(empty) if batch_transform else empty
         return spark.read.parquet(out).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

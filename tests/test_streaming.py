@@ -425,3 +425,44 @@ print("TZ-SAFE-PASS")
         capture_output=True, text=True, timeout=420, cwd="/root/repo",
     )
     assert "TZ-SAFE-PASS" in res.stdout, res.stdout[-2000:] + res.stderr[-2000:]
+
+
+def test_stream_cms_runs_multiple_micro_batches(spark, sf_dir):
+    """The streaming CMS must actually exercise the partial-sketch merge:
+    with 4 staged files and maxFilesPerTrigger=1 the bounded drain runs
+    4 micro-batches (foreachBatch invocation count observed through the
+    batch_transform closure), and the merged answer equals the batch
+    formulation's."""
+    from pyspark.sql import functions as F
+
+    from dsacord_spark.plans.catalog import specs
+    from dsacord_spark.plans.quality import _cms_probes, _cms_top10
+    from dsacord_spark.functions.text import tokens
+    from dsacord_spark.streaming.pipeline import run_bounded_stream
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "text"
+    ).repartition(4)
+    calls = []
+
+    def batch_partial(batch):
+        calls.append(1)
+        tok = batch.select(F.explode(tokens("text")).alias("tk"))
+        lv = tok.select("tk", F.explode(_cms_probes()).alias("p")).select(
+            "tk", "p.i", "p.b"
+        )
+        return lv.groupBy("tk", "i", "b").agg(F.count(F.lit(1)).alias("c"))
+
+    partials = run_bounded_stream(
+        spark, d, lambda s: s,
+        reader_options={"maxFilesPerTrigger": "1"},
+        batch_transform=batch_partial,
+    )
+    merged = partials.groupBy("tk", "i", "b").agg(F.sum("c").alias("cnt"))
+    got = {tuple(r) for r in _cms_top10(merged).collect()}
+    assert len(calls) >= 4, f"expected >=4 micro-batches, saw {len(calls)}"
+    want = {
+        tuple(r)
+        for r in specs()["text_heavy_hitters_cms"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
