@@ -594,3 +594,51 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cum_before").alias("start_offset"),
         F.max(F.col("cum_before") + F.col("n_tok")).alias("end_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming approx-distinct via mergeable HLL sketches: the second
+# mergeable-sketch streaming twin (CMS above counts frequencies; HLL
+# counts cardinalities). Per micro-batch, hll_sketch_agg builds a binary
+# sketch per group; afterwards hll_union_agg merges the partials and
+# hll_sketch_estimate reads the cardinality — the exact shape of a
+# 100 TB distinct-count: fixed-size sketch per partition/stream, one
+# tiny union at the end, never a global distinct shuffle. Rows-only for
+# the driver (sketch internals are engine-specific, same as
+# agg_approx_distinct); the pytest gate bounds the error vs the exact
+# count and pins stream-merged == batch-global estimates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_approx_distinct_hll",
+    sql=None,
+    doc="Distinct customers per order status on the real streaming path: "
+    "per-micro-batch HLL sketches (hll_sketch_agg) merged with "
+    "hll_union_agg — fixed-size mergeable state, no global distinct "
+    "shuffle. Rows-only; error gate and batch-parity pin in pytest.",
+)
+def stream_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.streaming.pipeline import run_bounded_stream
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey"
+    ).repartition(4)
+
+    def batch_partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("o_orderstatus").agg(
+            F.hll_sketch_agg("o_custkey").alias("sk")
+        )
+
+    partials = run_bounded_stream(
+        spark,
+        o,
+        lambda s: s,
+        reader_options={"maxFilesPerTrigger": "1"},
+        batch_transform=batch_partial,
+    )
+    return partials.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("approx_customers")
+    )

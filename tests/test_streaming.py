@@ -466,3 +466,37 @@ def test_stream_cms_runs_multiple_micro_batches(spark, sf_dir):
         for r in specs()["text_heavy_hitters_cms"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_hll_merge_matches_batch_and_exact(spark, sf_dir):
+    """HLL mergeability: the stream-merged estimate must equal the
+    batch-global sketch estimate (register-wise max union is lossless),
+    and land within 5% of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from dsacord_spark.plans.catalog import specs
+
+    got = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in specs()["stream_approx_distinct_hll"].fn(spark, sf_dir).collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    batch = {
+        r["o_orderstatus"]: r["est"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey"))
+            .cast("long")
+            .alias("est")
+        )
+        .collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert got == batch, (got, batch)
+    for k, n in exact.items():
+        assert abs(got[k] - n) / n <= 0.05, (k, got[k], n)
