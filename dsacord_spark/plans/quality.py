@@ -408,7 +408,7 @@ _CMS_SQL = f"""
     lv AS (
       SELECT tk, cnt, i,
              {md5_long_sql("tk || '#' || CAST(i AS VARCHAR)")} % {_CMS_WIDTH} AS b
-      FROM exact, unnest([0, 1, 2, 3]) AS u(i)),
+      FROM exact, unnest([{", ".join(map(str, range(_CMS_DEPTH)))}]) AS u(i)),
     cms AS (SELECT i, b, CAST(sum(cnt) AS BIGINT) AS w FROM lv GROUP BY i, b),
     est AS (
       SELECT tk, min(w) AS cms_count, min(cnt) AS exact_count
@@ -453,13 +453,14 @@ def _cms_top10(lv: DataFrame) -> DataFrame:
             F.min("cnt").alias("exact_count"),
         )
     )
+    # top-k via orderBy+limit (TakeOrderedAndProject: parallel partial
+    # top-10 per partition, no global sort); the rank window then runs
+    # over only the 10 survivors — a bare row_number window here would
+    # funnel the whole vocabulary through one partition
+    top = est.orderBy(F.col("cms_count").desc(), F.col("tk").asc()).limit(10)
     win = W.orderBy(F.col("cms_count").desc(), F.col("tk").asc())
-    return (
-        est.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= 10)
-        .select(
-            F.col("tk").alias("token"), "cms_count", "exact_count", "rank"
-        )
+    return top.withColumn("rank", F.row_number().over(win)).select(
+        F.col("tk").alias("token"), "cms_count", "exact_count", "rank"
     )
 
 
@@ -498,11 +499,18 @@ def stream_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("text").repartition(4)
 
     def batch_partial(batch: DataFrame) -> DataFrame:
-        tok = batch.select(F.explode(tokens("text")).alias("tk"))
-        lv = tok.select("tk", F.explode(_cms_probes()).alias("p")).select(
-            "tk", "p.i", "p.b"
+        # pre-aggregate to the vocab-sized (token, count) table BEFORE
+        # exploding probes — same scale point as the batch build: probe
+        # hashing and shuffle input cost distinct_tokens x depth, not
+        # occurrences x depth
+        cnt = (
+            batch.select(F.explode(tokens("text")).alias("tk"))
+            .groupBy("tk")
+            .agg(F.count(F.lit(1)).alias("c"))
         )
-        return lv.groupBy("tk", "i", "b").agg(F.count(F.lit(1)).alias("c"))
+        return cnt.select(
+            "tk", "c", F.explode(_cms_probes()).alias("p")
+        ).select("tk", "p.i", "p.b", "c")
 
     partials = run_bounded_stream(
         spark,
