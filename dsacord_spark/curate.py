@@ -113,7 +113,10 @@ def main(argv: list[str] | None = None) -> int:
         "cluster, keep one canonical document per cluster.",
     )
     p.add_argument("--input", required=True, help="Input parquet path")
-    p.add_argument("--output", required=True, help="Output parquet dir (kept docs)")
+    p.add_argument("--output", required=True, help="Output dir (kept docs)")
+    p.add_argument("--format", choices=("parquet", "jsonl"), default="parquet",
+                   help="Output format: parquet, or sharded JSON-lines "
+                   "(tokenizer-feed handoff)")
     p.add_argument("--method", choices=("exact", "jaccard", "minhash"),
                    default="minhash")
     p.add_argument("--threshold", type=float, default=0.5,
@@ -137,7 +140,12 @@ def main(argv: list[str] | None = None) -> int:
         id_col=a.id_col, text_col=a.text_col,
     ).persist()
     kept = labeled.filter(F.col("kept")).drop("kept")
-    kept.write.mode("overwrite").parquet(a.output)
+    if a.format == "jsonl":
+        from dsacord_spark.sinks.text_export import export_jsonl
+
+        export_jsonl(kept, a.output)
+    else:
+        kept.write.mode("overwrite").parquet(a.output)
     n_total = labeled.count()
     n_kept = kept.count()
     if a.report_dropped:

@@ -130,3 +130,30 @@ class TestCurateCli:
         lab = dedup_corpus(docs, method="exact")
         kept = sorted(r["doc_id"] for r in lab.filter(F.col("kept")).collect())
         assert kept == [1, 3]
+
+
+class TestCurateJsonl:
+    def test_curate_jsonl_output(self, spark, sf_dir, tmp_path):
+        """--format jsonl routes the kept docs through the sharded JSONL
+        exporter; counts match the report line."""
+        import contextlib
+        import io as _io
+        import json as _json
+
+        from dsacord_spark.curate import main as curate_main
+
+        out = str(tmp_path / "kept-jsonl")
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = curate_main([
+                "--input", f"{sf_dir}/documents.parquet",
+                "--output", out,
+                "--method", "exact",
+                "--format", "jsonl",
+                "--master", "local[4]",
+            ])
+        assert rc == 0
+        report = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        back = spark.read.json(out)
+        assert back.count() == report["docs_kept"]
+        assert "doc_id" in back.columns and "text" in back.columns
