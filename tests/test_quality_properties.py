@@ -58,3 +58,51 @@ def test_boilerplate_matches_python_reference(spark, tmp_path_factory, corpus):
     }
     want = _py_boilerplate(corpus)
     assert got == want, (corpus, got, want)
+
+
+def _md5_long(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30)
+)
+def test_pack_sequences_matches_python_reference(
+    spark, tmp_path_factory, lengths
+):
+    """Packing plan vs an independent reference including the md5 shard
+    assignment: same bins, doc counts, token sums, and offsets."""
+    rows = [(d, " ".join(["w"] * n)) for d, n in enumerate(lengths)]
+    sf = str(tmp_path_factory.mktemp("pk"))
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    # reference: shard by md5(doc_id) % 32, order by doc_id, cumulative
+    # offsets, bin = start_offset // 512
+    SEQ, SHARDS = 512, 32
+    want = {}
+    running: dict[int, int] = {}
+    for d, n in sorted(enumerate(lengths)):
+        if n < 1:
+            continue
+        shard = _md5_long(str(d)) % SHARDS
+        start = running.get(shard, 0)
+        key = (shard, start // SEQ)
+        if key not in want:
+            want[key] = [0, 0, start, start]
+        want[key][0] += 1
+        want[key][1] += n
+        want[key][3] = start + n
+        running[shard] = start + n
+
+    got = {
+        (r["shard"], r["bin"]): [
+            r["n_docs"], r["n_tokens"], r["start_offset"], r["end_offset"]
+        ]
+        for r in specs()["corpus_pack_sequences"].fn(spark, sf).collect()
+    }
+    assert got == {k: list(v) for k, v in want.items()}, (lengths, got, want)
