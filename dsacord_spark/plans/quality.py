@@ -650,3 +650,118 @@ def stream_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("approx_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity search (the EDBT'19 / REPOSE theme from
+# PAPERS.md, on the events table): each user's activity profile is the
+# dense per-day value-sum vector over the corpus date span; for a
+# deterministic probe subset, return the top-5 most-similar other users
+# by cosine. Exactness: daily sums go through DECIMAL(18,2) (order-free)
+# and convert to double once; vectors are built in day order on both
+# engines; cosines use the shared strict-left-fold dot product; ranking
+# uses raw (un-rounded) scores with a user tie-break. Scale: the per-day
+# grid is |users| x |days| (bounded), probes broadcast against the
+# profile table — the same bounded-probe brute-force shape as
+# ann_bruteforce_topk; an LSH/IVF tier applies unchanged if the probe
+# set grows.
+# ---------------------------------------------------------------------------
+_TS_PROBE_MOD = 199
+_TS_TOPK = 5
+
+
+@register(
+    "events_user_similarity_topk",
+    sql=f"""
+    WITH e2 AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM e2),
+    spine AS (
+      SELECT CAST(unnest(generate_series(CAST(dmin AS TIMESTAMP),
+                                         CAST(dmax AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM b),
+    u AS (SELECT DISTINCT user_id FROM e2),
+    grid AS (SELECT user_id, day FROM u CROSS JOIN spine),
+    v AS (
+      SELECT user_id,
+             list(CAST(COALESCE(s, 0) AS DOUBLE) ORDER BY day) AS vec
+      FROM grid LEFT JOIN e2 USING (user_id, day)
+      GROUP BY user_id),
+    vv AS (SELECT * FROM v WHERE list_dot_product(vec, vec) > 0),
+    pairs AS (
+      SELECT p.user_id AS probe_user, c.user_id AS similar_user,
+             list_dot_product(p.vec, c.vec) /
+               (sqrt(list_dot_product(p.vec, p.vec)) *
+                sqrt(list_dot_product(c.vec, c.vec))) AS score
+      FROM vv p JOIN vv c ON p.user_id <> c.user_id
+      WHERE p.user_id % {_TS_PROBE_MOD} = 0),
+    ranked AS (
+      SELECT probe_user, similar_user, score,
+             row_number() OVER (PARTITION BY probe_user
+                                ORDER BY score DESC, similar_user ASC) AS rank
+      FROM pairs)
+    SELECT probe_user, similar_user, round(score, 6) AS cosine, rank
+    FROM ranked WHERE rank <= {_TS_TOPK}
+    """,
+    doc="Time-series similarity search: per-user dense daily activity "
+    "vectors (decimal-exact sums over the corpus date span), top-5 "
+    "most-similar users per deterministic probe by cosine. Bounded "
+    "probe side broadcast against the profile table; ranking on raw "
+    "scores with a user tie-break.",
+)
+def events_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from dsacord_spark.functions.vectors import dot
+
+    e = table(spark, sf_dir, "events")
+    e2 = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+    bounds = e2.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    per_user = e2.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("day", "s"))).alias("m")
+    )
+    v = per_user.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.transform(
+            F.sequence(F.col("dmin"), F.col("dmax")),
+            lambda d: F.coalesce(
+                F.element_at(F.col("m"), d),
+                F.lit(0).cast("decimal(18,2)"),
+            ).cast("double"),
+        ).alias("vec"),
+    )
+    vv = v.filter(dot("vec", "vec") > 0)
+    probes = vv.filter(F.col("user_id") % _TS_PROBE_MOD == 0).select(
+        F.col("user_id").alias("probe_user"), F.col("vec").alias("pvec")
+    )
+    pairs = (
+        vv.join(F.broadcast(probes), F.col("probe_user") != F.col("user_id"))
+        .select(
+            "probe_user",
+            F.col("user_id").alias("similar_user"),
+            (
+                dot("pvec", "vec")
+                / (F.sqrt(dot("pvec", "pvec")) * F.sqrt(dot("vec", "vec")))
+            ).alias("score"),
+        )
+    )
+    win = W.partitionBy("probe_user").orderBy(
+        F.col("score").desc(), F.col("similar_user").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= _TS_TOPK)
+        .select(
+            "probe_user",
+            "similar_user",
+            F.round("score", 6).alias("cosine"),
+            "rank",
+        )
+    )
