@@ -666,7 +666,10 @@ def stream_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ann_bruteforce_topk; an LSH/IVF tier applies unchanged if the probe
 # set grows.
 # ---------------------------------------------------------------------------
-_TS_PROBE_MOD = 199
+# mod 50 yields several probes even at the sf0.01 oracle scale (150
+# users), so the per-probe ranking/tie-break is actually exercised by
+# the driver's value check, not just at sf0.1
+_TS_PROBE_MOD = 50
 _TS_TOPK = 5
 
 
@@ -676,7 +679,7 @@ _TS_TOPK = 5
     WITH e2 AS (
       SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
              SUM(CAST(value AS DECIMAL(18,2))) AS s
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM e2),
     spine AS (
       SELECT CAST(unnest(generate_series(CAST(dmin AS TIMESTAMP),
@@ -690,12 +693,12 @@ _TS_TOPK = 5
              list(CAST(COALESCE(s, 0) AS DOUBLE) ORDER BY day) AS vec
       FROM grid LEFT JOIN e2 USING (user_id, day)
       GROUP BY user_id),
-    vv AS (SELECT * FROM v WHERE list_dot_product(vec, vec) > 0),
+    vv AS (
+      SELECT user_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm
+      FROM v WHERE list_dot_product(vec, vec) > 0),
     pairs AS (
       SELECT p.user_id AS probe_user, c.user_id AS similar_user,
-             list_dot_product(p.vec, c.vec) /
-               (sqrt(list_dot_product(p.vec, p.vec)) *
-                sqrt(list_dot_product(c.vec, c.vec))) AS score
+             list_dot_product(p.vec, c.vec) / (p.nrm * c.nrm) AS score
       FROM vv p JOIN vv c ON p.user_id <> c.user_id
       WHERE p.user_id % {_TS_PROBE_MOD} = 0),
     ranked AS (
@@ -717,7 +720,7 @@ def events_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dsacord_spark.functions.vectors import dot
 
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     e2 = e.groupBy(
         "user_id", F.to_date("ts").alias("day")
     ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
@@ -737,19 +740,27 @@ def events_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
         ).alias("vec"),
     )
-    vv = v.filter(dot("vec", "vec") > 0)
+    # norms precomputed once per user (a per-pair sqrt(dot(v,v)) would
+    # re-fold the day vector for every candidate pair); persisted — the
+    # profile build (groupBys + per-user transform) feeds both join sides
+    vv = (
+        v.filter(dot("vec", "vec") > 0)
+        .withColumn("nrm", F.sqrt(dot("vec", "vec")))
+        .persist()
+    )
     probes = vv.filter(F.col("user_id") % _TS_PROBE_MOD == 0).select(
-        F.col("user_id").alias("probe_user"), F.col("vec").alias("pvec")
+        F.col("user_id").alias("probe_user"),
+        F.col("vec").alias("pvec"),
+        F.col("nrm").alias("pnrm"),
     )
     pairs = (
         vv.join(F.broadcast(probes), F.col("probe_user") != F.col("user_id"))
         .select(
             "probe_user",
             F.col("user_id").alias("similar_user"),
-            (
-                dot("pvec", "vec")
-                / (F.sqrt(dot("pvec", "pvec")) * F.sqrt(dot("vec", "vec")))
-            ).alias("score"),
+            (dot("pvec", "vec") / (F.col("pnrm") * F.col("nrm"))).alias(
+                "score"
+            ),
         )
     )
     win = W.partitionBy("probe_user").orderBy(

@@ -353,11 +353,9 @@ def test_bloom_probe_path_stays_mapside(spark, sf_dir):
     sort-merge fallback) would add a shuffle of the k-times-wider
     candidate stream. The 5 remaining Exchanges are the index/verify
     aggregations, not the probe path."""
-    import re as _re
-
     from dsacord_spark.plans.catalog import specs
 
     plan = _plan(specs()["decontaminate_bloom"].fn(spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan
-    n_ex = len(_re.findall(r"\(\d+\)\s+Exchange", plan))
+    n_ex = len(re.findall(r"\(\d+\)\s+Exchange", plan))
     assert n_ex <= 5, f"probe path grew a shuffle: {n_ex} Exchanges"
