@@ -1,7 +1,9 @@
 """Corpus/data-quality operators, round-2 additions to layer B: C4-style
 boilerplate-window coverage, a token-commonness (rarity) score, embedding
 label-centroid structure, robust (MAD) outlier detection, count-min
-heavy hitters, and the sequence-packing plan.
+heavy hitters (batch + streaming-merged twins), HLL distinct over
+micro-batches, the sequence-packing plan, and time-series similarity
+search over per-user activity profiles.
 
 These close the remaining gaps a pretraining-data pipeline hits after
 dedup/decontamination: *boilerplate removal* (the C4/RefinedWeb step that
