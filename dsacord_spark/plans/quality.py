@@ -225,6 +225,31 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _label_centroids(e: DataFrame) -> DataFrame:
+    """(label, n, cent): exact per-label mean vectors via the vec_id-
+    ordered fold — THE single centroid definition, shared by the
+    separability report and the label-noise probe."""
+    g = e.groupBy("label").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("vec_id"), to_double_array("embedding").alias("v")
+                )
+            )
+        ).alias("vs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    zero = F.transform(F.col("vs")[0]["v"], lambda x: F.lit(0.0))
+    summed = F.aggregate(
+        F.col("vs"),
+        zero,
+        lambda acc, s: F.zip_with(acc, s["v"], lambda a, b: a + b),
+    )
+    return g.select(
+        "label", "n", F.transform(summed, lambda x: x / F.col("n")).alias("cent")
+    )
+
+
 @register(
     "embed_label_centroids",
     sql="""
@@ -254,25 +279,7 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    g = e.groupBy("label").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("vec_id"), to_double_array("embedding").alias("v")
-                )
-            )
-        ).alias("vs"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    zero = F.transform(F.col("vs")[0]["v"], lambda x: F.lit(0.0))
-    summed = F.aggregate(
-        F.col("vs"),
-        zero,
-        lambda acc, s: F.zip_with(acc, s["v"], lambda a, b: a + b),
-    )
-    cents = g.select(
-        "label", "n", F.transform(summed, lambda x: x / F.col("n")).alias("cent")
-    )
+    cents = _label_centroids(e)
     a = cents.select(
         F.col("label").alias("label_a"),
         F.col("n").alias("n_a"),
@@ -775,6 +782,91 @@ def events_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_user",
             "similar_user",
             F.round("score", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-noise probe: per label, the vectors LEAST similar to their own
+# label centroid — the standard first pass for mislabeled points before
+# training a probe (a point far from its class mean in cosine is either
+# noise or a labeling error). Reuses the exact vec_id-ordered centroid
+# fold, so scores are bit-identical across engines; ranking is on raw
+# scores ascending with a vec_id tie-break. Scale: centroids are a
+# labels-sized broadcast; one scan of the embedding table scores every
+# vector map-side, then a per-label top-k.
+# ---------------------------------------------------------------------------
+_NOISE_K = 3
+
+_EMB_D = "CAST(e.embedding AS DOUBLE[])"
+
+
+@register(
+    "embed_label_noise_topk",
+    sql=f"""
+    WITH g AS (
+      SELECT label, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vs,
+             count(*) AS n
+      FROM embeddings GROUP BY label),
+    c AS (
+      SELECT label, CAST(n AS BIGINT) AS n,
+        list_transform(
+          list_reduce(vs, (acc, v) ->
+            list_transform(generate_series(1, len(acc)), i -> acc[i] + v[i])),
+          x -> x / n) AS cent
+      FROM g),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             list_dot_product({_EMB_D}, c.cent) /
+               (sqrt(list_dot_product({_EMB_D}, {_EMB_D})) *
+                sqrt(list_dot_product(c.cent, c.cent))) AS score
+      FROM embeddings e JOIN c USING (label)
+      WHERE list_dot_product({_EMB_D}, {_EMB_D}) > 0
+        AND list_dot_product(c.cent, c.cent) > 0),
+    ranked AS (
+      SELECT label, vec_id, score,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY score ASC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT label, vec_id, round(score, 6) AS cosine_to_centroid, rank
+    FROM ranked WHERE rank <= {_NOISE_K}
+    """,
+    doc="Label-noise probe: per label, the 3 vectors least similar to "
+    "their own label centroid (exact fold centroids, raw-score ranking "
+    "with vec_id tie-break) — the standard mislabeled-point first pass. "
+    "Centroids broadcast; scoring is one map-side scan.",
+)
+def embed_label_noise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from dsacord_spark.functions.vectors import dot
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(e).select("label", "cent")
+    v = e.select("label", "vec_id", to_double_array("embedding").alias("ve"))
+    scored = (
+        v.join(F.broadcast(cents), "label")
+        .filter((dot("ve", "ve") > 0) & (dot("cent", "cent") > 0))
+        .select(
+            "label",
+            "vec_id",
+            (
+                dot("ve", "cent")
+                / (F.sqrt(dot("ve", "ve")) * F.sqrt(dot("cent", "cent")))
+            ).alias("score"),
+        )
+    )
+    win = W.partitionBy("label").orderBy(
+        F.col("score").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= _NOISE_K)
+        .select(
+            "label",
+            "vec_id",
+            F.round("score", 6).alias("cosine_to_centroid"),
             "rank",
         )
     )

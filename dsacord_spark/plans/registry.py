@@ -49,8 +49,20 @@ def register(name: str, sql: str | None, doc: str = ""):
     one function under two names both fail at import."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        import inspect
+
         if name in _REGISTRY:
             raise ValueError(f"catalog name registered twice: {name!r}")
+        n_params = len(inspect.signature(fn).parameters)
+        if n_params != 2:
+            # a decorator landing on a helper def inserted between
+            # @register and its intended function shows up as a wrong
+            # arity here (shipped once in round 2: the registered entry
+            # silently became a 1-arg centroid helper)
+            raise ValueError(
+                f"{name!r} must register a (spark, sf_dir) callable; "
+                f"{fn.__name__!r} takes {n_params} parameter(s)"
+            )
         for existing in _REGISTRY.values():
             if existing.fn is fn:
                 raise ValueError(
