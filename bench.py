@@ -224,6 +224,9 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+    # release the last family's pinned blocks so the sweep ends with zero
+    # persistent RDDs (tests/test_cache_hygiene.py asserts this contract)
+    spark.catalog.clearCache()
 
     try:
         ingest = _run_ingest_bench(spark, sf_dir, cpus)

@@ -271,15 +271,22 @@ def _label_centroids(e: DataFrame) -> DataFrame:
                   sqrt(list_dot_product(b.cent, b.cent))), 6)
              AS centroid_cosine
     FROM c a JOIN c b ON a.label < b.label
+    WHERE list_dot_product(a.cent, a.cent) > 0
+      AND list_dot_product(b.cent, b.cent) > 0
     """,
     doc="Pairwise label-centroid cosines over the embedding table (label "
     "separability report). Centroid sums fold vectors in vec_id order on "
     "both engines, so results are bit-identical; the pair join is over "
-    "the tiny label set.",
+    "the tiny label set. Zero-norm centroids (a degenerate label whose "
+    "mean vector is exactly 0) are excluded on BOTH engines — without "
+    "the guard Spark's try_divide yields NULL while DuckDB divides to "
+    "inf/NaN (same guard as embed_label_noise_topk).",
 )
 def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.functions.vectors import dot
+
     e = table(spark, sf_dir, "embeddings")
-    cents = _label_centroids(e)
+    cents = _label_centroids(e).filter(dot("cent", "cent") > 0)
     a = cents.select(
         F.col("label").alias("label_a"),
         F.col("n").alias("n_a"),
@@ -602,8 +609,12 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = sh.withColumn(
         "cum_before", F.coalesce(F.sum("n_tok").over(win), F.lit(0))
     )
+    # integer division (`div`), NOT floor(x / cap): routing a bigint
+    # through IEEE double loses exactness past 2^53 cumulative tokens per
+    # shard, and the DuckDB oracle uses true integer division (`//`) —
+    # `div` keeps the two engines' semantics identical at any offset
     b = cum.withColumn(
-        "bin", F.floor(F.col("cum_before") / _PACK_SEQ)
+        "bin", F.expr(f"cum_before div {_PACK_SEQ}")
     )
     return b.groupBy("shard", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -53,15 +53,24 @@ def register(name: str, sql: str | None, doc: str = ""):
 
         if name in _REGISTRY:
             raise ValueError(f"catalog name registered twice: {name!r}")
-        n_params = len(inspect.signature(fn).parameters)
-        if n_params != 2:
+        params = list(inspect.signature(fn).parameters.values())
+        has_var_pos = any(p.kind is p.VAR_POSITIONAL for p in params)
+        n_required = sum(
+            1
+            for p in params
+            if p.default is p.empty
+            and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        )
+        if not has_var_pos and n_required != 2:
             # a decorator landing on a helper def inserted between
             # @register and its intended function shows up as a wrong
             # arity here (shipped once in round 2: the registered entry
-            # silently became a 1-arg centroid helper)
+            # silently became a 1-arg centroid helper). Optional knobs
+            # with defaults (production_hash=...) and *args wrappers are
+            # valid registrants and must not trip the guard.
             raise ValueError(
                 f"{name!r} must register a (spark, sf_dir) callable; "
-                f"{fn.__name__!r} takes {n_params} parameter(s)"
+                f"{fn.__name__!r} takes {n_required} required parameter(s)"
             )
         for existing in _REGISTRY.values():
             if existing.fn is fn:

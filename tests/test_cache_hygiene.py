@@ -1,0 +1,52 @@
+"""Sweep-level cache hygiene (VERDICT r2 item 4 / ADVICE r2 item 4).
+
+Several catalog entries persist() intermediate frames their returned
+lazy plan consumes (gap-fill hourly agg, MAD per-type frames, simhash
+signatures, CMS exact side). That is correct within one query — the
+alternative is re-scanning the raw table per consumer — but a long-lived
+driver session sweeping 145 queries must not accumulate those pinned
+blocks. bench.py releases them with spark.catalog.clearCache() at family
+boundaries AND once after the loop; this test pins the contract: after a
+mini-sweep of the known-persisting entries plus the bench-style cleanup,
+ZERO persistent RDDs remain in the session.
+"""
+
+from __future__ import annotations
+
+from dsacord_spark.plans.catalog import queries
+
+# the entries the round-2 ADVICE named as persisting without unpersist
+_PERSISTING_ENTRIES = [
+    "events_hourly_gapfill",   # plans/extended.py hourly agg
+    "events_anomaly_mad",      # plans/quality.py med + st frames
+    "text_heavy_hitters_cms",  # plans/quality.py exact side
+    "events_user_similarity_topk",  # plans/quality.py profile vectors
+]
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_sweep_leaves_no_pinned_rdds(spark, sf_dir):
+    q = queries()
+    ran = 0
+    for name in _PERSISTING_ENTRIES:
+        if name in q:
+            q[name](spark, sf_dir).count()
+            ran += 1
+    assert ran, "persisting entries vanished from the catalog"
+    # at least one of them must actually have pinned blocks (otherwise
+    # this test is asserting a vacuous cleanup)
+    assert _n_persistent(spark) > 0
+    # bench.py's loop-end cleanup
+    spark.catalog.clearCache()
+    assert _n_persistent(spark) == 0
+
+
+def test_bench_has_loop_end_cleanup():
+    """The sweep-end clearCache must stay in bench.py's query loop."""
+    from pathlib import Path
+
+    src = (Path(__file__).resolve().parents[1] / "bench.py").read_text()
+    assert src.count("spark.catalog.clearCache()") >= 2  # family + loop-end

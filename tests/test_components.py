@@ -153,3 +153,36 @@ def test_production_hash_gives_identical_pairs(spark, sf_dir):
                    ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5,
                                        production_hash=True).collect()))
     assert a == b
+
+
+def test_production_hash_parity_across_both_routes(spark, sf_dir):
+    """The adaptive router picks naive vs prefix-filtered All-Pairs by a
+    blowup estimate, and deployments flip production_hash independently —
+    so ALL FOUR (hash mode x forced route) combinations must produce one
+    identical pair set. This pins that the oracle-free production path
+    (xxhash64) can never silently diverge from the md5 oracle path on
+    EITHER algorithm branch (VERDICT r2 #7)."""
+    from dsacord_spark.operators.dedup import (
+        _ngram_jaccard_naive, _ngram_jaccard_prefix, _shingle_index,
+    )
+    from dsacord_spark.plans.registry import table
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    results = {}
+    for prod in (False, True):
+        ngr = _shingle_index(d, "doc_id", "text", 3, production_hash=prod)
+        dfreq = ngr.groupBy("hg").agg(F.count(F.lit(1)).alias("dfreq"))
+        for route, df_pairs in (
+            ("naive", _ngram_jaccard_naive(ngr, 0.5)),
+            ("prefix", _ngram_jaccard_prefix(ngr, dfreq, 0.5)),
+        ):
+            results[(prod, route)] = sorted(
+                (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+                for r in df_pairs.collect()
+            )
+        ngr.unpersist()
+    baseline = results[(False, "naive")]
+    assert baseline, "fixture corpus produced no duplicate pairs"
+    for combo, pairs in results.items():
+        assert pairs == baseline, f"pair set diverged for {combo}"

@@ -1,0 +1,115 @@
+"""Golden-value gates for the rows-only catalog entries (VERDICT r2 #5).
+
+Seven catalog entries can never hash-match a DuckDB oracle: the five
+multimodal queries decode binary media DuckDB can't parse, the
+compression-ratio query needs zlib, and the streaming HLL query's
+estimates are engine-specific. Their driver check is rows-only — so
+THIS file is their value oracle: every entry's FULL result at sf0.001
+is pinned as a canonical sha256 (columns sorted by name, rows sorted,
+floats at 6dp, binary cells md5'd), exactly the strength of the
+driver's value-hash check. The inputs are deterministic (media bytes
+are synthesized per-doc from content hashes; HLL seeds are fixed), so
+these hashes are stable across sessions at the pinned test config
+(local[4], shuffle=4 — conftest.py).
+
+Regenerate after an INTENTIONAL semantics change with:
+  python tests/test_rows_only_golden.py   (prints fresh goldens)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from dsacord_spark.plans.catalog import queries
+
+# name -> (n_rows, sha256, two sample canonical lines for debuggability)
+GOLDEN = {
+    "multimodal_decode_meta": (
+        167,
+        "3086d698fb181fabe5b13983274df03469990d2e8d270717122f7e3cebd74d66",
+        "[-0.001294,0.022084,0.006142,0.020460,0.001294,-0.022084,"
+        "-0.006142,-0.020460]|'bmp'|10|183|414|3|12",
+    ),
+    "multimodal_audio_meta": (
+        167,
+        "da56c67584c31818d36e65c01894d821ee7f9a20798bc45d725bc3996b9050f8",
+        "10|[0.509033,0.380368,0.635350,0.510221,0.538622,0.659879,"
+        "0.648436,0.537107]|'wav'|301|212|1|84|8000",
+    ),
+    "multimodal_video_meta": (
+        166,
+        "2061cbf63ed43db3148cb30659b7290f2c52da3baf724953f9a37fb0580329d4",
+        "1000|'avi/bgr24'|6|121.889544|296|1744|10|8",
+    ),
+    "multimodal_frame_sample": (
+        258,
+        "399130b4767316afc39124d0c9a4fd82e8b79e0d00b27a44ea696e5d70585b5a",
+        "0|'0203d70a254a8d749d3f0a5d47bb71e1'|0|230",
+    ),
+    "multimodal_resize": (
+        167,
+        "a419a1608ec62ca86e421ec501fd7436849f03ae0261b7d457bda157a92129c1",
+        "004c3f14bc43610e54fe4e4b392cc007|32|369|3072|32",
+    ),
+    "text_compression_ratio": (
+        5,
+        "99e9bc58385924b6d408ff9a348e70c16c8f264ab1cac2152efad96e95c1216a",
+        "'de'|0.538813|0.406615|71",
+    ),
+    "stream_approx_distinct_hll": (
+        3,
+        "302d8f9981cb663698d6b1e335483a765e320199603c0ea04aaea97e8cb068e6",
+        "143|'P'",
+    ),
+}
+
+
+def _cell(v):
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    if isinstance(v, (bytes, bytearray)):
+        return hashlib.md5(bytes(v)).hexdigest()
+    if isinstance(v, list):
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    return repr(v)
+
+
+def canonical_lines(df) -> list[str]:
+    cols = sorted(df.columns)
+    rows = df.select(*cols).collect()
+    return sorted("|".join(_cell(v) for v in r) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_rows_only_entry_matches_golden(spark, sf_dir, name):
+    n_exp, sha_exp, first_line = GOLDEN[name]
+    lines = canonical_lines(queries()[name](spark, sf_dir))
+    assert len(lines) == n_exp, f"{name}: {len(lines)} rows, expected {n_exp}"
+    assert lines[0] == first_line or any(
+        ln == first_line for ln in lines[:3]
+    ), f"{name}: sample line drifted: {lines[0]!r}"
+    sha = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    assert sha == sha_exp, (
+        f"{name}: canonical sha drifted ({sha[:12]} != {sha_exp[:12]}); "
+        "if the semantics change was intentional, regenerate with "
+        "`python tests/test_rows_only_golden.py`"
+    )
+
+
+if __name__ == "__main__":  # golden regeneration helper
+    import json
+
+    from dsacord_spark.session import get_spark
+
+    s = get_spark(app_name="golden-regen", master="local[4]",
+                  shuffle_partitions=4,
+                  extra_conf={"spark.driver.memory": "4g"})
+    q = queries()
+    fresh = {}
+    for nm in sorted(GOLDEN):
+        ls = canonical_lines(q[nm](s, "/root/testdata/sf0.001"))
+        sha = hashlib.sha256("\n".join(ls).encode()).hexdigest()
+        fresh[nm] = (len(ls), sha, ls[0])
+    print(json.dumps(fresh, indent=1))
