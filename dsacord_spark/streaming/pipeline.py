@@ -328,6 +328,7 @@ def sessionize_bounded(
     timestamp comes from the staged files' parquet footer stats (driver
     metadata read, no Spark job); the sentinel file is written with
     pyarrow (no Spark job)."""
+    import atexit
     import os
     import shutil
     import tempfile
@@ -445,23 +446,31 @@ def sessionize_bounded(
                 stream, gap_s=gap_s, watermark="0 seconds"
             )
 
-        def sink(batch_df: DataFrame, _epoch: int) -> None:
-            batch_df.write.mode("append").parquet(out)
-
+        # native parquet file sink, not foreachBatch: the python callback
+        # costs a driver round-trip per micro-batch (incl. the no-data
+        # flush batch), and the FileStreamSink's _spark_metadata log makes
+        # the output readable without an existence/emptiness dance
         q = (
-            sessions.writeStream.foreachBatch(sink)
+            sessions.writeStream.format("parquet")
+            .option("path", out)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(600)
-        if not os.path.isdir(out):
-            return spark.createDataFrame([], SESSION_OUTPUT_SCHEMA)
-        result = spark.read.parquet(out)
-        # materialize before the temp dir disappears
-        result = spark.createDataFrame(result.collect(), SESSION_OUTPUT_SCHEMA) \
-            if result.isEmpty() else result.localCheckpoint(eager=True)
-        return result
+        # hand the OUTPUT DIR over to a process-lifetime location instead
+        # of eagerly re-reading it into the block manager: the former
+        # localCheckpoint(eager=True) added a full extra read+materialize
+        # (~0.3-0.4s at sf0.1) before the consumer's own action
+        keep = tempfile.mkdtemp(prefix="dsacord-sessions-")
+        os.rmdir(keep)
+        shutil.move(out, keep)
+        # the sink's _spark_metadata log records ABSOLUTE pre-move file
+        # paths; drop it so the batch reader lists the directory instead
+        # of trusting the stale log (which reads as zero files)
+        shutil.rmtree(os.path.join(keep, "_spark_metadata"), ignore_errors=True)
+        atexit.register(shutil.rmtree, keep, ignore_errors=True)
+        return spark.read.schema(SESSION_OUTPUT_SCHEMA).parquet(keep)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         try:
@@ -618,7 +627,16 @@ def run_bounded_stream(
             # batch frame); batch_transform reshapes it like the sink did
             empty = spark.createDataFrame([], transformed.schema)
             return batch_transform(empty) if batch_transform else empty
-        return spark.read.parquet(out).localCheckpoint(eager=True)
+        # hand the output dir to a process-lifetime location and return a
+        # lazy read instead of eagerly re-materializing through the block
+        # manager (same rationale as sessionize_bounded)
+        import atexit
+
+        keep = tempfile.mkdtemp(prefix="dsacord-bstream-out-")
+        os.rmdir(keep)
+        shutil.move(out, keep)
+        atexit.register(shutil.rmtree, keep, ignore_errors=True)
+        return spark.read.parquet(keep)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
