@@ -19,6 +19,7 @@ import dsacord_spark.plans.curation  # noqa: F401  (registers curation ops)
 import dsacord_spark.plans.udx  # noqa: F401  (registers UDTF/UDAF surface)
 import dsacord_spark.plans.tpch_rest  # noqa: F401  (registers TPC-H suite rest)
 import dsacord_spark.plans.quality  # noqa: F401  (registers corpus-quality ops)
+import dsacord_spark.plans.reports  # noqa: F401  (registers r3 report ops — LAST so existing window seqs are stable)
 from dsacord_spark.plans.registry import QuerySpec, get_registry
 
 # The driver's per-round correctness check covers only the FIRST 50
