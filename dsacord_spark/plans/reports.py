@@ -1,14 +1,16 @@
 """Corpus- and business-health report operators (round-3 additions).
 
-Eleven oracle-eligible entries extending the layer-B catalog beyond the
+Fifteen oracle-eligible entries extending the layer-B catalog beyond the
 reference's surface (the reference is a 600-line ETL with no query layer;
 this family is the analytics a 100 TB training-data pipeline runs on top
 of the ingested lake): a bigram-LM fluency score, asymmetric containment
 near-dup pairs, the exact-duplicate cluster-size histogram, a Zipf
 rank-frequency table, customer-lifetime-value deciles, DAU/MAU
 stickiness, RFM segmentation, inter-arrival latency profiles,
-sentence-level exact dedup, brand-concentration HHI, and the
-session-duration histogram.
+sentence-level exact dedup, brand-concentration HHI, the
+session-duration histogram, a supplier scorecard, ARI readability,
+source-vocabulary total-variation distance, and the MinHash
+calibration report.
 
 Determinism (registry.py header rules): every cross-engine number is an
 integer, a DECIMAL sum, a single IEEE division of deterministic operands,
@@ -177,10 +179,14 @@ _CONTAIN_T = 0.8
     "family.",
 )
 def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dsacord_spark.operators.dedup import _shingle_frame
+    from dsacord_spark.operators.dedup import _shingle_index
 
     d = table(spark, sf_dir, "documents")
-    ngr = _shingle_frame(d, "doc_id", "text", 3)
+    # persisted index: the plan consumes it 3x (sizes + both join sides);
+    # the unpersisted frame re-ran the shingle scan each time (measured
+    # 3.5s -> ~2s at sf0.1). Shared with the dedup family via Spark's
+    # plan-matching cache; released at bench family boundaries.
+    ngr = _shingle_index(d, "doc_id", "text", 3)
     sizes = ngr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a, b = ngr.alias("a"), ngr.alias("b")
     inter = (
@@ -806,5 +812,425 @@ def events_session_duration_histogram(
             F.round(F.col("n_sessions").cast("double") / F.col("n"), 6).alias(
                 "session_frac"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier scorecard: the operational fact-to-dim rollup every supply
+# pipeline runs — per supplier: item volume, return rate, exact-decimal
+# net revenue, and the exact interpolated median of the order->ship lag
+# in integer days. One lineitem->orders equi-join (both sides shuffled on
+# orderkey at scale), one rollup keyed by the 100-row supplier dim.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_scorecard",
+    sql="""
+    WITH j AS (
+      SELECT l.l_suppkey,
+             l.l_returnflag,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
+               AS net,
+             date_diff('day', CAST(o.o_orderdate AS TIMESTAMP),
+                       CAST(l.l_shipdate AS TIMESTAMP)) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    agg AS (
+      SELECT l_suppkey AS s_suppkey,
+             count(*) AS n_items,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+             CAST(SUM(net) AS DOUBLE) AS net_revenue,
+             quantile_cont(lag_days, 0.5) AS median_lag
+      FROM j GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name,
+           n_items,
+           round(CAST(n_returned AS DOUBLE) / n_items, 6) AS return_rate,
+           net_revenue,
+           round(median_lag, 6) AS median_ship_lag_days
+    FROM agg JOIN supplier s USING (s_suppkey)
+    """,
+    doc="Per-supplier operational scorecard: volume, return rate, exact "
+    "decimal net revenue, exact interpolated median order->ship lag in "
+    "integer days. Fact-fact join on orderkey + a broadcast supplier dim.",
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "l_suppkey",
+        "l_returnflag",
+        (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).alias("net"),
+        F.datediff(
+            F.col("l_shipdate").cast("timestamp"),
+            F.col("o_orderdate").cast("timestamp"),
+        ).alias("lag_days"),
+    )
+    agg = j.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "n_returned"
+        ),
+        F.sum("net").cast("double").alias("net_revenue"),
+        F.percentile("lag_days", F.lit(0.5)).alias("median_lag"),
+    )
+    return agg.join(F.broadcast(s), "s_suppkey").select(
+        "s_suppkey",
+        "s_name",
+        "n_items",
+        F.round(F.col("n_returned").cast("double") / F.col("n_items"), 6).alias(
+            "return_rate"
+        ),
+        "net_revenue",
+        F.round("median_lag", 6).alias("median_ship_lag_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readability (Automated Readability Index): ARI = 4.71*(chars/words) +
+# 0.5*(words/sentences) - 21.43, with chars = alphanumeric count, words =
+# whitespace tokens, sentences = '.'-split non-empty segments (>= 1).
+# Chosen over Flesch BECAUSE it needs no syllable counts — all three
+# inputs are exact integers, so the fixed expression tree evaluates
+# bit-identically on both engines. Pure map-side column math.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_readability_ari",
+    sql=f"""
+    WITH m AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_chars,
+             len({_TOKS_SQL.format(c='text')}) AS n_words,
+             greatest(len(list_filter(list_transform(string_split(text, '.'),
+                                                     s -> trim(s)),
+                                      s -> s <> '')), 1) AS n_sentences
+      FROM documents)
+    SELECT doc_id, n_chars, n_words, n_sentences,
+           CAST((1000000 * (471 * CAST(n_chars AS BIGINT) * n_sentences
+                            + 50 * CAST(n_words AS BIGINT) * n_words
+                            - 2143 * CAST(n_words AS BIGINT) * n_sentences)
+                 + 50 * CAST(n_words AS BIGINT) * n_sentences)
+                // (100 * CAST(n_words AS BIGINT) * n_sentences)
+                AS DOUBLE) / 1000000 AS ari
+    FROM m WHERE n_words > 0
+    """,
+    doc="Automated Readability Index per document (ARI needs no syllable "
+    "model — its three inputs are exact integer counts). ARI = N/D with "
+    "N = 471*c*s + 50*w^2 - 2143*w*s, D = 100*w*s, and the 6-decimal "
+    "rounding is done IN INTEGER ARITHMETIC ((N*1e6 + D/2) div D) "
+    "because these small-denominator rationals land on exact .xxxxxx5 "
+    "ties where Spark's round() (half-up) and DuckDB's (half-even on "
+    "doubles) disagree. Map-side column math, no shuffle.",
+)
+def text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", "[^A-Za-z0-9]", "")).alias("n_chars"),
+        F.size(tokens("text")).alias("n_words"),
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.transform(F.split("text", "\\."), lambda s: F.trim(s)),
+                    lambda s: s != "",
+                )
+            ),
+            F.lit(1),
+        ).alias("n_sentences"),
+    ).filter(F.col("n_words") > 0)
+    # half-up rounding via integer math: (N*1e6 + D/2) div D; D = 100*w*s
+    # is always even so D/2 = 50*w*s is exact; both engines truncate
+    # integer division toward zero (verified -7 div 2 = -3 on each)
+    return m.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "n_sentences",
+        (
+            F.expr(
+                "(1000000 * (471 * CAST(n_chars AS BIGINT) * n_sentences"
+                " + 50 * CAST(n_words AS BIGINT) * n_words"
+                " - 2143 * CAST(n_words AS BIGINT) * n_sentences)"
+                " + 50 * CAST(n_words AS BIGINT) * n_sentences)"
+                " div (100 * CAST(n_words AS BIGINT) * n_sentences)"
+            ).cast("double")
+            / F.lit(1_000_000)
+        ).alias("ari"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-vocabulary divergence: pairwise TOTAL VARIATION distance between
+# the unigram distributions of every pair of document sources,
+#   TV(P,Q) = (1/2) * sum_tk |p_tk - q_tk|,
+# computed in EXACT integer arithmetic: with per-source counts c and
+# totals t,  |c1/t1 - c2/t2| = |c1*t2 - c2*t1| / (t1*t2), so the whole
+# sum is a DECIMAL(38,0) accumulation with ONE double division at the
+# end. Tokens absent from one source contribute (t1 - shared1)*t2 (resp.
+# symmetric) — recovered from the shared-token sums, so only the
+# token-level INNER join is needed (no per-pair full-outer join). The
+# mixture-health report for multi-source corpus assembly: TV ~ 0 means
+# two sources are interchangeable, TV ~ 1 means disjoint vocabularies.
+# Scale: one (source, token) count shuffle; the pair join fans each
+# token's source list (<= 20) quadratically — bounded by n_sources^2,
+# not corpus size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_vocab_tv_distance",
+    sql="""
+    WITH tok AS (
+      SELECT source, tk
+      FROM (SELECT source,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents), unnest(t) AS u(tk)),
+    cnt AS (SELECT source, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+    tot AS (SELECT source, count(*) AS t FROM tok GROUP BY 1),
+    pair AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             SUM(abs(CAST(a.c AS DECIMAL(38,0)) * tb.t
+                     - CAST(b.c AS DECIMAL(38,0)) * ta.t)) AS num_shared,
+             SUM(CAST(a.c AS DECIMAL(38,0))) AS shared_a,
+             SUM(CAST(b.c AS DECIMAL(38,0))) AS shared_b,
+             max(ta.t) AS t_a, max(tb.t) AS t_b
+      FROM cnt a
+      JOIN cnt b ON a.tk = b.tk AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           round(CAST(num_shared + (t_a - shared_a) * t_b
+                      + (t_b - shared_b) * t_a AS DOUBLE)
+                 / (2.0 * t_a * t_b), 6) AS tv_distance
+    FROM pair
+    """,
+    doc="Pairwise total-variation distance between source unigram "
+    "distributions in exact integer arithmetic (|c1*t2 - c2*t1| decimal "
+    "sums, one final division) — the mixture-health report for "
+    "multi-source corpus assembly. Token-inner-join only; missing-token "
+    "mass recovered from shared-token sums.",
+)
+def source_vocab_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("tk"))
+    cnt = tok.groupBy("source", "tk").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("t"))
+    a = cnt.select(
+        F.col("source").alias("source_a"), "tk", F.col("c").alias("c_a")
+    )
+    b = cnt.select(
+        F.col("source").alias("source_b"), "tk", F.col("c").alias("c_b")
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("t").alias("t_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("t").alias("t_b"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    pair = (
+        a.join(b, "tk")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.abs(dec("c_a") * F.col("t_b") - dec("c_b") * F.col("t_a"))
+            ).alias("num_shared"),
+            F.sum(dec("c_a")).alias("shared_a"),
+            F.sum(dec("c_b")).alias("shared_b"),
+            F.max("t_a").alias("t_a"),
+            F.max("t_b").alias("t_b"),
+        )
+    )
+    return pair.select(
+        "source_a",
+        "source_b",
+        F.round(
+            (
+                F.col("num_shared")
+                + (F.col("t_a") - F.col("shared_a")) * F.col("t_b")
+                + (F.col("t_b") - F.col("shared_b")) * F.col("t_a")
+            ).cast("double")
+            / (F.lit(2.0) * F.col("t_a") * F.col("t_b")),
+            6,
+        ).alias("tv_distance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration report: for every LSH candidate pair (any band
+# collision), the signature-estimated Jaccard (fraction of the 32
+# permutation slots that agree — the unbiased MinHash estimator) next to
+# the EXACT shingle Jaccard, with the absolute error. The sketch-quality
+# report that justifies (or indicts) the production LSH parameters: if
+# |est - exact| drifts past the ~1/sqrt(32) band, the permutation family
+# or shingle unit is wrong. The deterministic md5-based permutation
+# family (functions/hashing.py) is what makes even the ESTIMATOR
+# oracle-checkable. Estimates are counts/32 (exact division); the same
+# candidate machinery as dedup_minhash_lsh.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_calibration_sql(n_perm: int = 32, bands: int = 8) -> str:
+    from dsacord_spark.functions.hashing import _perm_constants, md5_long_sql
+    from dsacord_spark.plans.analysis import _ngr_cte, _perm_min_sql
+
+    rows = n_perm // bands
+    perms = _perm_constants(n_perm)
+    mins = ",\n             ".join(
+        _perm_min_sql(i, a, b) for i, (a, b) in enumerate(perms)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc, {j} AS band_idx, {h} AS band_hash FROM sig".format(
+            j=j,
+            h=md5_long_sql(
+                "concat_ws(',', "
+                + ", ".join([str(j)] + [f"m{j * rows + r}" for r in range(rows)])
+                + ")"
+            ),
+        )
+        for j in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(n_perm)
+    )
+    return f"""
+    WITH {_ngr_cte(3).strip()},
+    sig AS (SELECT doc, {mins} FROM ngr GROUP BY doc),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc < b.doc),
+    sizes AS (SELECT doc, count(*) AS sz FROM ngr GROUP BY doc),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c JOIN ngr a ON a.doc = c.doc_a
+      JOIN ngr b ON b.doc = c.doc_b AND a.hg = b.hg
+      GROUP BY 1, 2),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({agree} AS DOUBLE) / {n_perm} AS est_jaccard
+      FROM cand c JOIN sig sa ON sa.doc = c.doc_a
+      JOIN sig sb ON sb.doc = c.doc_b)
+    SELECT est.doc_a, est.doc_b,
+           round(est_jaccard, 6) AS est_jaccard,
+           round(CAST(COALESCE(i, 0) AS DOUBLE)
+                 / (sa.sz + sb.sz - COALESCE(i, 0)), 6) AS exact_jaccard,
+           round(abs(est_jaccard - CAST(COALESCE(i, 0) AS DOUBLE)
+                 / (sa.sz + sb.sz - COALESCE(i, 0))), 6) AS abs_error
+    FROM est
+    LEFT JOIN inter ON inter.doc_a = est.doc_a AND inter.doc_b = est.doc_b
+    JOIN sizes sa ON sa.doc = est.doc_a
+    JOIN sizes sb ON sb.doc = est.doc_b
+    """
+
+
+@register(
+    "dedup_minhash_calibration",
+    sql=_minhash_calibration_sql(32, 8),
+    doc="MinHash sketch-calibration: per LSH candidate pair, the "
+    "32-permutation signature-agreement estimate of Jaccard next to the "
+    "exact shingle Jaccard and |error| — the report that validates the "
+    "production LSH parameters. Deterministic md5 permutations make the "
+    "estimator itself oracle-checkable.",
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.functions.hashing import md5_long
+    from dsacord_spark.operators.dedup import _shingle_index, minhash_signatures
+
+    n_perm, bands = 32, 8
+    rows_per_band = n_perm // bands
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", 3, n_perm)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_idx"),
+            md5_long(
+                F.concat_ws(
+                    ",",
+                    F.lit(j),
+                    *[
+                        F.col(f"m{j * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for j in range(bands)
+    ]
+    bands_df = sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc", "b.band_idx", "b.band_hash")
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_perm)],
+    )
+    sb = sig.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_perm)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_perm)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(n_perm)).alias("est_jaccard"),
+        )
+    )
+    ngr = _shingle_index(d, "doc_id", "text", 3)
+    sizes = ngr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    na = ngr.select(F.col("doc").alias("doc_a"), F.col("hg").alias("hg_a"))
+    nb = ngr.select(F.col("doc").alias("doc_b2"), F.col("hg").alias("hg_b"))
+    inter = (
+        cand.join(na, "doc_a")
+        .join(
+            nb,
+            (F.col("doc_b") == F.col("doc_b2"))
+            & (F.col("hg_a") == F.col("hg_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sza = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    i0 = F.coalesce(F.col("i"), F.lit(0))
+    exact = i0.cast("double") / (F.col("sz_a") + F.col("sz_b") - i0)
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_error"),
         )
     )

@@ -1,0 +1,136 @@
+"""Property tests: reports.py entries vs independent pure-Python
+references on adversarial corpora. The DuckDB oracle proves Spark and
+DuckDB agree; these prove both agree with a from-scratch statement of
+the INTENDED semantics (same pattern as test_quality_properties.py).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from hypothesis import given, settings, strategies as st
+
+from dsacord_spark.plans.catalog import specs
+
+_VOCAB = ["a", "bb", "ccc", "d1", "!"]
+_doc = st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12)
+
+
+def _write_docs(spark, tmp_path_factory, rows, schema):
+    sf = str(tmp_path_factory.mktemp("rp"))
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=st.lists(_doc, min_size=1, max_size=6))
+def test_ari_matches_python_reference(spark, tmp_path_factory, corpus):
+    """ARI = (471*c*s + 50*w^2 - 2143*w*s) / (100*w*s) with half-up
+    integer rounding to 6dp — checked against direct Fraction math."""
+    rows = [(d, " ".join(t) + ". tail sentence") for d, t in enumerate(corpus)]
+    sf = _write_docs(spark, tmp_path_factory, rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_words"], r["n_sentences"], r["ari"])
+        for r in specs()["text_readability_ari"].fn(spark, sf).collect()
+    }
+    for d, (_, text) in enumerate(rows):
+        c = sum(1 for ch in text if ch.isascii() and ch.isalnum())
+        w = len([t for t in text.split() if t])
+        s = max(
+            len([p for p in (seg.strip(" ") for seg in text.split(".")) if p]),
+            1,
+        )
+        if w == 0:
+            assert d not in got
+            continue
+        num, den = 471 * c * s + 50 * w * w - 2143 * w * s, 100 * w * s
+        ari_e6 = int((Fraction(num) * 1_000_000 + Fraction(den, 2)) / den)
+        assert got[d] == (c, w, s, ari_e6 / 1_000_000), (d, text, got[d])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    corpus=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]), _doc),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_tv_distance_matches_python_reference(spark, tmp_path_factory, corpus):
+    """TV distance via the shared-token algebra must equal the direct
+    full-vocabulary Fraction sum (validates the missing-token-mass
+    recovery: sum_only_in_1 c1*t2 == (t1 - shared1)*t2)."""
+    rows = [(d, src, " ".join(t)) for d, (src, t) in enumerate(corpus)]
+    sf = _write_docs(
+        spark, tmp_path_factory, rows, "doc_id long, source string, text string"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["tv_distance"]
+        for r in specs()["source_vocab_tv_distance"].fn(spark, sf).collect()
+    }
+    counts: dict[str, dict[str, int]] = {}
+    for _, src, text in rows:
+        for tk in text.split():
+            counts.setdefault(src, {})[tk] = counts.get(src, {}).get(tk, 0) + 1
+    srcs = sorted(counts)
+    want = {}
+    for i, s1 in enumerate(srcs):
+        for s2 in srcs[i + 1 :]:
+            t1, t2 = sum(counts[s1].values()), sum(counts[s2].values())
+            if not t1 or not t2:
+                continue
+            vocab = set(counts[s1]) | set(counts[s2])
+            tv = (
+                sum(
+                    abs(
+                        Fraction(counts[s1].get(tk, 0), t1)
+                        - Fraction(counts[s2].get(tk, 0), t2)
+                    )
+                    for tk in vocab
+                )
+                / 2
+            )
+            want[(s1, s2)] = round(float(tv), 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 2e-6, (k, got[k], want[k])
+
+
+@settings(max_examples=8, deadline=None)
+@given(corpus=st.lists(_doc, min_size=1, max_size=6))
+def test_bigram_fluency_matches_python_reference(
+    spark, tmp_path_factory, corpus
+):
+    """Mean add-one-smoothed bigram probability vs a direct Python
+    reference with position-ordered summation."""
+    rows = [(d, " ".join(t)) for d, t in enumerate(corpus)]
+    sf = _write_docs(spark, tmp_path_factory, rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_bigram_p"])
+        for r in specs()["text_bigram_lm_fluency"].fn(spark, sf).collect()
+    }
+    toks = {d: [t for t in text.split() if t] for d, text in rows}
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    vocab = set()
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+            vocab.add(w)
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    want = {}
+    for d, t in toks.items():
+        if len(t) < 2:
+            continue
+        ps = [
+            (big[(a, b)] + 1) / (uni[a] + len(vocab))
+            for a, b in zip(t, t[1:])
+        ]
+        s = 0.0
+        for p in ps:
+            s += p
+        want[d] = (len(ps), round(s / len(ps), 9))
+    assert got == want, (corpus, got, want)
