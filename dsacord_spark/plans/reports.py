@@ -1,6 +1,6 @@
 """Corpus- and business-health report operators (round-3 additions).
 
-Fifteen oracle-eligible entries extending the layer-B catalog beyond the
+Twenty-four oracle-eligible entries extending the layer-B catalog beyond the
 reference's surface (the reference is a 600-line ETL with no query layer;
 this family is the analytics a 100 TB training-data pipeline runs on top
 of the ingested lake): a bigram-LM fluency score, asymmetric containment
@@ -9,8 +9,11 @@ rank-frequency table, customer-lifetime-value deciles, DAU/MAU
 stickiness, RFM segmentation, inter-arrival latency profiles,
 sentence-level exact dedup, brand-concentration HHI, the
 session-duration histogram, a supplier scorecard, ARI readability,
-source-vocabulary total-variation distance, and the MinHash
-calibration report.
+source-vocabulary total-variation distance, the MinHash calibration
+report, user co-presence edges, embedding-norm percentiles, per-user
+burstiness (Fano), weekly revenue seasonality, character-class
+profiles, repeat-order retention, the week-hour activity heatmap,
+hapax/type-token richness, and the n-gram duplicate-rate sweep.
 
 Determinism (registry.py header rules): every cross-engine number is an
 integer, a DECIMAL sum, a single IEEE division of deterministic operands,
@@ -1234,3 +1237,560 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-presence graph build: pairs of users active in the same hour bucket,
+# scored by the number of shared hours — the standard co-occurrence edge
+# list (user-user projection of the bipartite user-hour graph). The
+# self-join is BOUNDED BY BUCKETING: each hour expands only per-hour
+# distinct-user pairs (never corpus^2), exactly how a 100 TB co-presence
+# build stays tractable; skewed hours are the known hazard and are
+# reported by events_concurrency_sweep. Top-50 by shared hours with a
+# pair-key tie-break.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_copresence_topk",
+    sql="""
+    WITH uh AS (
+      SELECT DISTINCT user_id,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr
+      FROM events),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             count(*) AS shared_hours
+      FROM uh a JOIN uh b ON a.hr = b.hr AND a.user_id < b.user_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT user_a, user_b, shared_hours,
+             row_number() OVER (ORDER BY shared_hours DESC,
+                                user_a ASC, user_b ASC) AS rank
+      FROM pairs)
+    SELECT rank, user_a, user_b, shared_hours
+    FROM ranked WHERE rank <= 50
+    """,
+    doc="User co-presence edge list: pairs of users sharing activity "
+    "hours, top-50 by shared-hour count (pair-key tie-break). The "
+    "self-join is bucketed by hour so the expansion is per-bucket "
+    "pairs, never corpus^2.",
+)
+def events_user_copresence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    uh = e.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    a = uh.select(F.col("user_id").alias("user_a"), "hr")
+    b = uh.select(F.col("user_id").alias("user_b"), "hr")
+    pairs = (
+        a.join(b, "hr")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("shared_hours"))
+    )
+    win = W.orderBy(
+        F.col("shared_hours").desc(), F.col("user_a").asc(), F.col("user_b").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "user_a", "user_b", "shared_hours")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-norm distribution per label: per-vector L2 norm via the
+# position-ordered fold (bit-identical across engines), then EXACT
+# interpolated percentiles per label — percentile is selection over
+# deterministic doubles, not summation, so it is fold-order-safe. The
+# norm profile catches normalization bugs (a label whose p50 norm is far
+# from 1 after a supposed L2-normalize) before they poison cosine math.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embed_norm_percentiles",
+    sql="""
+    WITH n AS (
+      SELECT label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings)
+    SELECT label, count(*) AS n_vecs,
+           round(quantile_cont(nrm, 0.05), 6) AS p05_norm,
+           round(quantile_cont(nrm, 0.5), 6) AS p50_norm,
+           round(quantile_cont(nrm, 0.95), 6) AS p95_norm
+    FROM n GROUP BY label
+    """,
+    doc="Per-label L2-norm percentiles of the embedding table (exact "
+    "interpolated selection over deterministic per-vector fold norms) — "
+    "the normalization-health check run before any cosine pipeline.",
+)
+def embed_norm_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.functions.vectors import norm
+
+    e = table(spark, sf_dir, "embeddings")
+    n = e.select("label", norm("embedding").alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.percentile("nrm", F.lit(0.05)), 6).alias("p05_norm"),
+        F.round(F.percentile("nrm", F.lit(0.5)), 6).alias("p50_norm"),
+        F.round(F.percentile("nrm", F.lit(0.95)), 6).alias("p95_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness (index of dispersion) per user: Fano factor of the per-hour
+# event counts, D = var/mean, in EXACT integer algebra — with hourly
+# counts n_i over N active+inactive... here N = user's active hours and
+# the population variance over them:
+#   D = (N * sum(n^2) - (sum n)^2) / (N * sum n)
+# (counts are ints; squares kept in DECIMAL(38,0); one double division).
+# D ~ 1 is Poisson-like arrival, D >> 1 is bursty — the standard traffic
+# shape report. One (user, hour) count shuffle + a per-user rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_burstiness_fano",
+    sql="""
+    WITH uh AS (
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    agg AS (
+      SELECT user_id,
+             count(*) AS n_hours,
+             SUM(CAST(n AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(n AS DECIMAL(38,0)) * n) AS s2
+      FROM uh GROUP BY user_id)
+    SELECT user_id, n_hours, CAST(s1 AS BIGINT) AS n_events,
+           round(CAST(n_hours * s2 - s1 * s1 AS DOUBLE)
+                 / CAST(n_hours * s1 AS DOUBLE), 6) AS fano
+    FROM agg
+    """,
+    doc="Per-user burstiness: Fano factor (variance/mean) of hourly event "
+    "counts in exact integer algebra — (N*sum(n^2) - (sum n)^2) / "
+    "(N*sum n), decimal-exact sums, one double division. D~1 Poisson, "
+    "D>>1 bursty.",
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    uh = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dec = F.col("n").cast("decimal(38,0)")
+    agg = uh.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * F.col("n")).alias("s2"),
+    )
+    return agg.select(
+        "user_id",
+        "n_hours",
+        F.col("s1").cast("bigint").alias("n_events"),
+        F.round(
+            (F.col("n_hours") * F.col("s2") - F.col("s1") * F.col("s1"))
+            .cast("double")
+            / (F.col("n_hours") * F.col("s1")).cast("double"),
+            6,
+        ).alias("fano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly seasonality: net revenue per ISO week with week-over-week delta
+# and the share of its quarter — exact decimal sums, lag over the tiny
+# aggregated frame, single divisions at the boundary. The calendar
+# rollup+lag shape (dashboard staple) the catalog lacked.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_weekly_revenue",
+    sql="""
+    WITH w AS (
+      SELECT strftime(date_trunc('week', CAST(l_shipdate AS TIMESTAMP)),
+                      '%Y-%m-%d') AS week_start,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+               AS rev
+      FROM lineitem GROUP BY 1)
+    SELECT week_start,
+           CAST(rev AS DOUBLE) AS net_revenue,
+           CAST(rev - lag(rev) OVER (ORDER BY week_start) AS DOUBLE)
+             AS wow_delta
+    FROM w
+    """,
+    doc="Net revenue per Monday-started week (date_trunc('week') agrees "
+    "across engines; ISO week-year patterns do not survive Spark 3's "
+    "parser) with week-over-week delta: exact decimal sums; the lag "
+    "window runs over the tiny aggregated frame, never the fact table.",
+)
+def lineitem_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    w = l.groupBy(
+        F.date_format(
+            F.date_trunc("week", F.col("l_shipdate").cast("timestamp")),
+            "yyyy-MM-dd",
+        ).alias("week_start")
+    ).agg(
+        F.sum(
+            dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+        ).alias("rev")
+    )
+    lagw = W.orderBy("week_start")
+    return w.select(
+        "week_start",
+        F.col("rev").cast("double").alias("net_revenue"),
+        (F.col("rev") - F.lag("rev").over(lagw)).cast("double").alias("wow_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-class profile per language: ascii-letter / digit / whitespace
+# / punctuation-ish counts and ratios — the encoding-health report that
+# catches mojibake and OCR garbage per corpus slice. Pure map-side
+# regexp_replace length algebra (identical Java/RE2 character classes),
+# exact integer counts, single divisions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_charclass_profile",
+    sql="""
+    WITH m AS (
+      SELECT lang,
+             length(text) AS n_all,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+               AS n_space
+      FROM documents),
+    a AS (
+      SELECT lang, count(*) AS n_docs,
+             SUM(CAST(n_all AS BIGINT)) AS chars,
+             SUM(CAST(n_alpha AS BIGINT)) AS alpha,
+             SUM(CAST(n_digit AS BIGINT)) AS digit,
+             SUM(CAST(n_space AS BIGINT)) AS space
+      FROM m GROUP BY lang)
+    SELECT lang, n_docs, CAST(chars AS BIGINT) AS chars,
+           round(CAST(alpha AS DOUBLE) / chars, 6) AS alpha_ratio,
+           round(CAST(digit AS DOUBLE) / chars, 6) AS digit_ratio,
+           round(CAST(space AS DOUBLE) / chars, 6) AS space_ratio,
+           round(CAST(chars - alpha - digit - space AS DOUBLE) / chars, 6)
+             AS other_ratio
+    FROM a
+    """,
+    doc="Character-class profile per language (alpha/digit/space/other "
+    "ratios over exact integer counts) — the encoding/mojibake health "
+    "report. Map-side regex length algebra, one tiny rollup.",
+)
+def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    m = d.select(
+        "lang",
+        F.length("text").alias("n_all"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digit"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "\\s", ""))
+        ).alias("n_space"),
+    )
+    a = m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_all").cast("bigint")).alias("chars"),
+        F.sum(F.col("n_alpha").cast("bigint")).alias("alpha"),
+        F.sum(F.col("n_digit").cast("bigint")).alias("digit"),
+        F.sum(F.col("n_space").cast("bigint")).alias("space"),
+    )
+    r = lambda c: F.round(c.cast("double") / F.col("chars"), 6)
+    return a.select(
+        "lang",
+        "n_docs",
+        "chars",
+        r(F.col("alpha")).alias("alpha_ratio"),
+        r(F.col("digit")).alias("digit_ratio"),
+        r(F.col("space")).alias("space_ratio"),
+        r(F.col("chars") - F.col("alpha") - F.col("digit") - F.col("space")).alias(
+            "other_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-order retention: of customers whose FIRST order is at least H
+# days before the corpus horizon (so the window is fully observable),
+# the fraction that placed a second order within 30/60/90 days — the
+# survival/conversion-window rollup (exact day arithmetic, no windows
+# over the fact table: per-customer min + second-min via two aggregates).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_repeat_retention",
+    sql="""
+    WITH c AS (
+      SELECT o_custkey,
+             min(CAST(o_orderdate AS TIMESTAMP)) AS first_order
+      FROM orders GROUP BY o_custkey),
+    nxt AS (
+      SELECT o.o_custkey,
+             min(CAST(o.o_orderdate AS TIMESTAMP)) AS second_order
+      FROM orders o JOIN c USING (o_custkey)
+      WHERE CAST(o.o_orderdate AS TIMESTAMP) > c.first_order
+      GROUP BY o.o_custkey),
+    h AS (SELECT max(CAST(o_orderdate AS TIMESTAMP)) AS horizon FROM orders),
+    j AS (
+      SELECT c.o_custkey,
+             date_diff('day', c.first_order,
+                       COALESCE(nxt.second_order, h.horizon + INTERVAL 1000 DAY))
+               AS gap_days,
+             date_diff('day', c.first_order, h.horizon) AS observable_days
+      FROM c LEFT JOIN nxt USING (o_custkey), h)
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS repeat_30d,
+           CAST(SUM(CASE WHEN gap_days <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS repeat_60d,
+           CAST(SUM(CASE WHEN gap_days <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS repeat_90d,
+           round(CAST(SUM(CASE WHEN gap_days <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS repeat_90d_rate
+    FROM j WHERE observable_days >= 90
+    """,
+    doc="Repeat-order retention: of customers with >= 90 observable days "
+    "after their first order, how many re-ordered within 30/60/90 days. "
+    "Two per-customer aggregates (first + second order), exact day "
+    "arithmetic, one summary row.",
+)
+def orders_repeat_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("timestamp").alias("od")
+    )
+    c = o.groupBy("o_custkey").agg(F.min("od").alias("first_order"))
+    nxt = (
+        o.join(c, "o_custkey")
+        .filter(F.col("od") > F.col("first_order"))
+        .groupBy("o_custkey")
+        .agg(F.min("od").alias("second_order"))
+    )
+    h = o.agg(F.max("od").alias("horizon"))
+    j = (
+        c.join(nxt, "o_custkey", "left")
+        .crossJoin(F.broadcast(h))
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.coalesce(
+                    F.col("second_order"),
+                    F.col("horizon") + F.expr("INTERVAL 1000 DAYS"),
+                ),
+                F.col("first_order"),
+            ).alias("gap_days"),
+            F.datediff(F.col("horizon"), F.col("first_order")).alias(
+                "observable_days"
+            ),
+        )
+        .filter(F.col("observable_days") >= 90)
+    )
+    flag = lambda d: F.sum(
+        F.when(F.col("gap_days") <= d, 1).otherwise(0)
+    ).cast("bigint")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        flag(30).alias("repeat_30d"),
+        flag(60).alias("repeat_60d"),
+        flag(90).alias("repeat_90d"),
+        F.round(
+            F.sum(F.when(F.col("gap_days") <= 90, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("repeat_90d_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity heatmap matrix: event counts and share by (day-of-week, hour-
+# of-day) — the traffic-shape fingerprint behind capacity planning.
+# ISO day-of-week numbering pinned on both engines; exact counts, one
+# division against the broadcast total.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_weekhour_heatmap",
+    sql="""
+    WITH e AS (
+      SELECT isodow(CAST(ts AS TIMESTAMP)) AS dow,
+             CAST(strftime(CAST(ts AS TIMESTAMP), '%H') AS INT) AS hod
+      FROM events),
+    t AS (SELECT count(*) AS n FROM e)
+    SELECT dow, hod, count(*) AS n_events,
+           round(CAST(count(*) AS DOUBLE) / max(n), 6) AS share
+    FROM e, t GROUP BY dow, hod
+    """,
+    doc="(ISO day-of-week, hour-of-day) activity matrix with exact counts "
+    "and total share — the 7x24 traffic fingerprint. One narrow "
+    "aggregation; the total broadcasts.",
+)
+def events_weekhour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        # Spark dayofweek: 1=Sunday..7=Saturday; ISO wants 1=Monday..7=Sunday
+        (((F.dayofweek("ts") + 5) % 7) + 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+    )
+    t = e.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        e.groupBy("dow", "hod")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "hod",
+            "n_events",
+            F.round(F.col("n_events").cast("double") / F.col("n"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hapax ratio per source: fraction of each source's vocabulary that
+# occurs exactly once IN THAT SOURCE (hapax legomena) and the source's
+# type-token ratio — the vocabulary-richness fingerprint (template-heavy
+# sources show low hapax share, natural prose high). Exact integer
+# counts over one (source, token) aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_hapax_ratio",
+    sql="""
+    WITH tok AS (
+      SELECT source, tk
+      FROM (SELECT source,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents), unnest(t) AS u(tk)),
+    cnt AS (SELECT source, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+    a AS (
+      SELECT source,
+             count(*) AS vocab,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+             SUM(c) AS n_tokens
+      FROM cnt GROUP BY source)
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           CAST(hapax AS BIGINT) AS hapax,
+           round(CAST(hapax AS DOUBLE) / vocab, 6) AS hapax_ratio,
+           round(CAST(vocab AS DOUBLE) / n_tokens, 6) AS type_token_ratio
+    FROM a
+    """,
+    doc="Vocabulary richness per source: hapax-legomena share of the "
+    "vocabulary and type-token ratio (exact integer counts) — low hapax "
+    "share flags template/boilerplate-heavy sources.",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("tk"))
+    cnt = tok.groupBy("source", "tk").agg(F.count(F.lit(1)).alias("c"))
+    a = cnt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"),
+        F.sum("c").alias("n_tokens"),
+    )
+    return a.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        F.col("hapax").cast("bigint").alias("hapax"),
+        F.round(F.col("hapax").cast("double") / F.col("vocab"), 6).alias(
+            "hapax_ratio"
+        ),
+        F.round(F.col("vocab").cast("double") / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-shingle rate as a function of n: for n in {2, 3, 5, 8}, the
+# fraction of distinct word n-grams that occur in more than one document
+# — the curve that picks the shingle size for the dedup family (too
+# small = everything collides, too large = nothing does). One scan per n
+# unioned; each n's aggregate is two narrow shuffles.
+# ---------------------------------------------------------------------------
+_NGRAM_SWEEP = (2, 3, 5, 8)
+
+
+def _dup_rate_sql(n: int) -> str:
+    return f"""
+    SELECT {n} AS n,
+           count(*) AS n_shingles,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS shared_rate
+    FROM (
+      SELECT ng, count(DISTINCT doc_id) AS nd
+      FROM (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS ng
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+             unnest(generate_series(1, greatest(len(t)-{n - 1}, 1))) AS u(i))
+      GROUP BY ng)
+    """
+
+
+@register(
+    "text_ngram_dup_sweep",
+    sql=" UNION ALL ".join(_dup_rate_sql(n) for n in _NGRAM_SWEEP),
+    doc="Cross-document duplicate rate of distinct word n-grams for n in "
+    "{2,3,5,8} — the curve that justifies the dedup family's shingle "
+    "size. One distinct-ngram aggregation per n.",
+)
+def text_ngram_dup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    # tokenize ONCE and persist: each of the 4 sweep branches re-reading
+    # and re-splitting the corpus cost 4.6s at sf0.1; sharing the token
+    # array cuts it to one scan + 4 cheap shingle expansions (released
+    # at the bench family boundary / sweep-end clearCache)
+    tk = d.select("doc_id", tokens("text").alias("t")).persist()
+    outs = []
+    for n in _NGRAM_SWEEP:
+        offsets = F.sequence(
+            F.lit(1), F.greatest(F.size("t") - F.lit(n - 1), F.lit(1))
+        )
+        ngrams = F.array_distinct(
+            F.transform(
+                offsets, lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n))
+            )
+        )
+        ng = tk.select("doc_id", F.explode(ngrams).alias("ng")).distinct()
+        per = ng.groupBy("ng").agg(F.count_distinct("doc_id").alias("nd"))
+        outs.append(
+            per.agg(
+                F.lit(n).alias("n"),
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias(
+                    "n_shared"
+                ),
+                F.round(
+                    F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("shared_rate"),
+            )
+        )
+    out = outs[0]
+    for rest in outs[1:]:
+        out = out.unionAll(rest)
+    return out
