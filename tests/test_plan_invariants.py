@@ -1,0 +1,116 @@
+"""Automated enforcement of the PLANS.md physical-plan invariants.
+
+PLANS.md documents, per audit, that the catalog contains no
+CartesianProduct and no undeclared Python-eval nodes. Docs drift; this
+test sweeps `explain(formatted)` for EVERY catalog entry (no execution —
+plan compilation only) and asserts the invariants mechanically:
+
+1. No `CartesianProduct` anywhere (unbounded NxM is never acceptable;
+   broadcast nested-loop against declared-tiny sides is).
+2. Python/Arrow eval nodes appear ONLY in entries that declare a Python
+   kernel (multimodal decoders, the UDX surface, vectorized
+   similarity/ANN kernels, streaming stateful entries) — everything else
+   must stay fully JVM-side for whole-stage codegen.
+3. Every entry's plan must contain at least one parquet scan of the
+   sf_dir (guards against an entry silently computing from literals).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from dsacord_spark.plans.catalog import specs
+
+# Entries DECLARED to run a Python kernel (Arrow-batched; the slow path
+# used only where built-ins cannot express the semantics).
+_PYTHON_KERNEL_OK = {
+    # multimodal decode / transform (binary media needs Python)
+    "multimodal_decode_meta",
+    "multimodal_audio_meta",
+    "multimodal_video_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_binary_stats",
+    "text_compression_ratio",  # zlib kernel
+    # UDX surface (the POINT of these entries is the Python UDF API)
+    "udtf_sentence_split",
+    "udaf_grouped_median",
+    "grouped_map_percentile",
+    # vectorized numpy block kernels
+    "knn_label_accuracy",
+    "ann_ivf_topk_blas",
+    "ann_ivf_kmeans_topk",
+    # streaming stateful (applyInPandasWithState sessionizer)
+    "session_stateful",
+}
+
+# Streaming entries execute through run_bounded_stream/sessionize_bounded
+# (they stage data and run a real stream when CALLED); their "plan" is a
+# driver-side recipe, not a single compilable query — explain() would
+# trigger execution. Audit them by module instead.
+_STREAMING_PREFIX = ("stream_", "session_stateful")
+
+
+def _plans(spark, sf_dir):
+    out = {}
+    for name, spec in specs().items():
+        if name.startswith(_STREAMING_PREFIX[0]) or name in (
+            "session_stateful",
+        ):
+            continue
+        df = spec.fn(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out[name] = buf.getvalue()
+    return out
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_dir):
+    return _plans(spark, sf_dir)
+
+
+def test_no_cartesian_product_anywhere(all_plans):
+    offenders = [n for n, p in all_plans.items() if "CartesianProduct" in p]
+    assert not offenders, offenders
+
+
+def test_python_nodes_only_where_declared(all_plans):
+    pat = re.compile(
+        r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"
+        r"|AggregateInPandas|PythonMapInArrow"
+    )
+    offenders = {
+        n: sorted(set(pat.findall(p)))
+        for n, p in all_plans.items()
+        if pat.search(p) and n not in _PYTHON_KERNEL_OK
+    }
+    assert not offenders, (
+        f"undeclared Python eval nodes: {offenders} — either push the "
+        "logic into built-in functions or add the entry to "
+        "_PYTHON_KERNEL_OK with a justification"
+    )
+
+
+# Entries whose final plan legitimately contains no parquet scan:
+# s1_url_generation materializes a date-range sequence (the reference's
+# URL generator takes no table input — main.go:146-154); dedup_components
+# returns the materialized component table (iterative label propagation /
+# union-find runs at call time, the result is a local checkpoint).
+_NO_SCAN_OK = {"s1_url_generation", "dedup_components"}
+
+
+def test_every_plan_scans_input(all_plans):
+    no_scan = [
+        n
+        for n, p in all_plans.items()
+        if "Scan parquet" not in p
+        and "BatchScan" not in p
+        and n not in _NO_SCAN_OK
+    ]
+    assert not no_scan, no_scan
