@@ -1,6 +1,6 @@
 """Corpus- and business-health report operators (round-3 additions).
 
-Twenty-four oracle-eligible entries extending the layer-B catalog beyond the
+Twenty-seven oracle-eligible entries extending the layer-B catalog beyond the
 reference's surface (the reference is a 600-line ETL with no query layer;
 this family is the analytics a 100 TB training-data pipeline runs on top
 of the ingested lake): a bigram-LM fluency score, asymmetric containment
@@ -13,7 +13,9 @@ source-vocabulary total-variation distance, the MinHash calibration
 report, user co-presence edges, embedding-norm percentiles, per-user
 burstiness (Fano), weekly revenue seasonality, character-class
 profiles, repeat-order retention, the week-hour activity heatmap,
-hapax/type-token richness, and the n-gram duplicate-rate sweep.
+hapax/type-token richness, the n-gram duplicate-rate sweep, an
+expiring 24h-deadline funnel, exact rolling 7-day actives (day-spine
+range join), and a deterministic hash sampler.
 
 Determinism (registry.py header rules): every cross-engine number is an
 integer, a DECIMAL sum, a single IEEE division of deterministic operands,
@@ -1794,3 +1796,195 @@ def text_ngram_dup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rest in outs[1:]:
         out = out.unionAll(rest)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Windowed funnel: view -> click -> purchase where each step must land
+# within 24h of the PREVIOUS step (events_funnel counts unconditional
+# first-touch ordering; real funnels expire). Per-user first qualifying
+# chain via min-aggregates, then one summary row with conversion rates —
+# exact integer microsecond arithmetic. Two aggregates over the events
+# scan; no window over the raw stream.
+# ---------------------------------------------------------------------------
+_FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "events_funnel_windowed",
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events),
+    v AS (SELECT user_id, min(us) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.us) AS t2
+      FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.us > v.t1
+        AND e.us - v.t1 <= {_FUNNEL_WINDOW_US}
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.us) AS t3
+      FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.us > c.t2
+        AND e.us - c.t2 <= {_FUNNEL_WINDOW_US}
+      GROUP BY e.user_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS step1_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS step2_click_24h,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS step3_purchase_24h,
+           round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+                 / (SELECT count(*) FROM v), 6) AS view_to_click,
+           round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM c), 1), 6) AS click_to_purchase
+    """,
+    doc="Expiring funnel: view -> click -> purchase with a 24h deadline "
+    "per step (first qualifying chain per user, exact integer "
+    "microseconds). Three min-aggregates chained by semi-join; one "
+    "summary row.",
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") - F.col("t1") <= _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") - F.col("t2") <= _FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("step1_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("step2_click_24h"))
+    np_ = p.agg(F.count(F.lit(1)).alias("step3_purchase_24h"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            F.col("step1_view").cast("bigint").alias("step1_view"),
+            F.col("step2_click_24h").cast("bigint").alias("step2_click_24h"),
+            F.col("step3_purchase_24h").cast("bigint").alias(
+                "step3_purchase_24h"
+            ),
+            F.round(
+                F.col("step2_click_24h").cast("double") / F.col("step1_view"),
+                6,
+            ).alias("view_to_click"),
+            F.round(
+                F.col("step3_purchase_24h").cast("double")
+                / F.greatest(F.col("step2_click_24h"), F.lit(1)),
+                6,
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users per day: exact rolling DISTINCT (which no
+# window frame can express — distincts don't sum) via the day-spine
+# range join against the deduplicated (user, day) table: each day counts
+# the distinct users whose active-day falls in [d-6, d]. The join fans
+# each user-day to <= 7 spine days — linear in activity, the scale-safe
+# exact formulation (the approximate twin at 100 TB is the HLL-partial
+# path the streaming sketches already demonstrate).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rolling_7d_active",
+    sql="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+      FROM events),
+    spine AS (SELECT DISTINCT day FROM ud),
+    j AS (
+      SELECT s.day, ud.user_id
+      FROM spine s JOIN ud
+        ON ud.day <= s.day AND ud.day >= s.day - INTERVAL 6 DAY)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+    FROM j GROUP BY day
+    """,
+    doc="Exact rolling 7-day distinct active users per day via the "
+    "day-spine range join over deduplicated (user, day) — rolling "
+    "DISTINCT has no window-frame form; the fan-out is <= 7 rows per "
+    "user-day, linear in activity.",
+)
+def events_rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    spine = ud.select("day").distinct().select(F.col("day").alias("sday"))
+    j = spine.join(
+        ud,
+        (F.col("day") <= F.col("sday"))
+        & (F.col("day") >= F.col("sday") - F.expr("INTERVAL 6 DAYS")),
+    )
+    return (
+        j.groupBy("sday")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_7d"))
+        .select(
+            F.date_format("sday", "yyyy-MM-dd").alias("day"), "active_7d"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sample: the reproducible distributed sampler — rank
+# every doc by md5(doc_id) and keep the first K. Unlike rand()-based
+# sampling this is stable across runs, partitionings, engines, and
+# cluster sizes (the property a 100 TB eval-split draw actually needs),
+# and unlike LIMIT it is unbiased w.r.t. storage order. TakeOrdered
+# top-K: no full sort, no shuffle of the corpus.
+# ---------------------------------------------------------------------------
+_SAMPLE_K = 100
+
+
+@register(
+    "sample_deterministic_hash",
+    sql=f"""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               ORDER BY CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {_SAMPLE_K}
+    """,
+    doc="Reproducible uniform-ish sample: top-100 documents by "
+    "md5(doc_id) hash order — stable across runs, partitionings, and "
+    "engines (what an eval-split draw needs; rand() is none of these). "
+    "Plans as TakeOrderedAndProject: no full sort, no corpus shuffle.",
+)
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "doc_id", "lang", "source",
+        md5_long(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    win = W.orderBy(F.col("hk").asc(), F.col("doc_id").asc())
+    return (
+        ranked.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= _SAMPLE_K)
+        .select("doc_id", "lang", "source")
+    )
