@@ -76,8 +76,12 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
                 mod = ("image", "audio", "video")[int(doc_id) % 3]
                 seed = hashlib.md5(str(text).encode()).digest()
                 if mod == "image":
-                    data = make_bmp_bytes(seed, width=8 + seed[0] % 9,
-                                          height=8 + seed[1] % 9)
+                    # a quarter of image rows are real PNGs (zlib-deflated,
+                    # CRC'd) so the pure-stdlib PNG inflate+unfilter tier
+                    # runs in the catalog, the rest 24-bit BMPs
+                    maker = make_png_bytes if seed[2] % 4 == 0 else make_bmp_bytes
+                    data = maker(seed, width=8 + seed[0] % 9,
+                                 height=8 + seed[1] % 9)
                 elif mod == "audio":
                     data = make_wav_bytes(seed, n_frames=64 + seed[0],
                                           sample_rate=8000)
@@ -119,6 +123,128 @@ def make_bmp_bytes(seed: bytes, width: int = 8, height: int = 8) -> bytes:
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return header + info + bytes(body)
+
+
+def make_png_bytes(seed: bytes, width: int = 8, height: int = 8) -> bytes:
+    """A real, valid 8-bit RGB PNG (public PNG spec: IHDR/IDAT/IEND
+    chunks, zlib-deflated scanlines, per-chunk CRC32); pixels are the
+    same deterministic md5 stream the BMP builder uses."""
+    import struct
+    import zlib
+
+    stream = bytearray()
+    i = 0
+    while len(stream) < width * height * 3:
+        stream += hashlib.md5(seed + b"png" + i.to_bytes(4, "big")).digest()
+        i += 1
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw += b"\x00"  # filter type 0 (None) per scanline
+        raw += stream[y * width * 3 : (y + 1) * width * 3]
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_pixel_feature(data: bytes) -> list[float] | None:
+    """REAL pixel-level feature for 8-bit non-interlaced PNGs, pure
+    stdlib: walk the chunk stream, inflate the concatenated IDATs with
+    zlib, reverse the per-scanline filters (None/Sub/Up/Average/Paeth —
+    the five filters of the public PNG spec), and compute the same
+    quadrant-luma feature the BMP tier emits. Supports color types 0
+    (gray), 2 (RGB), 4 (gray+alpha) and 6 (RGBA); returns None for
+    palette, 16-bit, or interlaced images (those need more machinery
+    than a feature probe justifies)."""
+    import struct
+    import zlib
+
+    if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    w, h = struct.unpack(">II", data[16:24])
+    bit_depth, color_type, _, _, interlace = data[24:29]
+    if bit_depth != 8 or interlace != 0:
+        return None
+    n_ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if n_ch is None or not w or not h:
+        return None
+    # concatenate IDAT payloads
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + length]
+        if tag == b"IEND":
+            break
+        pos += 12 + length
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * n_ch
+    if len(raw) < h * (stride + 1):
+        return None
+    # reverse scanline filters
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for x in range(n_ch, stride):
+                line[x] = (line[x] + line[x - n_ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - n_ch] if x >= n_ch else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - n_ch] if x >= n_ch else 0
+                b = prev[x]
+                c = prev[x - n_ch] if x >= n_ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out[y * stride : (y + 1) * stride] = line
+        prev = bytes(line)
+    # quadrant luma means (same layout as the BMP tier)
+    sums = [0.0] * 4
+    counts = [0] * 4
+    for y in range(h):
+        qy = 0 if y < h // 2 else 1
+        row = out[y * stride : (y + 1) * stride]
+        for x in range(w):
+            px = row[x * n_ch : (x + 1) * n_ch]
+            if color_type in (0, 4):
+                luma = float(px[0])
+            else:
+                luma = 0.299 * px[0] + 0.587 * px[1] + 0.114 * px[2]
+            q = qy * 2 + (0 if x < w // 2 else 1)
+            sums[q] += luma
+            counts[q] += 1
+    means = [s / c if c else 0.0 for s, c in zip(sums, counts)]
+    feat = [(m / 255.0) * 2.0 - 1.0 for m in means]
+    return feat + [-f for f in feat]
 
 
 def make_wav_bytes(seed: bytes, n_frames: int = 128, sample_rate: int = 8000,
@@ -291,6 +417,10 @@ def _decode_one(data: bytes) -> dict:
             real = _bmp_pixel_feature(
                 data, sniffed["width"], sniffed["height"]
             )
+            if real is not None:
+                meta["feature"] = real
+        elif sniffed["format"] == "png":
+            real = _png_pixel_feature(data)
             if real is not None:
                 meta["feature"] = real
         return meta

@@ -245,7 +245,11 @@ class TestRealGeneratedMedia:
         for r in rows:
             by_mod.setdefault(r["modality"], []).append(bytes(r["data"]))
         assert set(by_mod) == {"image", "audio", "video"}
-        assert all(d[:2] == b"BM" for d in by_mod["image"])
+        # image rows are a PNG/BMP mix (a quarter PNG by seed byte)
+        assert all(
+            d[:2] == b"BM" or d[:8] == b"\x89PNG\r\n\x1a\n"
+            for d in by_mod["image"]
+        )
         assert all(d[:4] == b"RIFF" for d in by_mod["audio"])
 
     def test_decode_audio_over_spark(self, spark, sf_dir):
@@ -306,3 +310,146 @@ class TestAviVideo:
         assert all(
             r["duration_ms"] == r["n_frames"] * 100 for r in out
         )  # 10 fps
+
+
+class TestPngDecode:
+    """Pure-stdlib PNG tier: make_png_bytes roundtrip + unfiltering."""
+
+    def test_make_png_is_valid_and_sniffable(self):
+        from dsacord_spark.multimodal.binary import (
+            _sniff_header, make_png_bytes,
+        )
+
+        data = make_png_bytes(b"seed", width=9, height=7)
+        meta = _sniff_header(data)
+        assert meta == {
+            "format": "png", "width": 9, "height": 7, "n_channels": 3,
+        }
+
+    def test_png_pixel_feature_matches_direct_computation(self):
+        from dsacord_spark.multimodal.binary import (
+            _png_pixel_feature, make_png_bytes,
+        )
+        import hashlib as _hl
+
+        w, h = 8, 6
+        data = make_png_bytes(b"s2", width=w, height=h)
+        feat = _png_pixel_feature(data)
+        assert feat is not None and len(feat) == 8
+        # recompute from the generator's own pixel stream
+        stream = bytearray()
+        i = 0
+        while len(stream) < w * h * 3:
+            stream += _hl.md5(b"s2" + b"png" + i.to_bytes(4, "big")).digest()
+            i += 1
+        sums, counts = [0.0] * 4, [0] * 4
+        for y in range(h):
+            qy = 0 if y < h // 2 else 1
+            for x in range(w):
+                r, g, b = stream[3 * (y * w + x): 3 * (y * w + x) + 3]
+                luma = 0.299 * r + 0.587 * g + 0.114 * b
+                q = qy * 2 + (0 if x < w // 2 else 1)
+                sums[q] += luma
+                counts[q] += 1
+        want = [(s / c / 255.0) * 2.0 - 1.0 for s, c in zip(sums, counts)]
+        want += [-f for f in want]
+        assert feat == pytest.approx(want, abs=1e-12)
+
+    def test_png_unfilter_all_five_filter_types(self):
+        """Craft a PNG whose five scanlines use filters 0..4 and check the
+        decoder reverses each (reference encoding done by hand per the
+        PNG spec's filter definitions)."""
+        import struct
+        import zlib
+
+        from dsacord_spark.multimodal.binary import _png_pixel_feature
+
+        w, h, n_ch = 4, 5, 3
+        # target (unfiltered) pixel rows: deterministic ramp
+        px = [[(y * 40 + x * 13 + c * 7) % 256 for x in range(w) for c in range(n_ch)]
+              for y in range(h)]
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        raw = bytearray()
+        prev = [0] * (w * n_ch)
+        for y, ftype in enumerate([0, 1, 2, 3, 4]):
+            line = px[y]
+            enc = []
+            for x in range(w * n_ch):
+                left = line[x - n_ch] if x >= n_ch else 0
+                up = prev[x]
+                ul = prev[x - n_ch] if x >= n_ch else 0
+                if ftype == 0:
+                    enc.append(line[x])
+                elif ftype == 1:
+                    enc.append((line[x] - left) & 0xFF)
+                elif ftype == 2:
+                    enc.append((line[x] - up) & 0xFF)
+                elif ftype == 3:
+                    enc.append((line[x] - ((left + up) >> 1)) & 0xFF)
+                else:
+                    enc.append((line[x] - paeth(left, up, ul)) & 0xFF)
+            raw.append(ftype)
+            raw += bytes(enc)
+            prev = line
+
+        def chunk(tag, payload):
+            return (struct.pack(">I", len(payload)) + tag + payload
+                    + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+        data = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+        feat = _png_pixel_feature(data)
+        assert feat is not None
+        sums, counts = [0.0] * 4, [0] * 4
+        for y in range(h):
+            qy = 0 if y < h // 2 else 1
+            for x in range(w):
+                r, g, b = px[y][3 * x: 3 * x + 3]
+                luma = 0.299 * r + 0.587 * g + 0.114 * b
+                q = qy * 2 + (0 if x < w // 2 else 1)
+                sums[q] += luma
+                counts[q] += 1
+        want = [(s / c / 255.0) * 2.0 - 1.0 for s, c in zip(sums, counts)]
+        want += [-f for f in want]
+        assert feat == pytest.approx(want, abs=1e-12)
+
+    def test_png_rejects_unsupported(self):
+        from dsacord_spark.multimodal.binary import _png_pixel_feature
+
+        assert _png_pixel_feature(b"not a png") is None
+        # palette png (color type 3) falls back
+        import struct
+        import zlib
+
+        def chunk(tag, payload):
+            return (struct.pack(">I", len(payload)) + tag + payload
+                    + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+        pal = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+               + chunk(b"IEND", b""))
+        assert _png_pixel_feature(pal) is None
+
+    def test_synthesized_corpus_contains_both_png_and_bmp(self, spark, sf_dir):
+        from dsacord_spark.multimodal.binary import (
+            decode_images, synthesize_real_media,
+        )
+        from dsacord_spark.plans.registry import table
+
+        d = table(spark, sf_dir, "documents")
+        media = synthesize_real_media(d)
+        fmts = {
+            r["format"]
+            for r in decode_images(
+                media.filter(media["modality"] == "image")
+            ).select("format").distinct().collect()
+        }
+        assert {"png", "bmp"} <= fmts, fmts

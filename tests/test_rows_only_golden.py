@@ -28,7 +28,7 @@ from dsacord_spark.plans.catalog import queries
 GOLDEN = {
     "multimodal_decode_meta": (
         167,
-        "3086d698fb181fabe5b13983274df03469990d2e8d270717122f7e3cebd74d66",
+        "8322e594f971b999f911e3454006b2acf8e2573e804ff18dd6bb2b1bfd36997f",
         "[-0.001294,0.022084,0.006142,0.020460,0.001294,-0.022084,"
         "-0.006142,-0.020460]|'bmp'|10|183|414|3|12",
     ),
@@ -50,7 +50,7 @@ GOLDEN = {
     ),
     "multimodal_resize": (
         167,
-        "a419a1608ec62ca86e421ec501fd7436849f03ae0261b7d457bda157a92129c1",
+        "ea854026d1e81489165ee92ab540a18ca48fc8a57882cd95efdf486f9d544285",
         "004c3f14bc43610e54fe4e4b392cc007|32|369|3072|32",
     ),
     "text_compression_ratio": (
