@@ -1,6 +1,6 @@
 """Corpus- and business-health report operators (round-3 additions).
 
-Twenty-seven oracle-eligible entries extending the layer-B catalog beyond the
+Thirty oracle-eligible entries extending the layer-B catalog beyond the
 reference's surface (the reference is a 600-line ETL with no query layer;
 this family is the analytics a 100 TB training-data pipeline runs on top
 of the ingested lake): a bigram-LM fluency score, asymmetric containment
@@ -15,7 +15,9 @@ burstiness (Fano), weekly revenue seasonality, character-class
 profiles, repeat-order retention, the week-hour activity heatmap,
 hapax/type-token richness, the n-gram duplicate-rate sweep, an
 expiring 24h-deadline funnel, exact rolling 7-day actives (day-spine
-range join), and a deterministic hash sampler.
+range join), a deterministic hash sampler, a region->nation
+share-of-parent rollup, a month x priority contingency-lift matrix,
+and exact-algebra Pearson correlation.
 
 Determinism (registry.py header rules): every cross-engine number is an
 integer, a DECIMAL sum, a single IEEE division of deterministic operands,
@@ -1987,4 +1989,206 @@ def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.withColumn("rk", F.row_number().over(win))
         .filter(F.col("rk") <= _SAMPLE_K)
         .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy rollup with share-of-parent: customer count and exact-decimal
+# account balance per nation, each with its share of the parent region
+# and of the grand total — the two-level dimensional report (region ->
+# nation) the star schema exists for. Dims broadcast; one customer
+# aggregate; shares are single divisions of exact decimals.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "region_nation_share",
+    sql="""
+    WITH n AS (
+      SELECT r.r_name AS region, na.n_name AS nation,
+             count(*) AS n_customers,
+             SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS bal
+      FROM customer c
+      JOIN nation na ON c.c_nationkey = na.n_nationkey
+      JOIN region r ON na.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2),
+    reg AS (SELECT region, SUM(bal) AS rbal FROM n GROUP BY region),
+    tot AS (SELECT SUM(bal) AS tbal FROM n)
+    SELECT n.region, n.nation, n_customers,
+           CAST(bal AS DOUBLE) AS balance,
+           round(CAST(bal AS DOUBLE) / CAST(rbal AS DOUBLE), 6)
+             AS share_of_region,
+           round(CAST(bal AS DOUBLE) / CAST(tbal AS DOUBLE), 6)
+             AS share_of_total
+    FROM n JOIN reg USING (region), tot
+    """,
+    doc="Two-level dimensional rollup (region -> nation): customer count, "
+    "exact decimal balance, share-of-parent-region and share-of-total. "
+    "Dims broadcast; shares are single exact-decimal divisions.",
+)
+def region_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    na = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = (
+        c.join(F.broadcast(na), c["c_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(r), na["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal"),
+        )
+    )
+    reg = n.groupBy("region").agg(F.sum("bal").alias("rbal"))
+    tot = n.agg(F.sum("bal").alias("tbal"))
+    return (
+        n.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "n_customers",
+            F.col("bal").cast("double").alias("balance"),
+            F.round(
+                F.col("bal").cast("double") / F.col("rbal").cast("double"), 6
+            ).alias("share_of_region"),
+            F.round(
+                F.col("bal").cast("double") / F.col("tbal").cast("double"), 6
+            ).alias("share_of_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contingency lift matrix: observed order count per (month, priority)
+# cell vs the independence expectation, reported as the exact lift
+# o * N / (row_total * col_total) — the per-cell form of a chi-square
+# independence scan (a single chi-square statistic would sum floats
+# across cells; the per-cell lift stays a single division of exact
+# integers and is the actionable output anyway).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_month_priority_lift",
+    sql="""
+    WITH o AS (
+      SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%m') AS month,
+             o_orderpriority AS priority
+      FROM orders),
+    cell AS (SELECT month, priority, count(*) AS obs FROM o GROUP BY 1, 2),
+    rt AS (SELECT month, count(*) AS row_tot FROM o GROUP BY month),
+    ct AS (SELECT priority, count(*) AS col_tot FROM o GROUP BY priority),
+    n AS (SELECT count(*) AS nn FROM o)
+    SELECT cell.month, cell.priority, obs,
+           round(CAST(row_tot AS DOUBLE) * col_tot / nn, 6) AS expected,
+           round(CAST(obs AS DOUBLE) * nn / (CAST(row_tot AS DECIMAL(38,0)) * col_tot), 6)
+             AS lift
+    FROM cell JOIN rt USING (month) JOIN ct USING (priority), n
+    """,
+    doc="Month x priority contingency scan: observed counts, independence "
+    "expectation, and exact per-cell lift obs*N/(row_tot*col_tot) — the "
+    "actionable per-cell form of a chi-square independence check "
+    "(integer operands, single divisions).",
+)
+def orders_month_priority_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.date_format(F.col("o_orderdate").cast("timestamp"), "MM").alias(
+            "month"
+        ),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    cell = o.groupBy("month", "priority").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("month").agg(F.count(F.lit(1)).alias("row_tot"))
+    ct = o.groupBy("priority").agg(F.count(F.lit(1)).alias("col_tot"))
+    n = o.agg(F.count(F.lit(1)).alias("nn"))
+    return (
+        cell.join(F.broadcast(rt), "month")
+        .join(F.broadcast(ct), "priority")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "month",
+            "priority",
+            "obs",
+            F.round(
+                F.col("row_tot").cast("double") * F.col("col_tot") / F.col("nn"),
+                6,
+            ).alias("expected"),
+            F.round(
+                F.col("obs").cast("double")
+                * F.col("nn")
+                / (F.col("row_tot").cast("decimal(38,0)") * F.col("col_tot")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation in EXACT algebra: r between part size and retail
+# price per part type. Built-in corr() sums doubles in partition order
+# (nondeterministic under AQE); here every moment sum is DECIMAL-exact
+# (size is int, price is .1-grained -> DECIMAL(18,2)), the covariance
+# and variance terms are exact decimal algebra, and only the final
+# sqrt/division touch floating point — on identical operands, so the
+# result is cross-engine identical.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_size_price_corr",
+    sql="""
+    WITH m AS (
+      SELECT p_type,
+             count(*) AS n,
+             SUM(CAST(p_size AS DECIMAL(38,2))) AS sx,
+             SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(p_size AS DECIMAL(38,2)) * p_size) AS sxx,
+             SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                 * CAST(p_retailprice AS DECIMAL(18,2))) AS syy,
+             SUM(CAST(p_size AS DECIMAL(38,2))
+                 * CAST(p_retailprice AS DECIMAL(18,2))) AS sxy
+      FROM part GROUP BY p_type)
+    SELECT p_type, CAST(n AS BIGINT) AS n_parts,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_size_price
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    doc="Pearson correlation of part size vs retail price per type with "
+    "all moment sums in exact DECIMAL algebra (built-in corr() folds "
+    "doubles in partition order and is not deterministic); sqrt/divide "
+    "run once on identical operands.",
+)
+def part_size_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    sx_ = F.col("p_size").cast("decimal(38,2)")
+    sy_ = F.col("p_retailprice").cast("decimal(18,2)")
+    m = p.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(sx_).alias("sx"),
+        F.sum(sy_).alias("sy"),
+        F.sum(sx_ * F.col("p_size")).alias("sxx"),
+        F.sum(sy_ * sy_).alias("syy"),
+        F.sum(sx_ * sy_).alias("sxy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.filter((varx > 0) & (vary > 0))
+        .select(
+            "p_type",
+            F.col("n").cast("bigint").alias("n_parts"),
+            F.round(
+                cov.cast("double")
+                / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))),
+                6,
+            ).alias("corr_size_price"),
+        )
     )
