@@ -1,6 +1,6 @@
 """Corpus- and business-health report operators (round-3 additions).
 
-Thirty oracle-eligible entries extending the layer-B catalog beyond the
+Thirty-five oracle-eligible entries extending the layer-B catalog beyond the
 reference's surface (the reference is a 600-line ETL with no query layer;
 this family is the analytics a 100 TB training-data pipeline runs on top
 of the ingested lake): a bigram-LM fluency score, asymmetric containment
@@ -17,7 +17,9 @@ hapax/type-token richness, the n-gram duplicate-rate sweep, an
 expiring 24h-deadline funnel, exact rolling 7-day actives (day-spine
 range join), a deterministic hash sampler, a region->nation
 share-of-parent rollup, a month x priority contingency-lift matrix,
-and exact-algebra Pearson correlation.
+exact-algebra Pearson correlation, event-type co-occurrence lift, a
+deterministic max_by peak-hour report, Cohen's-d A/B effect size, the
+revenue Gini coefficient, and Tukey-fence IQR outliers.
 
 Determinism (registry.py header rules): every cross-engine number is an
 integer, a DECIMAL sum, a single IEEE division of deterministic operands,
@@ -2191,4 +2193,320 @@ def part_size_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("corr_size_price"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence lift: which pairs of event types are used by
+# the same users MORE than independence predicts —
+#   lift(a,b) = n_both * n_users / (n_a * n_b)
+# over per-user distinct type sets (exact integers, one division). The
+# feature-affinity scan behind "users who do X also do Y"; the pair
+# space is |types|^2 (tiny), the per-user distinct is the only big step.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_type_cooccurrence_lift",
+    sql="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    t AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, n_both,
+           round(CAST(n_both AS DOUBLE) * n_users
+                 / (CAST(ta.n_t AS DECIMAL(38,0)) * tb.n_t), 6) AS lift
+    FROM p
+    JOIN t ta ON ta.event_type = type_a
+    JOIN t tb ON tb.event_type = type_b, n
+    """,
+    doc="Per-user event-type co-occurrence lift n_both*N/(n_a*n_b) over "
+    "distinct user-type sets — the 'users who do X also do Y' affinity "
+    "scan. Exact integers; pair space is |types|^2.",
+)
+def events_type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    n = e.agg(F.count_distinct("user_id").alias("n_users"))
+    t = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    p = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = t.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
+    tb = t.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
+    return (
+        p.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_users")
+                / (F.col("na").cast("decimal(38,0)") * F.col("nb")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user peak hour via the max_by/arg_max functor (SURVEY §2.5 agg
+# surface): the hour-of-day each user is most active in. Ties are the
+# known hazard of arg_max on BOTH engines (unspecified winner), so the
+# ordering key is the composite cnt*100+hod — unique per (user, hod)
+# since hod < 24 — making the argmax single-valued and cross-engine
+# deterministic without a window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_peak_hour",
+    sql="""
+    WITH uh AS (
+      SELECT user_id,
+             CAST(strftime(CAST(ts AS TIMESTAMP), '%H') AS INT) AS hod,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2)
+    SELECT user_id,
+           arg_max(hod, cnt * 100 + hod) AS peak_hour,
+           CAST(max(cnt) AS BIGINT) AS peak_events
+    FROM uh GROUP BY user_id
+    """,
+    doc="Per-user most-active hour via arg_max/max_by with a composite "
+    "unique ordering key (cnt*100+hod) — arg_max ties are unspecified "
+    "on both engines, the composite makes the winner deterministic "
+    "without a window shuffle.",
+)
+def events_user_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    uh = e.groupBy("user_id", F.hour("ts").alias("hod")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return uh.groupBy("user_id").agg(
+        F.max_by("hod", F.col("cnt") * 100 + F.col("hod")).alias("peak_hour"),
+        F.max("cnt").cast("bigint").alias("peak_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B effect size (Cohen's d) between purchase- and click-event values:
+# the experiment-analysis primitive. All moment sums are exact DECIMAL
+# (values are .01-grained doubles -> DECIMAL(18,2) is lossless), the
+# pooled variance is exact decimal algebra, and only the final
+# sqrt/division touch floating point on identical operands — the same
+# determinism recipe as part_size_price_corr (built-in stddev is
+# fold-order nondeterministic).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_effect_size",
+    sql="""
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+             SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+               AS s2
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type),
+    w AS (
+      SELECT
+        max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+        max(CASE WHEN event_type = 'purchase' THEN s1 END) AS sa1,
+        max(CASE WHEN event_type = 'purchase' THEN s2 END) AS sa2,
+        max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+        max(CASE WHEN event_type = 'click' THEN s1 END) AS sb1,
+        max(CASE WHEN event_type = 'click' THEN s2 END) AS sb2
+      FROM m)
+    SELECT CAST(n1 AS BIGINT) AS n_purchase, CAST(n2 AS BIGINT) AS n_click,
+           round(CAST(sa1 AS DOUBLE) / n1, 6) AS mean_purchase,
+           round(CAST(sb1 AS DOUBLE) / n2, 6) AS mean_click,
+           round((CAST(sa1 AS DOUBLE) / n1 - CAST(sb1 AS DOUBLE) / n2)
+                 / sqrt(CAST((sa2 - sa1 * sa1 / n1) + (sb2 - sb1 * sb1 / n2)
+                             AS DOUBLE) / (n1 + n2 - 2)), 6) AS cohens_d
+    FROM w
+    """,
+    doc="Cohen's d effect size between purchase and click event values: "
+    "exact decimal moment sums, exact pooled sum-of-squares, one "
+    "sqrt/division at the boundary — the A/B-experiment primitive with "
+    "none of stddev()'s fold-order nondeterminism.",
+)
+def events_ab_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    pick = lambda t, c: F.max(
+        F.when(F.col("event_type") == t, F.col(c))
+    )
+    w = m.agg(
+        pick("purchase", "n").alias("n1"),
+        pick("purchase", "s1").alias("sa1"),
+        pick("purchase", "s2").alias("sa2"),
+        pick("click", "n").alias("n2"),
+        pick("click", "s1").alias("sb1"),
+        pick("click", "s2").alias("sb2"),
+    )
+    m1 = F.col("sa1").cast("double") / F.col("n1")
+    m2 = F.col("sb1").cast("double") / F.col("n2")
+    ssq = (
+        (F.col("sa2") - F.col("sa1") * F.col("sa1") / F.col("n1"))
+        + (F.col("sb2") - F.col("sb1") * F.col("sb1") / F.col("n2"))
+    ).cast("double")
+    return w.select(
+        F.col("n1").cast("bigint").alias("n_purchase"),
+        F.col("n2").cast("bigint").alias("n_click"),
+        F.round(m1, 6).alias("mean_purchase"),
+        F.round(m2, 6).alias("mean_click"),
+        F.round(
+            (m1 - m2) / F.sqrt(ssq / (F.col("n1") + F.col("n2") - 2)), 6
+        ).alias("cohens_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue: the inequality summary behind
+# the whale curve (orders_ltv_deciles shows the bands; Gini is the
+# scalar). Sort-based exact formula over per-customer decimal revenue:
+#   G = (2 * sum(rank_i * x_i)) / (n * sum(x)) - (n + 1) / n
+# with x ranked ascending (custkey tie-break). The rank-weighted sum is
+# exact decimal * int; the two final divisions are single double ops.
+# The window runs over the per-customer aggregate, never the fact table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_revenue_gini",
+    sql="""
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders GROUP BY o_custkey),
+    rk AS (
+      SELECT x, row_number() OVER (ORDER BY x ASC, o_custkey ASC) AS i
+      FROM rev),
+    s AS (
+      SELECT count(*) AS n,
+             SUM(CAST(i AS DECIMAL(38,0)) * x) AS wsum,
+             SUM(x) AS tot
+      FROM rk)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(tot AS DOUBLE) AS total_revenue,
+           round(2.0 * CAST(wsum AS DOUBLE) / (n * CAST(tot AS DOUBLE))
+                 - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+    FROM s
+    """,
+    doc="Gini coefficient of per-customer revenue (sort-based exact "
+    "formula; rank-weighted sum is exact decimal x int, custkey "
+    "tie-break pins equal-revenue ranks). One scalar inequality summary "
+    "next to the decile whale curve.",
+)
+def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    rk = rev.select(
+        "x",
+        F.row_number()
+        .over(W.orderBy(F.col("x").asc(), F.col("o_custkey").asc()))
+        .alias("i"),
+    )
+    s = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("wsum"),
+        F.sum("x").alias("tot"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("tot").cast("double").alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("wsum").cast("double")
+            / (F.col("n") * F.col("tot").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IQR outlier report per market segment: Tukey fences over exact
+# interpolated quartiles of customer balances (1.5*IQR — the boxplot
+# rule), with counts outside each fence. The quartile-selection twin of
+# the MAD report (events_anomaly_mad): selection percentiles are
+# order-deterministic where moment-based z-scores are not.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_balance_iqr_outliers",
+    sql="""
+    WITH q AS (
+      SELECT c_mktsegment,
+             count(*) AS n,
+             quantile_cont(c_acctbal, 0.25) AS q1,
+             quantile_cont(c_acctbal, 0.75) AS q3
+      FROM customer GROUP BY c_mktsegment),
+    o AS (
+      SELECT c.c_mktsegment,
+             SUM(CASE WHEN c.c_acctbal < q.q1 - 1.5 * (q.q3 - q.q1)
+                      THEN 1 ELSE 0 END) AS n_low,
+             SUM(CASE WHEN c.c_acctbal > q.q3 + 1.5 * (q.q3 - q.q1)
+                      THEN 1 ELSE 0 END) AS n_high
+      FROM customer c JOIN q USING (c_mktsegment)
+      GROUP BY c.c_mktsegment)
+    SELECT q.c_mktsegment, CAST(n AS BIGINT) AS n_customers,
+           round(q1, 6) AS q1, round(q3, 6) AS q3,
+           CAST(n_low AS BIGINT) AS n_low_outliers,
+           CAST(n_high AS BIGINT) AS n_high_outliers
+    FROM q JOIN o USING (c_mktsegment)
+    """,
+    doc="Tukey-fence (1.5*IQR) outlier counts per market segment over "
+    "exact interpolated quartiles of customer balances — the boxplot "
+    "rule; selection percentiles keep it order-deterministic.",
+)
+def customer_balance_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    q = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("c_acctbal", F.lit(0.25)).alias("q1"),
+        F.percentile("c_acctbal", F.lit(0.75)).alias("q3"),
+    )
+    j = c.join(F.broadcast(q), "c_mktsegment")
+    iqr = F.col("q3") - F.col("q1")
+    o = j.groupBy("c_mktsegment").agg(
+        F.sum(
+            F.when(F.col("c_acctbal") < F.col("q1") - 1.5 * iqr, 1).otherwise(0)
+        ).alias("n_low"),
+        F.sum(
+            F.when(F.col("c_acctbal") > F.col("q3") + 1.5 * iqr, 1).otherwise(0)
+        ).alias("n_high"),
+    )
+    return q.join(o, "c_mktsegment").select(
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        F.col("n_low").cast("bigint").alias("n_low_outliers"),
+        F.col("n_high").cast("bigint").alias("n_high_outliers"),
     )
