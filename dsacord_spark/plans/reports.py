@@ -1284,9 +1284,12 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_user_copresence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
+    # persisted: BOTH self-join sides consume it — unpersisted, the scan
+    # and the distinct shuffle run twice (released at the bench family
+    # boundary / sweep-end clearCache)
     uh = e.select(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
+    ).distinct().persist()
     a = uh.select(F.col("user_id").alias("user_a"), "hr")
     b = uh.select(F.col("user_id").alias("user_b"), "hr")
     pairs = (
