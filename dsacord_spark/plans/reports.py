@@ -1,6 +1,6 @@
 """Corpus- and business-health report operators (round-3 additions).
 
-Thirty-five oracle-eligible entries extending the layer-B catalog beyond the
+Forty oracle-eligible entries extending the layer-B catalog beyond the
 reference's surface (the reference is a 600-line ETL with no query layer;
 this family is the analytics a 100 TB training-data pipeline runs on top
 of the ingested lake): a bigram-LM fluency score, asymmetric containment
@@ -19,7 +19,10 @@ range join), a deterministic hash sampler, a region->nation
 share-of-parent rollup, a month x priority contingency-lift matrix,
 exact-algebra Pearson correlation, event-type co-occurrence lift, a
 deterministic max_by peak-hour report, Cohen's-d A/B effect size, the
-revenue Gini coefficient, and Tukey-fence IQR outliers.
+revenue Gini coefficient, Tukey-fence IQR outliers, the Jaccard
+threshold-band histogram, a label-separability scalar, the daily
+new-vs-returning split, token-length profiles, and an error-burst
+alarm.
 
 Determinism (registry.py header rules): every cross-engine number is an
 integer, a DECIMAL sum, a single IEEE division of deterministic operands,
@@ -2512,4 +2515,377 @@ def customer_balance_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("q3", 6).alias("q3"),
         F.col("n_low").cast("bigint").alias("n_low_outliers"),
         F.col("n_high").cast("bigint").alias("n_high_outliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard threshold-band histogram: the full exact pair computation run
+# ONCE at a low floor (0.3), bucketed into similarity bands — the curve
+# that picks the dedup THRESHOLD the way text_ngram_dup_sweep picks the
+# shingle size (how many pairs does each candidate threshold admit?).
+# Reuses the persisted shingle index and the naive inverted-index join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_jaccard_band_histogram",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    ngr_s AS (
+      SELECT DISTINCT doc_id AS doc, array_to_string(t[i:i+2], ' ') AS ng
+      FROM toks, unnest(generate_series(1, greatest(len(t)-2, 1))) AS u(i)),
+    ngr AS (SELECT doc, CAST('0x' || SUBSTR(MD5(ng), 1, 15) AS BIGINT) AS hg
+            FROM ngr_s),
+    sizes AS (SELECT doc, count(*) AS sz FROM ngr GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM ngr a JOIN ngr b ON a.hg = b.hg AND a.doc < b.doc
+      GROUP BY 1, 2),
+    j AS (
+      SELECT CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jac
+      FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3),
+    banded AS (
+      SELECT CASE WHEN jac >= 0.9 THEN '0.90+'
+                  WHEN jac >= 0.7 THEN '0.70-0.90'
+                  WHEN jac >= 0.5 THEN '0.50-0.70'
+                  ELSE '0.30-0.50' END AS band
+      FROM j)
+    SELECT band, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM banded GROUP BY band
+    """,
+    doc="Exact-Jaccard similarity-band histogram over all pairs >= 0.3 — "
+    "the threshold-selection curve for the dedup family (how many pairs "
+    "each candidate threshold admits). One inverted-index join on the "
+    "shared persisted shingle index.",
+)
+def dedup_jaccard_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.operators.dedup import _ngram_jaccard_naive, _shingle_index
+
+    d = table(spark, sf_dir, "documents")
+    ngr = _shingle_index(d, "doc_id", "text", 3)
+    pairs = _ngram_jaccard_naive(ngr, 0.3)
+    banded = pairs.select(
+        F.when(F.col("jaccard") >= 0.9, F.lit("0.90+"))
+        .when(F.col("jaccard") >= 0.7, F.lit("0.70-0.90"))
+        .when(F.col("jaccard") >= 0.5, F.lit("0.50-0.70"))
+        .otherwise(F.lit("0.30-0.50"))
+        .alias("band")
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label separability scalar: mean intra-label cosine (each label's
+# vectors to their own centroid) vs mean inter-label centroid cosine —
+# the one-number summary over the embed_label_centroids matrix. Both
+# means fold SORT-PINNED tiny arrays (per-label rows / label pairs)
+# sequentially, so no order-sensitive float aggregation ever happens.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embed_separability_index",
+    sql="""
+    WITH g AS (
+      SELECT label, list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS vs,
+             count(*) AS n
+      FROM embeddings GROUP BY label),
+    c AS (
+      SELECT label, CAST(n AS BIGINT) AS n,
+        list_transform(
+          list_reduce(vs, (acc, v) ->
+            list_transform(generate_series(1, len(acc)), i -> acc[i] + v[i])),
+          x -> x / n) AS cent
+      FROM g),
+    intra AS (
+      SELECT e.label,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cent) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(c.cent, c.cent))) AS cos_own,
+             e.vec_id
+      FROM embeddings e JOIN c USING (label)
+      WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])) > 0
+        AND list_dot_product(c.cent, c.cent) > 0),
+    intra_m AS (
+      SELECT list_reduce(list(cos_own ORDER BY label, vec_id),
+                         (a, b) -> a + b) / count(*) AS mean_intra,
+             count(*) AS n_vecs
+      FROM intra),
+    pairs AS (
+      SELECT a.label AS la, b.label AS lb,
+             list_dot_product(a.cent, b.cent) /
+               (sqrt(list_dot_product(a.cent, a.cent)) *
+                sqrt(list_dot_product(b.cent, b.cent))) AS cos_cc
+      FROM c a JOIN c b ON a.label < b.label
+      WHERE list_dot_product(a.cent, a.cent) > 0
+        AND list_dot_product(b.cent, b.cent) > 0),
+    inter_m AS (
+      SELECT list_reduce(list(cos_cc ORDER BY la, lb),
+                         (a, b) -> a + b) / count(*) AS mean_inter,
+             count(*) AS n_pairs
+      FROM pairs)
+    SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(n_pairs AS BIGINT) AS n_label_pairs,
+           round(mean_intra, 6) AS mean_intra_cosine,
+           round(mean_inter, 6) AS mean_inter_cosine,
+           round(mean_intra - mean_inter, 6) AS separability_gap
+    FROM intra_m, inter_m
+    """,
+    doc="One-number label separability: mean cosine of vectors to their "
+    "OWN label centroid minus mean inter-label centroid cosine. Every "
+    "mean folds a sort-pinned array sequentially (no order-sensitive "
+    "float aggregation); zero-norm guards on both engines.",
+)
+def embed_separability_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.functions.vectors import dot, to_double_array
+    from dsacord_spark.plans.quality import _label_centroids
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(e).select("label", "cent")
+    v = e.select("label", "vec_id", to_double_array("embedding").alias("ve"))
+    intra = (
+        v.join(F.broadcast(cents), "label")
+        .filter((dot("ve", "ve") > 0) & (dot("cent", "cent") > 0))
+        .select(
+            "label",
+            "vec_id",
+            (
+                dot("ve", "cent")
+                / (F.sqrt(dot("ve", "ve")) * F.sqrt(dot("cent", "cent")))
+            ).alias("cos_own"),
+        )
+    )
+    intra_m = intra.agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("label", "vec_id", "cos_own"))
+                    ),
+                    lambda s: s["cos_own"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_intra"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    a = cents.select(F.col("label").alias("la"), F.col("cent").alias("ca"))
+    b = cents.select(F.col("label").alias("lb"), F.col("cent").alias("cb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("la") < F.col("lb"))
+        .filter((dot("ca", "ca") > 0) & (dot("cb", "cb") > 0))
+        .select(
+            "la",
+            "lb",
+            (
+                dot("ca", "cb")
+                / (F.sqrt(dot("ca", "ca")) * F.sqrt(dot("cb", "cb")))
+            ).alias("cos_cc"),
+        )
+    )
+    inter_m = pairs.agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("la", "lb", "cos_cc"))),
+                    lambda s: s["cos_cc"],
+                ),
+                F.lit(0.0),
+                lambda a_, x: a_ + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_inter"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    return (
+        intra_m.crossJoin(F.broadcast(inter_m))
+        .select(
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.col("n_pairs").cast("bigint").alias("n_label_pairs"),
+            F.round("mean_intra", 6).alias("mean_intra_cosine"),
+            F.round("mean_inter", 6).alias("mean_inter_cosine"),
+            F.round(F.col("mean_intra") - F.col("mean_inter"), 6).alias(
+                "separability_gap"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users per day: first-touch attribution — each user's
+# first active day marks them "new" that day, "returning" on every later
+# active day. Exact counts from the deduplicated (user, day) table plus
+# a broadcast first-day join; the daily growth-accounting split every
+# product dashboard leads with.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_new_vs_returning",
+    sql="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+      FROM events),
+    first AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users
+    FROM ud JOIN first USING (user_id)
+    GROUP BY day
+    """,
+    doc="Daily new-vs-returning user split (first-touch attribution over "
+    "the deduplicated user-day table; exact counts, broadcast first-day "
+    "join).",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        ud.join(F.broadcast(first), "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            "returning_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-length profile per language: mean token length (exact integer
+# sums, one division) and the share of 15+-char tokens — the long-token
+# garbage signal (URLs, base64 blobs, concatenation bugs) that length
+# filters key on.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_length_profile",
+    sql="""
+    WITH tok AS (
+      SELECT lang, tk
+      FROM (SELECT lang,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS t
+            FROM documents), unnest(t) AS u(tk))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(length(tk) AS BIGINT)) AS DOUBLE) / count(*), 6)
+             AS mean_token_len,
+           CAST(SUM(CASE WHEN length(tk) >= 15 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_long_tokens,
+           round(CAST(SUM(CASE WHEN length(tk) >= 15 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS long_token_share
+    FROM tok GROUP BY lang
+    """,
+    doc="Token-length profile per language: exact mean length and the "
+    "15+-char long-token share (URL/base64/concatenation-garbage "
+    "signal).",
+)
+def text_token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens("text")).alias("tk"))
+    return tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(F.length("tk").cast("bigint")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_token_len"),
+        F.sum(F.when(F.length("tk") >= 15, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_long_tokens"),
+        F.round(
+            F.sum(F.when(F.length("tk") >= 15, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("long_token_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Error-burst alarm: hours whose error-event rate exceeds 3x the global
+# error rate (with a minimum volume floor so tiny hours don't alarm) —
+# the static form of the rate-alarm every on-call dashboard runs. Exact
+# counts; the comparison is cross-multiplied into integer arithmetic
+# (err * global_total > 3 * global_err * total) so no float threshold
+# is ever computed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_error_burst_hours",
+    sql="""
+    WITH h AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             count(*) AS total,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+      FROM events GROUP BY 1),
+    g AS (SELECT SUM(total) AS gtotal, SUM(err) AS gerr FROM h)
+    SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr_str,
+           CAST(total AS BIGINT) AS n_events,
+           CAST(err AS BIGINT) AS n_errors,
+           round(CAST(err AS DOUBLE) / total, 6) AS error_rate,
+           round(CAST(gerr AS DOUBLE) / gtotal, 6) AS global_rate
+    FROM h, g
+    WHERE total >= 20
+      AND err * gtotal > 3 * gerr * total
+    """,
+    doc="Error-burst alarm: hours (>= 20 events) whose error rate tops "
+    "3x the global rate — threshold evaluated by integer "
+    "cross-multiplication, no float comparison.",
+)
+def events_error_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "err"
+        ),
+    )
+    g = h.agg(F.sum("total").alias("gtotal"), F.sum("err").alias("gerr"))
+    return (
+        h.crossJoin(F.broadcast(g))
+        .filter(
+            (F.col("total") >= 20)
+            & (F.col("err") * F.col("gtotal") > 3 * F.col("gerr") * F.col("total"))
+        )
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hr_str"),
+            F.col("total").cast("bigint").alias("n_events"),
+            F.col("err").cast("bigint").alias("n_errors"),
+            F.round(F.col("err").cast("double") / F.col("total"), 6).alias(
+                "error_rate"
+            ),
+            F.round(F.col("gerr").cast("double") / F.col("gtotal"), 6).alias(
+                "global_rate"
+            ),
+        )
     )
