@@ -1,6 +1,6 @@
 """Corpus- and business-health report operators (round-3 additions).
 
-Forty oracle-eligible entries extending the layer-B catalog beyond the
+Forty-three oracle-eligible entries extending the layer-B catalog beyond the
 reference's surface (the reference is a 600-line ETL with no query layer;
 this family is the analytics a 100 TB training-data pipeline runs on top
 of the ingested lake): a bigram-LM fluency score, asymmetric containment
@@ -21,8 +21,9 @@ exact-algebra Pearson correlation, event-type co-occurrence lift, a
 deterministic max_by peak-hour report, Cohen's-d A/B effect size, the
 revenue Gini coefficient, Tukey-fence IQR outliers, the Jaccard
 threshold-band histogram, a label-separability scalar, the daily
-new-vs-returning split, token-length profiles, and an error-burst
-alarm.
+new-vs-returning split, token-length profiles, an error-burst alarm,
+the cohort-LTV revenue triangle, cross-source duplicate provenance,
+and basket-size bands.
 
 Determinism (registry.py header rules): every cross-engine number is an
 integer, a DECIMAL sum, a single IEEE division of deterministic operands,
@@ -2887,5 +2888,189 @@ def events_error_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("gerr").cast("double") / F.col("gtotal"), 6).alias(
                 "global_rate"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort revenue triangle: customers grouped by first-order month, exact
+# decimal revenue per (cohort, months-since-first) cell — the
+# cohort-LTV triangle (the events retention cohort's revenue twin on the
+# orders table). Month arithmetic via integer year*12+month algebra so
+# the offset is exact on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_cohort_revenue",
+    sql="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y') AS INT) * 12
+               + CAST(strftime(CAST(o_orderdate AS TIMESTAMP), '%m') AS INT)
+               AS m,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders),
+    c AS (SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY o_custkey)
+    SELECT printf('%04d-%02d', (cohort_m - 1) // 12, ((cohort_m - 1) % 12) + 1)
+             AS cohort_month,
+           o.m - c.cohort_m AS months_since,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS revenue
+    FROM o JOIN c USING (o_custkey)
+    GROUP BY cohort_m, o.m - c.cohort_m
+    """,
+    doc="Cohort-LTV triangle: exact decimal revenue per (first-order-month "
+    "cohort, months-since) cell; month offsets via integer year*12+month "
+    "algebra. The revenue twin of the events retention cohort.",
+)
+def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate").cast("timestamp")) * 12
+            + F.month(F.col("o_orderdate").cast("timestamp"))
+        ).alias("m"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    c = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    j = o.join(F.broadcast(c), "o_custkey")
+    return (
+        j.groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("months_since"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                ((F.col("cohort_m") - 1) / 12).cast("int"),
+                ((F.col("cohort_m") - 1) % 12).cast("int") + 1,
+            ).alias("cohort_month"),
+            "months_since",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication: exact-duplicate clusters that SPAN sources —
+# the provenance report that distinguishes within-source boilerplate
+# (template reuse) from cross-source contamination (mirrored/scraped
+# content), which call for different dedup policies. Rides the same
+# normalized-text fingerprint as the cluster histogram.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_dup_cross_source",
+    sql="""
+    WITH fp AS (
+      SELECT source,
+             CAST('0x' || SUBSTR(MD5(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+             ), 1, 15) AS BIGINT) AS fp
+      FROM documents),
+    cl AS (
+      SELECT fp, count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources
+      FROM fp GROUP BY fp
+      HAVING count(*) > 1)
+    SELECT CASE WHEN n_sources > 1 THEN 'cross_source'
+                ELSE 'within_source' END AS dup_kind,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_docs - 1) AS BIGINT) AS n_removable
+    FROM cl GROUP BY 1
+    """,
+    doc="Duplicate provenance: exact-dup clusters split into "
+    "within-source (template/boilerplate reuse) vs cross-source "
+    "(mirrored/scraped contamination) with docs and removable counts — "
+    "the split that picks the dedup policy.",
+)
+def corpus_dup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    fp = d.select("source", doc_fingerprint("text").alias("fp"))
+    cl = (
+        fp.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return (
+        cl.select(
+            F.when(F.col("n_sources") > 1, F.lit("cross_source"))
+            .otherwise(F.lit("within_source"))
+            .alias("dup_kind"),
+            "n_docs",
+        )
+        .groupBy("dup_kind")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_docs") - 1).cast("bigint").alias("n_removable"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-size (basket) distribution: lineitems per order bucketed into
+# 1 / 2-3 / 4-7 / 8+ bands with exact mean items per order — the basket
+# shape behind fulfillment planning. One narrow per-order count + a
+# 4-row rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_basket_size_bands",
+    sql="""
+    WITH per AS (
+      SELECT l_orderkey, count(*) AS n_items
+      FROM lineitem GROUP BY l_orderkey),
+    t AS (
+      SELECT count(*) AS n_orders, SUM(n_items) AS total_items FROM per)
+    SELECT CASE WHEN n_items = 1 THEN '1'
+                WHEN n_items <= 3 THEN '2-3'
+                WHEN n_items <= 7 THEN '4-7'
+                ELSE '8+' END AS band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(count(*) AS DOUBLE) / max(t.n_orders), 6) AS order_share,
+           round(CAST(max(t.total_items) AS DOUBLE) / max(t.n_orders), 6)
+             AS mean_items_per_order
+    FROM per, t GROUP BY 1
+    """,
+    doc="Basket-size bands (lineitems per order: 1 / 2-3 / 4-7 / 8+) with "
+    "order shares and the exact corpus-wide mean items per order.",
+)
+def orders_basket_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    per = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    t = per.agg(
+        F.count(F.lit(1)).alias("n_orders_t"),
+        F.sum("n_items").alias("total_items"),
+    )
+    return (
+        per.select(
+            F.when(F.col("n_items") == 1, F.lit("1"))
+            .when(F.col("n_items") <= 3, F.lit("2-3"))
+            .when(F.col("n_items") <= 7, F.lit("4-7"))
+            .otherwise(F.lit("8+"))
+            .alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "band",
+            "n_orders",
+            F.round(
+                F.col("n_orders").cast("double") / F.col("n_orders_t"), 6
+            ).alias("order_share"),
+            F.round(
+                F.col("total_items").cast("double") / F.col("n_orders_t"), 6
+            ).alias("mean_items_per_order"),
         )
     )
