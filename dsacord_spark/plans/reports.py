@@ -1009,18 +1009,29 @@ def text_readability_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents), unnest(t) AS u(tk)),
     cnt AS (SELECT source, tk, count(*) AS c FROM tok GROUP BY 1, 2),
     tot AS (SELECT source, count(*) AS t FROM tok GROUP BY 1),
-    pair AS (
+    shared AS (
       SELECT a.source AS source_a, b.source AS source_b,
              SUM(abs(CAST(a.c AS DECIMAL(38,0)) * tb.t
                      - CAST(b.c AS DECIMAL(38,0)) * ta.t)) AS num_shared,
              SUM(CAST(a.c AS DECIMAL(38,0))) AS shared_a,
-             SUM(CAST(b.c AS DECIMAL(38,0))) AS shared_b,
-             max(ta.t) AS t_a, max(tb.t) AS t_b
+             SUM(CAST(b.c AS DECIMAL(38,0))) AS shared_b
       FROM cnt a
       JOIN cnt b ON a.tk = b.tk AND a.source < b.source
       JOIN tot ta ON ta.source = a.source
       JOIN tot tb ON tb.source = b.source
-      GROUP BY 1, 2)
+      GROUP BY 1, 2),
+    -- the pair SPINE comes from tot x tot, not the shared-token join:
+    -- a pair with fully DISJOINT vocabularies shares no token, but its
+    -- TV distance is defined (= 1.0) and must appear in the output
+    pair AS (
+      SELECT ta.source AS source_a, tb.source AS source_b,
+             ta.t AS t_a, tb.t AS t_b,
+             COALESCE(num_shared, 0) AS num_shared,
+             COALESCE(shared_a, 0) AS shared_a,
+             COALESCE(shared_b, 0) AS shared_b
+      FROM tot ta JOIN tot tb ON ta.source < tb.source
+      LEFT JOIN shared ON shared.source_a = ta.source
+                      AND shared.source_b = tb.source)
     SELECT source_a, source_b,
            round(CAST(num_shared + (t_a - shared_a) * t_b
                       + (t_b - shared_b) * t_a AS DOUBLE)
@@ -1047,7 +1058,7 @@ def source_vocab_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta = tot.select(F.col("source").alias("source_a"), F.col("t").alias("t_a"))
     tb = tot.select(F.col("source").alias("source_b"), F.col("t").alias("t_b"))
     dec = lambda c: F.col(c).cast("decimal(38,0)")
-    pair = (
+    shared = (
         a.join(b, "tk")
         .filter(F.col("source_a") < F.col("source_b"))
         .join(F.broadcast(ta), "source_a")
@@ -1059,9 +1070,28 @@ def source_vocab_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("num_shared"),
             F.sum(dec("c_a")).alias("shared_a"),
             F.sum(dec("c_b")).alias("shared_b"),
-            F.max("t_a").alias("t_a"),
-            F.max("t_b").alias("t_b"),
         )
+    )
+    # pair spine from tot x tot: a fully-disjoint pair shares no token
+    # but its TV distance is defined (= 1.0) and must be emitted
+    spine = (
+        ta.crossJoin(tb)
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    pair = spine.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "t_a",
+        "t_b",
+        F.coalesce(F.col("num_shared"), F.lit(0).cast("decimal(38,0)")).alias(
+            "num_shared"
+        ),
+        F.coalesce(F.col("shared_a"), F.lit(0).cast("decimal(38,0)")).alias(
+            "shared_a"
+        ),
+        F.coalesce(F.col("shared_b"), F.lit(0).cast("decimal(38,0)")).alias(
+            "shared_b"
+        ),
     )
     return pair.select(
         "source_a",
