@@ -45,6 +45,76 @@ _TOKS_SQL = (
 )
 
 
+def _global_rank(
+    df: DataFrame, order_cols, rank_name: str = "r", parts: int = 32
+) -> DataFrame:
+    """Exact global row rank under a TOTAL ordering, distributed.
+
+    Two-pass prefix sum — the scale-safe replacement for
+    ``row_number() OVER (ORDER BY ...)`` (whose physical plan funnels the
+    whole frame through ONE partition):
+
+      1. ``repartitionByRange`` on the order columns — rows land in range
+         partitions that respect the global order (boundaries come from
+         Spark's sampled range partitioner; WHERE a boundary falls only
+         moves rows between partitions, never changes any rank);
+      2. per-partition counts (a ``parts``-row metadata aggregate) turn
+         into broadcast cumulative offsets;
+      3. rank = offset(partition) + row_number within the partition — the
+         only windows are one over the ``parts``-row count frame and one
+         PARTITIONED by range-partition id.
+
+    ``order_cols`` must be a total order (unique tie-break column last),
+    else ranks within a tie are partition-placement-dependent. Every
+    window here is either bounded (``parts`` rows) or partitioned; the
+    frame itself is never funneled through a single task.
+    """
+    part = df.repartitionByRange(parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    cnt = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    woff = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = cnt.select(
+        "_pid", F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off")
+    )
+    wloc = W.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        part.join(F.broadcast(offs), "_pid")
+        .withColumn(
+            rank_name,
+            (F.col("_off") + F.row_number().over(wloc)).cast("bigint"),
+        )
+        .drop("_pid", "_off")
+    )
+
+
+def _idiv(a, b):
+    """Exact integer division a DIV b for non-negative operands.
+
+    (a - a%b) is exactly divisible, so the double division is exact for
+    quotients < 2^53 — no engine-specific DIV semantics involved.
+    """
+    return ((a - a % b) / b).cast("bigint")
+
+
+def _ntile_bucket(r, n, k: int):
+    """ntile(k) bucket from a 1-based global rank r out of n rows.
+
+    Closed form of SQL ntile: the first n%k buckets take ceil(n/k) rows,
+    the rest floor(n/k) — identical to every engine's ntile over the same
+    total ordering, but computable from the distributed _global_rank
+    without any unpartitioned window.
+    """
+    q = _idiv(n, F.lit(k))
+    rem = n - q * k
+    cut = rem * (q + 1)
+    return (
+        F.when(r <= cut, _idiv(r - 1, q + 1) + 1)
+        .otherwise(rem + _idiv(r - cut - 1, q) + 1)
+        .cast("int")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bigram-LM fluency: train an add-one-smoothed bigram model ON the corpus
 # (global bigram + unigram counts), then score each document by its mean
@@ -358,9 +428,10 @@ def text_zipf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # revenue, cut into ntile(10) deciles (o_custkey tie-break pins intra-tie
 # bucket boundaries), and report each decile's customer count, revenue,
 # and share — the classic whale-curve segmentation. One orders shuffle on
-# custkey, a 1500-row (at sf0.01) window, a 10-row output. At 100 TB the
-# customer aggregate is the only big stage; the window runs on the
-# aggregated (small) side.
+# custkey, then _global_rank's two-pass prefix sum + the ntile closed
+# form instead of an unpartitioned ntile window: at 100 TB the
+# per-customer frame is hundreds of millions of rows, and exactness does
+# not require funneling it through one sort partition.
 # ---------------------------------------------------------------------------
 
 
@@ -386,21 +457,29 @@ def text_zipf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Whale-curve customer segmentation: exact decimal revenue per "
     "customer, ntile(10) deciles (custkey tie-break), per-decile count / "
-    "revenue / share. The window runs on the aggregated per-customer "
-    "side, never the raw fact table.",
+    "revenue / share. Deciles come from the distributed _global_rank + "
+    "ntile closed form — no unpartitioned window anywhere in the plan.",
 )
 def orders_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
     )
-    dec = rev.withColumn(
-        "decile",
-        F.ntile(10).over(
-            W.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
-        ),
+    # ntile(10) without the unpartitioned window: distributed global rank
+    # (two-pass prefix sum over range partitions) + the ntile closed form.
+    # Bucket assignment is identical to the oracle's ntile because the
+    # (revenue DESC, custkey ASC) ordering is total.
+    tot = rev.agg(
+        F.sum("revenue").alias("total"), F.count(F.lit(1)).alias("n_cust")
     )
-    tot = rev.agg(F.sum("revenue").alias("total"))
+    ranked = _global_rank(
+        rev, [F.col("revenue").desc(), F.col("o_custkey").asc()], "r"
+    )
+    dec = ranked.crossJoin(F.broadcast(tot.select("n_cust"))).select(
+        "revenue",
+        _ntile_bucket(F.col("r"), F.col("n_cust"), 10).alias("decile"),
+    )
+    tot = tot.select("total")
     return (
         dec.groupBy("decile")
         .agg(
@@ -505,8 +584,9 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored GROUP BY 1, 2, 3
     """,
     doc="RFM quintile segmentation (recency/frequency/monetary, custkey "
-    "tie-breaks): segment sizes and exact-decimal revenue. Windows run "
-    "on the per-customer aggregate only.",
+    "tie-breaks): segment sizes and exact-decimal revenue. Each score "
+    "comes from a distributed _global_rank pass + the ntile closed form "
+    "— no unpartitioned windows over the per-customer frame.",
 )
 def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
@@ -526,24 +606,24 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
+    # Three ntile(5) scores, each from the distributed _global_rank + the
+    # ntile closed form (three range-partitioned rank passes over the
+    # per-customer frame instead of three unpartitioned windows — at
+    # 100 TB that frame is user-population-sized).
+    n_tot = cust.agg(F.count(F.lit(1)).alias("n_cust"))
+    scored = cust
+    for score_col, order in (
+        ("r_score", [F.col("recency_days").asc(), F.col("o_custkey").asc()]),
+        ("f_score", [F.col("frequency").desc(), F.col("o_custkey").asc()]),
+        ("m_score",
+         [F.col("monetary").cast("double").desc(), F.col("o_custkey").asc()]),
+    ):
+        scored = _global_rank(scored, order, score_col)
+    scored = scored.crossJoin(F.broadcast(n_tot)).select(
         "monetary",
-        F.ntile(5)
-        .over(W.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc()))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc()))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(
-            W.orderBy(
-                F.col("monetary").cast("double").desc(), F.col("o_custkey").asc()
-            )
-        )
-        .alias("m_score"),
+        _ntile_bucket(F.col("r_score"), F.col("n_cust"), 5).alias("r_score"),
+        _ntile_bucket(F.col("f_score"), F.col("n_cust"), 5).alias("f_score"),
+        _ntile_bucket(F.col("m_score"), F.col("n_cust"), 5).alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -750,14 +830,15 @@ def part_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
       FROM events),
     gaps AS (
-      SELECT user_id, us,
+      SELECT user_id, us, event_id,
              CASE WHEN lag(us) OVER w IS NULL
                        OR us - lag(us) OVER w >= 14400000000
                   THEN 1 ELSE 0 END AS new_session
       FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
     sess AS (
       SELECT user_id, us,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM gaps),
     spans AS (
@@ -789,6 +870,7 @@ def events_session_duration_histogram(
     gaps = e.select(
         "user_id",
         "ts_us",
+        "event_id",
         F.when(
             F.lag("ts_us").over(w).isNull()
             | (F.col("ts_us") - F.lag("ts_us").over(w) >= 14_400_000_000),
@@ -797,7 +879,11 @@ def events_session_duration_histogram(
         .otherwise(F.lit(0))
         .alias("new_session"),
     )
-    cum = W.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+    # (ts_us, event_id) tie-break on the cumulative sum too: ts_us is
+    # ns-truncated so per-user duplicate timestamps exist, and a session
+    # boundary landing inside a tie group must split it identically on
+    # both engines regardless of physical row order.
+    cum = W.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     sess = gaps.select(
@@ -1283,12 +1369,20 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Co-presence graph build: pairs of users active in the same hour bucket,
 # scored by the number of shared hours — the standard co-occurrence edge
 # list (user-user projection of the bipartite user-hour graph). The
-# self-join is BOUNDED BY BUCKETING: each hour expands only per-hour
-# distinct-user pairs (never corpus^2), exactly how a 100 TB co-presence
-# build stays tractable; skewed hours are the known hazard and are
-# reported by events_concurrency_sweep. Top-50 by shared hours with a
-# pair-key tie-break.
+# self-join is BOUNDED BY BUCKETING *and by a per-bucket admission cap*:
+# each hour admits at most _COPRESENCE_CAP users (deterministic scrambled
+# admission order so the cap is an unbiased sample, not "lowest ids"), so
+# a hot hour with U users costs min(U, cap)^2/2 pairs instead of U^2/2 —
+# that bound is what keeps a 100 TB co-presence build tractable when one
+# hour is skewed (an outage spike, a bot storm). The cap does not bind at
+# the test SFs (max 166 users/hour at sf0.1). Top-50 lands as
+# TakeOrderedAndProject (orderBy+limit — per-partition top-50 then a
+# 50-row merge on the driver side of the exchange), NOT a row_number over
+# the full pair aggregate through one partition; rank is assigned on the
+# 50-row result.
 # ---------------------------------------------------------------------------
+
+_COPRESENCE_CAP = 1024
 
 
 @register(
@@ -1298,23 +1392,35 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id,
              date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr
       FROM events),
+    adm AS (
+      SELECT user_id, hr,
+             row_number() OVER (
+               PARTITION BY hr
+               ORDER BY ((user_id % 1048573) * 2654435761) % 1000003,
+                        user_id) AS rn
+      FROM uh),
+    capped AS (SELECT user_id, hr FROM adm WHERE rn <= 1024),
     pairs AS (
       SELECT a.user_id AS user_a, b.user_id AS user_b,
              count(*) AS shared_hours
-      FROM uh a JOIN uh b ON a.hr = b.hr AND a.user_id < b.user_id
+      FROM capped a JOIN capped b ON a.hr = b.hr AND a.user_id < b.user_id
       GROUP BY 1, 2),
-    ranked AS (
-      SELECT user_a, user_b, shared_hours,
-             row_number() OVER (ORDER BY shared_hours DESC,
-                                user_a ASC, user_b ASC) AS rank
-      FROM pairs)
-    SELECT rank, user_a, user_b, shared_hours
-    FROM ranked WHERE rank <= 50
+    top AS (
+      SELECT user_a, user_b, shared_hours
+      FROM pairs
+      ORDER BY shared_hours DESC, user_a ASC, user_b ASC
+      LIMIT 50)
+    SELECT row_number() OVER (ORDER BY shared_hours DESC,
+                              user_a ASC, user_b ASC) AS rank,
+           user_a, user_b, shared_hours
+    FROM top
     """,
     doc="User co-presence edge list: pairs of users sharing activity "
     "hours, top-50 by shared-hour count (pair-key tie-break). The "
-    "self-join is bucketed by hour so the expansion is per-bucket "
-    "pairs, never corpus^2.",
+    "self-join is bucketed by hour AND capped per bucket (deterministic "
+    "scrambled admission, 1024 users/hour) so a skewed hour is bounded; "
+    "top-50 via orderBy+limit (TakeOrderedAndProject), rank assigned on "
+    "the 50-row result.",
 )
 def events_user_copresence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
@@ -1323,22 +1429,42 @@ def events_user_copresence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary / sweep-end clearCache)
     uh = e.select(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct().persist()
-    a = uh.select(F.col("user_id").alias("user_a"), "hr")
-    b = uh.select(F.col("user_id").alias("user_b"), "hr")
+    ).distinct()
+    # Deterministic per-hour admission cap: scrambled order (fold the id
+    # through a small modular multiply — exact integer math, identical on
+    # both engines) so the cap samples the bucket rather than taking the
+    # lowest ids. row_number is PARTITIONED by hr — no global window.
+    adm = W.partitionBy("hr").orderBy(
+        (((F.col("user_id") % 1048573) * 2654435761) % 1000003).asc(),
+        F.col("user_id").asc(),
+    )
+    capped = (
+        uh.withColumn("rn", F.row_number().over(adm))
+        .filter(F.col("rn") <= _COPRESENCE_CAP)
+        .select("user_id", "hr")
+        .persist()
+    )
+    a = capped.select(F.col("user_id").alias("user_a"), "hr")
+    b = capped.select(F.col("user_id").alias("user_b"), "hr")
     pairs = (
         a.join(b, "hr")
         .filter(F.col("user_a") < F.col("user_b"))
         .groupBy("user_a", "user_b")
         .agg(F.count(F.lit(1)).alias("shared_hours"))
     )
+    top = pairs.orderBy(
+        F.col("shared_hours").desc(), F.col("user_a").asc(), F.col("user_b").asc()
+    ).limit(50)
+    # rank over the 50-row TakeOrderedAndProject result — the single
+    # partition window consumes 50 rows, never the full pair table.
     win = W.orderBy(
         F.col("shared_hours").desc(), F.col("user_a").asc(), F.col("user_b").asc()
     )
-    return (
-        pairs.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= 50)
-        .select("rank", "user_a", "user_b", "shared_hours")
+    return top.select(
+        F.row_number().over(win).alias("rank"),
+        "user_a",
+        "user_b",
+        "shared_hours",
     )
 
 
@@ -2023,10 +2149,13 @@ def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         md5_long(F.col("doc_id").cast("string")).alias("hk"),
     )
-    win = W.orderBy(F.col("hk").asc(), F.col("doc_id").asc())
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-K,
+    # K-row merge) — the rank itself isn't in the output, so no
+    # row_number window (which would funnel the corpus through one
+    # partition) is needed at all.
     return (
-        ranked.withColumn("rk", F.row_number().over(win))
-        .filter(F.col("rk") <= _SAMPLE_K)
+        ranked.orderBy(F.col("hk").asc(), F.col("doc_id").asc())
+        .limit(_SAMPLE_K)
         .select("doc_id", "lang", "source")
     )
 
@@ -2375,8 +2504,10 @@ def events_user_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sa1 AS DOUBLE) / n1, 6) AS mean_purchase,
            round(CAST(sb1 AS DOUBLE) / n2, 6) AS mean_click,
            round((CAST(sa1 AS DOUBLE) / n1 - CAST(sb1 AS DOUBLE) / n2)
-                 / sqrt(CAST((sa2 - sa1 * sa1 / n1) + (sb2 - sb1 * sb1 / n2)
-                             AS DOUBLE) / (n1 + n2 - 2)), 6) AS cohens_d
+                 / sqrt(CAST(n2 * (n1 * sa2 - sa1 * sa1)
+                             + n1 * (n2 * sb2 - sb1 * sb1) AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) * n2 * (n1 + n2 - 2))),
+                 6) AS cohens_d
     FROM w
     """,
     doc="Cohen's d effect size between purchase and click event values: "
@@ -2407,18 +2538,29 @@ def events_ab_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m1 = F.col("sa1").cast("double") / F.col("n1")
     m2 = F.col("sb1").cast("double") / F.col("n2")
-    ssq = (
-        (F.col("sa2") - F.col("sa1") * F.col("sa1") / F.col("n1"))
-        + (F.col("sb2") - F.col("sb1") * F.col("sb1") / F.col("n2"))
+    # Pooled SSQ cross-multiplied into pure DECIMAL algebra (no decimal
+    # division mid-pipeline — Spark rounds decimal quotients HALF_UP at an
+    # engine-defined scale while DuckDB does not, so sa2 - sa1^2/n1 is NOT
+    # cross-engine exact; n2*(n1*sa2 - sa1^2) + n1*(n2*sb2 - sb1^2) is).
+    # The (n1*n2*(n1+n2-2)) denominator folds in double on identical
+    # operands left-to-right on both engines.
+    ssq_num = (
+        F.col("n2")
+        * (F.col("n1") * F.col("sa2") - F.col("sa1") * F.col("sa1"))
+        + F.col("n1")
+        * (F.col("n2") * F.col("sb2") - F.col("sb1") * F.col("sb1"))
     ).cast("double")
+    ssq_den = (
+        F.col("n1").cast("double")
+        * F.col("n2")
+        * (F.col("n1") + F.col("n2") - 2)
+    )
     return w.select(
         F.col("n1").cast("bigint").alias("n_purchase"),
         F.col("n2").cast("bigint").alias("n_click"),
         F.round(m1, 6).alias("mean_purchase"),
         F.round(m2, 6).alias("mean_click"),
-        F.round(
-            (m1 - m2) / F.sqrt(ssq / (F.col("n1") + F.col("n2") - 2)), 6
-        ).alias("cohens_d"),
+        F.round((m1 - m2) / F.sqrt(ssq_num / ssq_den), 6).alias("cohens_d"),
     )
 
 
@@ -2429,7 +2571,8 @@ def events_ab_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   G = (2 * sum(rank_i * x_i)) / (n * sum(x)) - (n + 1) / n
 # with x ranked ascending (custkey tie-break). The rank-weighted sum is
 # exact decimal * int; the two final divisions are single double ops.
-# The window runs over the per-customer aggregate, never the fact table.
+# Ranks come from _global_rank's two-pass prefix sum, so the
+# per-customer aggregate is never funneled through a single partition.
 # ---------------------------------------------------------------------------
 
 
@@ -2463,12 +2606,11 @@ def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
     )
-    rk = rev.select(
-        "x",
-        F.row_number()
-        .over(W.orderBy(F.col("x").asc(), F.col("o_custkey").asc()))
-        .alias("i"),
-    )
+    # rank-weighted sum via the distributed _global_rank (two-pass prefix
+    # sum) — the per-customer frame never funnels through one partition.
+    rk = _global_rank(
+        rev, [F.col("x").asc(), F.col("o_custkey").asc()], "i"
+    ).select("x", "i")
     s = rk.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("wsum"),
@@ -2649,8 +2791,10 @@ def dedup_jaccard_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                              CAST(e.embedding AS DOUBLE[])) > 0
         AND list_dot_product(c.cent, c.cent) > 0),
     intra_m AS (
-      SELECT list_reduce(list(cos_own ORDER BY label, vec_id),
-                         (a, b) -> a + b) / count(*) AS mean_intra,
+      SELECT CASE WHEN count(*) = 0 THEN NULL
+                  ELSE list_reduce(list(cos_own ORDER BY label, vec_id),
+                                   (a, b) -> a + b) / count(*)
+             END AS mean_intra,
              count(*) AS n_vecs
       FROM intra),
     pairs AS (
@@ -2662,8 +2806,10 @@ def dedup_jaccard_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE list_dot_product(a.cent, a.cent) > 0
         AND list_dot_product(b.cent, b.cent) > 0),
     inter_m AS (
-      SELECT list_reduce(list(cos_cc ORDER BY la, lb),
-                         (a, b) -> a + b) / count(*) AS mean_inter,
+      SELECT CASE WHEN count(*) = 0 THEN NULL
+                  ELSE list_reduce(list(cos_cc ORDER BY la, lb),
+                                   (a, b) -> a + b) / count(*)
+             END AS mean_inter,
              count(*) AS n_pairs
       FROM pairs)
     SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
@@ -2697,8 +2843,12 @@ def embed_separability_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_own"),
         )
     )
+    # count()==0 guard: DuckDB's list_reduce raises on an empty list while
+    # Spark's F.aggregate folds to the 0.0 init and then divides by zero
+    # (NaN) — both sides emit the same NULL on degenerate input instead.
     intra_m = intra.agg(
-        (
+        F.when(F.count(F.lit(1)) == 0, F.lit(None).cast("double"))
+        .otherwise(
             F.aggregate(
                 F.transform(
                     F.array_sort(
@@ -2728,7 +2878,8 @@ def embed_separability_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     inter_m = pairs.agg(
-        (
+        F.when(F.count(F.lit(1)) == 0, F.lit(None).cast("double"))
+        .otherwise(
             F.aggregate(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("la", "lb", "cos_cc"))),
@@ -2781,17 +2932,19 @@ def embed_separability_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY day
     """,
     doc="Daily new-vs-returning user split (first-touch attribution over "
-    "the deduplicated user-day table; exact counts, broadcast first-day "
-    "join).",
+    "the deduplicated user-day table; exact counts). first_day comes "
+    "from a min() window over the user-keyed distinct frame — the frame "
+    "is full-user-population cardinality, so it must never be broadcast; "
+    "the window reuses the user_id shuffle the distinct already did.",
 )
 def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     ud = e.select(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).distinct()
-    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    first_day = F.min("day").over(W.partitionBy("user_id"))
     return (
-        ud.join(F.broadcast(first), "user_id")
+        ud.withColumn("first_day", first_day)
         .groupBy("day")
         .agg(
             F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))

@@ -87,6 +87,43 @@ def test_driver_window_rotation_synthetic(monkeypatch):
     assert names2[0] not in (fail_name, green_name)
 
 
+def test_driver_window_all_green_picks_oldest(monkeypatch):
+    """Post-coverage rotation: once EVERY entry is green, the 50-window
+    becomes pure regression canaries and must hold the OLDEST-checked
+    greens first — an entry last verified three rounds ago rotates back
+    in before one verified last round. Fabricated history: all entries
+    green, split across three past rounds round-robin."""
+    import dsacord_spark.plans.catalog as cat
+
+    reg_names = list(cat.get_registry().keys())
+    ok = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    rounds = (
+        "CORRECTNESS_r97.json",
+        "CORRECTNESS_r98.json",
+        "CORRECTNESS_r99.json",
+    )
+
+    def fake_hist():
+        return {
+            n: {**ok, "_round": rounds[i % 3]}
+            for i, n in enumerate(reg_names)
+        }
+
+    monkeypatch.setattr(cat, "_driver_history", fake_hist)
+    names = list(cat.queries().keys())
+    oldest = [n for i, n in enumerate(reg_names) if i % 3 == 0]
+    # oldest-round greens lead, in registration order within the round
+    assert names[: len(oldest)] == oldest
+    # the 50-window is filled entirely from the oldest round (62 >= 50)
+    hist = fake_hist()
+    assert all(hist[n]["_round"] == rounds[0] for n in names[:50])
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     """agg_approx_distinct is rows-only by design (HLL seeds are
     engine-specific) — this is its quality gate instead: the sketch

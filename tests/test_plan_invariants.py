@@ -66,7 +66,8 @@ def _plans(spark, sf_dir):
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        out[name] = buf.getvalue()
+        simple = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = {"fmt": buf.getvalue(), "simple": simple}
     return out
 
 
@@ -76,7 +77,9 @@ def all_plans(spark, sf_dir):
 
 
 def test_no_cartesian_product_anywhere(all_plans):
-    offenders = [n for n, p in all_plans.items() if "CartesianProduct" in p]
+    offenders = [
+        n for n, p in all_plans.items() if "CartesianProduct" in p["fmt"]
+    ]
     assert not offenders, offenders
 
 
@@ -86,9 +89,9 @@ def test_python_nodes_only_where_declared(all_plans):
         r"|AggregateInPandas|PythonMapInArrow"
     )
     offenders = {
-        n: sorted(set(pat.findall(p)))
+        n: sorted(set(pat.findall(p["fmt"])))
         for n, p in all_plans.items()
-        if pat.search(p) and n not in _PYTHON_KERNEL_OK
+        if pat.search(p["fmt"]) and n not in _PYTHON_KERNEL_OK
     }
     assert not offenders, (
         f"undeclared Python eval nodes: {offenders} — either push the "
@@ -109,8 +112,84 @@ def test_every_plan_scans_input(all_plans):
     no_scan = [
         n
         for n, p in all_plans.items()
-        if "Scan parquet" not in p
-        and "BatchScan" not in p
+        if "Scan parquet" not in p["fmt"]
+        and "BatchScan" not in p["fmt"]
         and n not in _NO_SCAN_OK
     ]
     assert not no_scan, no_scan
+
+
+# --- invariant 4: single-partition funnels must be bounded -----------------
+#
+# An `Exchange SinglePartition` moves EVERYTHING in its subtree through
+# one task — fine when what flows is already reduced (a keyless
+# aggregate's partials, a LIMIT, a broadcast-declared-tiny side), fatal
+# when raw table rows flow through it (the round-3 verdict's
+# events_user_copresence_topk / ltv-decile findings: an unpartitioned
+# window or rank over an unreduced frame is the plan shape that dies
+# first at 100x). Mechanically: on every root-to-scan path BELOW a
+# SinglePartition exchange there must be at least one REDUCING node —
+# an Aggregate, a Limit/TakeOrdered, or a BroadcastExchange.
+
+_REDUCING = re.compile(
+    r"^(HashAggregate|SortAggregate|ObjectHashAggregate|LocalLimit"
+    r"|GlobalLimit|TakeOrderedAndProject|CollectLimit|BroadcastExchange"
+    r"|ReusedExchange|LocalTableScan|Range\b)"
+)
+_SCAN = re.compile(r"^(BatchScan|FileScan|Scan parquet|InMemoryTableScan)")
+
+
+def _tree(simple: str):
+    """Parse executedPlan().toString() indentation into (depth, name) and
+    children adjacency. Each tree level is 3 chars of prefix."""
+    nodes = []
+    for ln in simple.splitlines():
+        m = re.match(r"^([ :+\-|]*?)(\*?)\s*([A-Za-z].*)$", ln)
+        if not m or not m.group(3):
+            continue
+        depth = len(m.group(1)) // 3
+        name = m.group(3).lstrip("* ")
+        nodes.append((depth, name))
+    children: dict[int, list[int]] = {i: [] for i in range(len(nodes))}
+    stack: list[int] = []
+    for i, (d, _) in enumerate(nodes):
+        while stack and nodes[stack[-1]][0] >= d:
+            stack.pop()
+        if stack:
+            children[stack[-1]].append(i)
+        stack.append(i)
+    return nodes, children
+
+
+def _unbounded_scan_paths(nodes, children, root: int) -> bool:
+    """True if some path root->leaf hits a scan with no reducing node."""
+
+    def walk(i: int) -> bool:
+        name = nodes[i][1]
+        if _REDUCING.match(name):
+            return False  # this branch is bounded from here down
+        if _SCAN.match(name):
+            return True
+        return any(walk(c) for c in children[i])
+
+    return any(walk(c) for c in children[root])
+
+
+def test_single_partition_funnels_are_bounded(all_plans):
+    offenders = {}
+    for qname, p in all_plans.items():
+        nodes, children = _tree(p["simple"])
+        bad = [
+            i
+            for i, (_, name) in enumerate(nodes)
+            if name.startswith("Exchange SinglePartition")
+            and _unbounded_scan_paths(nodes, children, i)
+        ]
+        if bad:
+            offenders[qname] = [nodes[i][1] for i in bad]
+    assert not offenders, (
+        f"raw-scan rows flow through a single-partition exchange in: "
+        f"{sorted(offenders)} — reduce (aggregate/limit/broadcast) before "
+        "any global funnel, or re-express with a distributed two-pass "
+        "rank (plans/reports.py _global_rank)"
+    )

@@ -134,3 +134,35 @@ def test_bigram_fluency_matches_python_reference(
             s += p
         want[d] = (len(ps), round(s / len(ps), 9))
     assert got == want, (corpus, got, want)
+
+
+def test_global_rank_ntile_matches_builtin(spark):
+    """_global_rank + _ntile_bucket must reproduce Spark's own
+    row_number/ntile over the same total ordering for every (n, k) shape
+    — including n < k, n % k != 0, duplicate order values broken by the
+    tie-break, and n smaller than the partition count."""
+    from pyspark.sql import Window as W, functions as F
+
+    from dsacord_spark.plans.reports import _global_rank, _ntile_bucket
+
+    for n, k in [(1, 10), (7, 5), (10, 10), (23, 5), (57, 10), (64, 3)]:
+        rows = [(i, (i * 7919) % 13, f"id{i:03d}") for i in range(n)]
+        df = spark.createDataFrame(rows, "i long, v long, tb string")
+        order = [F.col("v").desc(), F.col("tb").asc()]
+        win = W.orderBy(*order)
+        expect = {
+            (r["i"]): (r["r"], r["b"])
+            for r in df.select(
+                "i",
+                F.row_number().over(win).alias("r"),
+                F.ntile(k).over(win).alias("b"),
+            ).collect()
+        }
+        ranked = _global_rank(df, order, "r", parts=4)
+        got = {
+            r["i"]: (r["r"], r["b"])
+            for r in ranked.withColumn(
+                "b", _ntile_bucket(F.col("r"), F.lit(n), k)
+            ).collect()
+        }
+        assert got == expect, (n, k)
