@@ -46,7 +46,11 @@ _TOKS_SQL = (
 
 
 def _global_rank(
-    df: DataFrame, order_cols, rank_name: str = "r", parts: int = 32
+    df: DataFrame,
+    order_cols,
+    rank_name: str = "r",
+    parts: int = 32,
+    persist: bool = False,
 ) -> DataFrame:
     """Exact global row rank under a TOTAL ordering, distributed.
 
@@ -69,9 +73,18 @@ def _global_rank(
     window here is either bounded (``parts`` rows) or partitioned; the
     frame itself is never funneled through a single task.
     """
+    # persist=True: for CHAINED rank passes (RFM's three scores) each
+    # later pass's range-sampling job re-runs the whole upstream lineage
+    # including the earlier passes' shuffles — caching each pass's `part`
+    # truncates that (interleaved min-of-3 A/B at sf0.1: 2.8s vs 4.0s for
+    # the 3-pass chain; single passes are FASTER uncached, so default
+    # off). Released at the harness/bench family boundary like every
+    # other catalog persist.
     part = df.repartitionByRange(parts, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    if persist:
+        part = part.persist()
     cnt = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     woff = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     offs = cnt.select(
@@ -610,6 +623,9 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ntile closed form (three range-partitioned rank passes over the
     # per-customer frame instead of three unpartitioned windows — at
     # 100 TB that frame is user-population-sized).
+    # persisted: the three rank passes each range-sample + shuffle this
+    # frame; uncached, every pass re-runs the orders scan + aggregate
+    cust = cust.persist()
     n_tot = cust.agg(F.count(F.lit(1)).alias("n_cust"))
     scored = cust
     for score_col, order in (
@@ -618,7 +634,7 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("m_score",
          [F.col("monetary").cast("double").desc(), F.col("o_custkey").asc()]),
     ):
-        scored = _global_rank(scored, order, score_col)
+        scored = _global_rank(scored, order, score_col, persist=True)
     scored = scored.crossJoin(F.broadcast(n_tot)).select(
         "monetary",
         _ntile_bucket(F.col("r_score"), F.col("n_cust"), 5).alias("r_score"),

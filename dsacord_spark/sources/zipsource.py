@@ -8,14 +8,15 @@ design instead:
 - `spark.read.format("binaryFile")` lists the staged ZIPs; Spark assigns
   whole files to tasks (a ZIP is not splittable), so across-file
   parallelism replaces the reference's worker pool.
-- a `mapInPandas` generator walks each archive with Python `zipfile`,
+- a `mapInArrow` generator walks each archive with Python `zipfile`,
   recursing one level into nested `.zip` entries exactly like
   readFileAndExtractDecisions (utils.go:130-140), and yields CSV bytes
   per inner file — streaming per entry, never holding the whole expansion
   (Q7 divergence: we keep only one entry's bytes at a time).
-- CSV parsing happens in the same pass with Python csv against the header
-  map (S5 semantics: ragged rows tolerated, missing columns -> None,
-  utils.go:161,167-191), emitting rows with the 36 wire columns as
+- CSV parsing happens in the same pass, Arrow-native: pyarrow's CSV
+  reader emits record batches straight to the JVM (S5 semantics: ragged
+  rows tolerated, missing columns -> '', utils.go:161,167-191, via
+  pandas/row-parser fallback tiers), with the 36 wire columns as
   strings. Typed decoding stays in Spark columns (transform.py) so F1-F5
   remain Catalyst expressions.
 
@@ -133,10 +134,60 @@ def _parse_csv_frame(raw: bytes, source: str) -> pd.DataFrame:
     return pdf
 
 
-def extract_zip_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body over binaryFile rows (path, content).
+def _member_arrow_table(csv_bytes: bytes, source: str):
+    """Arrow-native member parse: pyarrow CSV straight to a wire-schema
+    pa.Table, no pandas object strings in the hot tier (the pandas
+    round-trip — Arrow -> object dtype -> Arrow — was measured as the
+    dominant map-side cost at sf0.1: ~3.4s wall vs ~0.5s of actual
+    parse). Falls back to the pandas tiers (_parse_csv_frame) for
+    ragged/duplicate-header/corrupt members, then converts once."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyarrow import csv as pa_csv
 
-    Per-archive error isolation (reference parity, main.go:183-206: a
+    target = pa.schema(
+        [pa.field(c, pa.string()) for c in CSV_COLUMNS]
+        + [pa.field("_source_file", pa.string())]
+    )
+
+    def _fallback():
+        pdf = _parse_csv_frame(csv_bytes, source)
+        if pdf.empty:
+            return None
+        return pa.Table.from_pandas(
+            pdf, schema=target, preserve_index=False
+        )
+
+    try:
+        t = pa_csv.read_csv(
+            io.BytesIO(csv_bytes),
+            convert_options=pa_csv.ConvertOptions(
+                column_types={c: pa.string() for c in CSV_COLUMNS}
+            ),
+            parse_options=pa_csv.ParseOptions(newlines_in_values=True),
+        )
+    except pa.ArrowException:
+        return _fallback()
+    names = t.column_names
+    if len(set(names)) != len(names):
+        return _fallback()  # duplicate headers: row parser's first-wins map
+    n = len(t)
+    if n == 0:
+        return None
+    arrays = []
+    for c in CSV_COLUMNS:
+        if c in names:
+            # absent cell / null -> '' exactly like the reference's get
+            # closure (utils.go:185-191)
+            arrays.append(pc.fill_null(t.column(c), ""))
+        else:
+            arrays.append(pc.fill_null(pa.nulls(n, pa.string()), ""))
+    arrays.append(pc.fill_null(pa.nulls(n, pa.string()), source))
+    return pa.Table.from_arrays(arrays, schema=target)
+
+
+def _members_safe(content: bytes, path: str) -> Iterator[tuple[str, bytes]]:
+    """Per-archive error isolation (reference parity, main.go:183-206: a
     failed day is logged to the error channel and the run continues): a
     corrupt or truncated archive — outer or nested — is logged to the
     worker's stderr and SKIPPED instead of failing the task; members
@@ -144,41 +195,42 @@ def extract_zip_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import sys as _sys
     import zlib as _zlib
 
-    cols = CSV_COLUMNS + ["_source_file"]
+    gen = _iter_csv_members(content, path)
+    while True:
+        try:
+            yield next(gen)
+        except StopIteration:
+            return
+        except (zipfile.BadZipFile, _zlib.error, OSError, EOFError) as exc:
+            print(
+                f"dsacord extract: skipping corrupt archive {path}: {exc}",
+                file=_sys.stderr,
+            )
+            return
 
-    def _members_safe(content: bytes, path: str):
-        gen = _iter_csv_members(content, path)
-        while True:
-            try:
-                yield next(gen)
-            except StopIteration:
-                return
-            except (zipfile.BadZipFile, _zlib.error, OSError, EOFError) as exc:
-                print(
-                    f"dsacord extract: skipping corrupt archive {path}: {exc}",
-                    file=_sys.stderr,
-                )
-                return
 
-    for pdf in it:
-        for path, content in zip(pdf["path"], pdf["content"]):
-            parts: list[pd.DataFrame] = []
-            pending = 0
+def extract_zip_arrow(it):
+    """mapInArrow body over binaryFile rows (path, content): walk each
+    archive's members with corrupt-archive isolation and emit wire-schema
+    record batches straight to the JVM — no pandas materialization."""
+    for rb in it:
+        paths = rb.column("path").to_pylist()
+        contents = rb.column("content").to_pylist()
+        for path, content in zip(paths, contents):
             for member, csv_bytes in _members_safe(bytes(content), str(path)):
-                part = _parse_csv_frame(csv_bytes, member)
-                if part.empty:
+                t = _member_arrow_table(csv_bytes, member)
+                if t is None:
                     continue
-                parts.append(part)
-                pending += len(part)
-                if pending >= 50_000:  # bound memory per yielded batch
-                    yield pd.concat(parts, ignore_index=True)[cols]
-                    parts, pending = [], 0
-            if parts:
-                yield pd.concat(parts, ignore_index=True)[cols]
+                yield from t.to_batches()
 
 
 def read_staged_zips(spark: SparkSession, landing_dir: str) -> DataFrame:
-    """binaryFile scan of the landing dir -> wire-schema rows."""
+    """binaryFile scan of the landing dir -> wire-schema rows.
+
+    Arrow-native extraction (mapInArrow): the parse tier emits pyarrow
+    record batches directly, skipping the pandas object-string
+    round-trip on both sides of the worker boundary (interleaved A/B at
+    sf0.1/32 cores: see PLANS.md round-4 notes)."""
     binary = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.zip")
@@ -186,7 +238,7 @@ def read_staged_zips(spark: SparkSession, landing_dir: str) -> DataFrame:
         .load(landing_dir)
         .select("path", "content")
     )
-    return binary.mapInPandas(extract_zip_batches, schema=EXTRACT_SCHEMA)
+    return binary.mapInArrow(extract_zip_arrow, schema=EXTRACT_SCHEMA)
 
 
 def read_staged_csvs(spark: SparkSession, landing_dir: str) -> DataFrame:
