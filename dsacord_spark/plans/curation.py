@@ -660,8 +660,11 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # supports — the scalable rewrite is first-occurrence attribution: each
 # token contributes +1 at the ONE document where it first appears
 # (min doc_id per token), and the curve is a running sum of those
-# contributions. Two co-partitioned aggregates on token, then a window
-# over post-agg per-doc rows.
+# contributions. Two co-partitioned aggregates on token, then a
+# DISTRIBUTED running sum (plans/distrib._global_cumsum) over the
+# per-doc frame — that frame is doc-cardinality, so an unpartitioned
+# SUM OVER window would funnel the whole corpus's doc rows through one
+# task at 100 TB.
 # ---------------------------------------------------------------------------
 
 
@@ -700,17 +703,21 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("new_tokens")
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        per_doc.join(new_per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_tok").over(w).cast("long").alias("cum_tokens"),
-            F.sum(F.coalesce(F.col("new_tokens"), F.lit(0)))
-            .over(w)
-            .cast("long")
-            .alias("vocab_size"),
-        )
+    from dsacord_spark.plans.distrib import _global_cumsum
+
+    joined = per_doc.join(new_per_doc, "doc_id", "left")
+    cum = _global_cumsum(
+        joined,
+        [F.col("doc_id").asc()],
+        {
+            "cum_tokens": F.col("n_tok"),
+            "vocab_size": F.coalesce(F.col("new_tokens"), F.lit(0)),
+        },
+    )
+    return cum.select(
+        "doc_id",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
     )
 
 
@@ -761,8 +768,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = srcs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = srcs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        # no broadcast hints: the doc_id->source map is doc-cardinality
+        # (forced broadcast = OOM at corpus scale); the pair frame joins
+        # it shuffled on doc keys, and AQE still auto-broadcasts when
+        # the map measures small (it does at the test SFs)
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .groupBy(
             F.least("sa", "sb").alias("source_a"),
             F.greatest("sa", "sb").alias("source_b"),

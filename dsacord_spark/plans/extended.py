@@ -745,18 +745,20 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running share over post-aggregate rows.",
 )
 def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.plans.distrib import _global_cumsum
+
     o = table(spark, sf_dir, "orders")
     r = o.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("revenue"))
-    wc = (
-        W.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    c = r.select(
-        "o_custkey",
-        "revenue",
-        F.sum("revenue").over(wc).alias("cum"),
-        F.sum("revenue").over(W.partitionBy()).alias("total"),
-    )
+    # distributed running share: the per-customer frame is
+    # user-population-sized at scale, so both the running sum and the
+    # grand total avoid unpartitioned windows (the total rides a 1-row
+    # broadcast aggregate; exact decimal addition is order-insensitive)
+    tot = r.agg(F.sum("revenue").alias("total"))
+    c = _global_cumsum(
+        r,
+        [F.col("revenue").desc(), F.col("o_custkey").asc()],
+        {"cum": F.col("revenue")},
+    ).crossJoin(F.broadcast(tot))
     return c.filter(
         (F.col("cum") - F.col("revenue")).cast("double")
         / F.col("total").cast("double")
@@ -824,11 +826,13 @@ def basket_part_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event of each user's day) are open simultaneously, reported as the max
 # per hour. The classic interval-overlap algorithm as a dataflow:
 # intervals unpivot to +1/-1 boundary events, a running sum over the
-# boundary order IS the concurrency curve. The global-order window runs
-# over 2 x (users x days) post-aggregate boundary rows, never raw
-# events; ties order +1 before -1 (inclusive overlap), then by
-# (user, day) so the running sum is a strict total order on both
-# engines. Timestamps stay integer microseconds end-to-end.
+# boundary order IS the concurrency curve. The running sum is the
+# distributed two-pass prefix sum (plans/distrib._global_cumsum) over
+# the 2 x (users x days) boundary rows — corpus-growing, so never
+# funneled through one partition; ties order +1 before -1 (inclusive
+# overlap), then by (user, day) so the running sum is a strict total
+# order on both engines. Timestamps stay integer microseconds
+# end-to-end.
 # ---------------------------------------------------------------------------
 @register(
     "events_concurrency_sweep",
@@ -871,17 +875,21 @@ def events_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         iv.select("user_id", "d", F.col("e").alias("t"), F.lit(-1).alias("delta"))
     )
-    w = (
-        W.orderBy(
+    from dsacord_spark.plans.distrib import _global_cumsum
+
+    # distributed sweep-line: the boundary frame is 2 x (users x days)
+    # rows — corpus-growing — so the running sum uses the two-pass
+    # prefix-sum instead of an unpartitioned window
+    c = _global_cumsum(
+        b,
+        [
             F.col("t").asc(),
             F.col("delta").desc(),
             F.col("user_id").asc(),
             F.col("d").asc(),
-        ).rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    c = b.select(
-        "t", F.sum("delta").over(w).cast("long").alias("conc")
-    )
+        ],
+        {"conc": F.col("delta")},
+    ).select("t", F.col("conc").cast("long").alias("conc"))
     return c.groupBy(
         _ts_str(F.date_trunc("hour", F.timestamp_micros(F.col("t")))).alias(
             "hr_str"

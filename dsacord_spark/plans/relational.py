@@ -1069,8 +1069,12 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(4,2)")
     return (
+        # no broadcast hint on customer: the segment filter keeps ~1/5 of
+        # a user-population-sized table — a forced broadcast is an OOM
+        # hazard at scale; AQE still auto-broadcasts it when it measures
+        # small (it does at the test SFs)
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select(

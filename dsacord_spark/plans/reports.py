@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from dsacord_spark.functions.text import doc_fingerprint, tokens
+from dsacord_spark.plans.distrib import _global_rank, _idiv, _ntile_bucket
 from dsacord_spark.plans.registry import register, table
 
 # tokens(): whitespace split of trimmed text, empties dropped (kept in
@@ -44,88 +45,6 @@ _TOKS_SQL = (
     "list_filter(string_split_regex(trim({c}), '\\s+'), x -> x <> '')"
 )
 
-
-def _global_rank(
-    df: DataFrame,
-    order_cols,
-    rank_name: str = "r",
-    parts: int = 32,
-    persist: bool = False,
-) -> DataFrame:
-    """Exact global row rank under a TOTAL ordering, distributed.
-
-    Two-pass prefix sum — the scale-safe replacement for
-    ``row_number() OVER (ORDER BY ...)`` (whose physical plan funnels the
-    whole frame through ONE partition):
-
-      1. ``repartitionByRange`` on the order columns — rows land in range
-         partitions that respect the global order (boundaries come from
-         Spark's sampled range partitioner; WHERE a boundary falls only
-         moves rows between partitions, never changes any rank);
-      2. per-partition counts (a ``parts``-row metadata aggregate) turn
-         into broadcast cumulative offsets;
-      3. rank = offset(partition) + row_number within the partition — the
-         only windows are one over the ``parts``-row count frame and one
-         PARTITIONED by range-partition id.
-
-    ``order_cols`` must be a total order (unique tie-break column last),
-    else ranks within a tie are partition-placement-dependent. Every
-    window here is either bounded (``parts`` rows) or partitioned; the
-    frame itself is never funneled through a single task.
-    """
-    # persist=True: for CHAINED rank passes (RFM's three scores) each
-    # later pass's range-sampling job re-runs the whole upstream lineage
-    # including the earlier passes' shuffles — caching each pass's `part`
-    # truncates that (interleaved min-of-3 A/B at sf0.1: 2.8s vs 4.0s for
-    # the 3-pass chain; single passes are FASTER uncached, so default
-    # off). Released at the harness/bench family boundary like every
-    # other catalog persist.
-    part = df.repartitionByRange(parts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    if persist:
-        part = part.persist()
-    cnt = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
-    woff = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-    offs = cnt.select(
-        "_pid", F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off")
-    )
-    wloc = W.partitionBy("_pid").orderBy(*order_cols)
-    return (
-        part.join(F.broadcast(offs), "_pid")
-        .withColumn(
-            rank_name,
-            (F.col("_off") + F.row_number().over(wloc)).cast("bigint"),
-        )
-        .drop("_pid", "_off")
-    )
-
-
-def _idiv(a, b):
-    """Exact integer division a DIV b for non-negative operands.
-
-    (a - a%b) is exactly divisible, so the double division is exact for
-    quotients < 2^53 — no engine-specific DIV semantics involved.
-    """
-    return ((a - a % b) / b).cast("bigint")
-
-
-def _ntile_bucket(r, n, k: int):
-    """ntile(k) bucket from a 1-based global rank r out of n rows.
-
-    Closed form of SQL ntile: the first n%k buckets take ceil(n/k) rows,
-    the rest floor(n/k) — identical to every engine's ntile over the same
-    total ordering, but computable from the distributed _global_rank
-    without any unpartitioned window.
-    """
-    q = _idiv(n, F.lit(k))
-    rem = n - q * k
-    cut = rem * (q + 1)
-    return (
-        F.when(r <= cut, _idiv(r - 1, q + 1) + 1)
-        .otherwise(rem + _idiv(r - cut - 1, q) + 1)
-        .cast("int")
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -412,10 +331,15 @@ def text_zipf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     tot = tok.agg(F.count(F.lit(1)).alias("total"))
+    # top-K FIRST via orderBy+limit (TakeOrderedAndProject: parallel
+    # per-partition top-100, no global sort) — a bare row_number window
+    # here would funnel the whole vocabulary (corpus-growing under
+    # Heaps' law) through one partition; rank runs on the K survivors
     win = W.orderBy(F.col("freq").desc(), F.col("token").asc())
     top = (
-        cnt.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= _ZIPF_K)
+        cnt.orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(_ZIPF_K)
+        .withColumn("rank", F.row_number().over(win))
     )
     head = top.filter(F.col("rank") == 1).select(F.col("freq").alias("f1"))
     cum = W.orderBy("rank").rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -3132,8 +3056,11 @@ def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
-    c = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
-    j = o.join(F.broadcast(c), "o_custkey")
+    # cohort month via a window over the custkey partition — the
+    # per-customer cohort frame is user-population-sized, so a broadcast
+    # join on it is an OOM hazard at scale; the window reuses one
+    # user-keyed shuffle instead (same shape as events_new_vs_returning)
+    j = o.withColumn("cohort_m", F.min("m").over(W.partitionBy("o_custkey")))
     return (
         j.groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("months_since"))
         .agg(

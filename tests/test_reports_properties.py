@@ -166,3 +166,38 @@ def test_global_rank_ntile_matches_builtin(spark):
             ).collect()
         }
         assert got == expect, (n, k)
+
+
+def test_global_cumsum_matches_builtin(spark):
+    """_global_cumsum must reproduce SUM() OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING) exactly — including null runs (sum skips nulls,
+    an all-null prefix stays null), negative deltas, and frames smaller
+    than the partition count."""
+    from pyspark.sql import Window as W, functions as F
+
+    from dsacord_spark.plans.distrib import _global_cumsum
+
+    rows = [
+        (i, (i * 31) % 7 - 3, None if i % 5 == 0 else (i * 13) % 11)
+        for i in range(57)
+    ]
+    df = spark.createDataFrame(rows, "i long, a long, b long")
+    order = [F.col("i").asc()]
+    win = (
+        W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    expect = {
+        r["i"]: (r["ca"], r["cb"])
+        for r in df.select(
+            "i",
+            F.sum("a").over(win).alias("ca"),
+            F.sum("b").over(win).alias("cb"),
+        ).collect()
+    }
+    got = {
+        r["i"]: (r["ca"], r["cb"])
+        for r in _global_cumsum(
+            df, order, {"ca": F.col("a"), "cb": F.col("b")}, parts=4
+        ).collect()
+    }
+    assert got == expect
