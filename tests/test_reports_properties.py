@@ -201,3 +201,151 @@ def test_global_cumsum_matches_builtin(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_copresence_cap_binding_matches_oracle(spark, tmp_path_factory):
+    """events_user_copresence_topk's per-hour admission cap never binds at
+    the test SFs — this fixture makes it bind (one hour with more users
+    than _COPRESENCE_CAP) and checks Spark and the DuckDB oracle still
+    agree exactly, i.e. the scrambled-admission cap is implemented
+    identically on both engines."""
+    import datetime as dt
+
+    from dsacord_spark.plans.reports import _COPRESENCE_CAP
+    from tests.oracle_harness import check_query
+
+    n_users = _COPRESENCE_CAP + 173  # cap binds in hour 0
+    rows = []
+    base = dt.datetime(2025, 3, 1, 0, 0, 0)
+    for u in range(n_users):
+        rows.append((u + 1, u + 1, base + dt.timedelta(seconds=u % 3600)))
+    # a second, uncapped hour shared by a subset (nonzero pair counts > 1)
+    for u in range(40):
+        rows.append(
+            (10_000 + u, u + 1, base + dt.timedelta(hours=2, seconds=u))
+        )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path_factory.mktemp("cop"))
+    # single parquet FILE (not a Spark directory) so the DuckDB side of
+    # check_query can read the same path
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, f"{sf}/events.parquet")
+    problems = check_query(spark, "events_user_copresence_topk", sf)
+    assert not problems, problems
+
+
+def test_separability_degenerate_single_label_matches_oracle(
+    spark, tmp_path_factory
+):
+    """embed_separability_index on degenerate input (ONE label -> zero
+    inter-label pairs; plus an all-zero-norm label) must emit the SAME
+    NULL-mean row on both engines — DuckDB's list_reduce raises on an
+    empty fold and Spark's 0.0-init fold divides by zero unless both
+    sides guard on count()==0 (the round-3 advice item)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_harness import check_query
+
+    for name, labels in [("one_label", [7] * 5), ("zero_norms", [1, 2])]:
+        vecs = (
+            [[1.0, 2.0, 3.0]] * 5
+            if name == "one_label"
+            else [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]]
+        )
+        sf = str(tmp_path_factory.mktemp(name))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(1, len(labels) + 1), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        )
+        pq.write_table(tbl, f"{sf}/embeddings.parquet")
+        problems = check_query(spark, "embed_separability_index", sf)
+        assert not problems, (name, problems)
+
+
+def _write_events(tmp_path_factory, name, rows):
+    """rows: (event_id, ts_datetime, user_id, event_type, value). Single
+    parquet FILE so both engines read the same path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path_factory.mktemp(name))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{sf}/events.parquet")
+    return sf
+
+
+def test_ab_effect_size_degenerate_one_arm_matches_oracle(
+    spark, tmp_path_factory
+):
+    """events_ab_effect_size with only one arm present (no 'purchase'
+    rows): every purchase-side moment is NULL and both engines must
+    propagate identical NULLs through the cross-multiplied algebra."""
+    import datetime as dt
+
+    from tests.oracle_harness import check_query
+
+    base = dt.datetime(2025, 3, 1)
+    rows = [
+        (i + 1, base + dt.timedelta(minutes=i), 1 + i % 3, "click",
+         round(0.01 * ((i * 37) % 500), 2))
+        for i in range(40)
+    ]
+    sf = _write_events(tmp_path_factory, "onearm", rows)
+    problems = check_query(spark, "events_ab_effect_size", sf)
+    assert not problems, problems
+
+
+def test_session_histogram_tie_break_matches_oracle(
+    spark, tmp_path_factory
+):
+    """events_session_duration_histogram with duplicate per-user
+    timestamps WHERE a >=4h session boundary lands inside the tie group:
+    without the (ts_us, event_id) tie-break on the cumulative-sum window
+    (the round-3 advice item) the tie rows split between sessions by
+    physical order and the histogram is engine-dependent."""
+    import datetime as dt
+
+    from tests.oracle_harness import check_query
+
+    base = dt.datetime(2025, 3, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        # three events at the EXACT same timestamp...
+        for _ in range(3):
+            eid += 1
+            rows.append((eid, base, u, "click", 1.0))
+        # ...then a 4h gap, then another tie group at the boundary
+        for _ in range(3):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(hours=4), u, "click", 1.0)
+            )
+        eid += 1
+        rows.append(
+            (eid, base + dt.timedelta(hours=4, minutes=30), u, "view", 1.0)
+        )
+    sf = _write_events(tmp_path_factory, "ties", rows)
+    problems = check_query(spark, "events_session_duration_histogram", sf)
+    assert not problems, problems
