@@ -436,3 +436,50 @@ def test_corrupt_archive_isolated_not_fatal(spark, tmp_path):
     # precedes its corruption point (member order within a zip is
     # archive-defined, so b.csv may or may not precede the bad entry)
     assert {"u1", "u2"}.issubset(set(got))
+
+
+def test_arrow_member_parse_matches_pandas_tiers():
+    """The Arrow-native member parse (_member_arrow_table fast path) and
+    the pandas fallback tiers (_parse_csv_frame) must produce identical
+    wire rows for every CSV shape either can handle: normal, empty
+    cells, header-subset, extra columns, quoted embedded newlines,
+    ragged rows (wider than the header — Arrow tier rejects, falls back
+    to the row parser), duplicate headers (first-wins map), and an
+    empty file."""
+    import pyarrow as pa
+
+    from dsacord_spark.schema import CSV_COLUMNS
+    from dsacord_spark.sources.zipsource import (
+        _member_arrow_table,
+        _parse_csv_frame,
+    )
+
+    c0, c1, c2 = CSV_COLUMNS[0], CSV_COLUMNS[1], CSV_COLUMNS[2]
+    cases = {
+        "normal": f'{c0},{c1}\n"a","b"\n"c","d"\n',
+        "empty_cells": f'{c0},{c1}\n"a",""\n"",""\n',
+        "subset_plus_extra": f'{c0},zzz_not_wire\n"a","ignored"\n',
+        "quoted_newline": f'{c0},{c1}\n"a","line1\nline2"\n',
+        "ragged_wide": f'{c0},{c1}\na,b,EXTRA,MORE\nc,d\n',
+        "dup_header": f"{c0},{c0},{c1}\nfirst,second,x\n",
+        "empty_file": "",
+        "header_only": f"{c0},{c1}\n",
+    }
+    for name, text in cases.items():
+        raw = text.encode()
+        t = _member_arrow_table(raw, "src")
+        pdf = _parse_csv_frame(raw, "src")
+        if t is None:
+            assert pdf.empty, name
+            continue
+        want = pa.Table.from_pandas(
+            pdf, schema=t.schema, preserve_index=False
+        )
+        assert t.equals(want), (
+            name,
+            t.to_pydict(),
+            want.to_pydict(),
+        )
+        # get-closure semantics spot checks on the arrow table itself
+        cols = t.to_pydict()
+        assert all(v is not None for v in cols[c2]), name  # absent -> ''
