@@ -349,3 +349,31 @@ def test_session_histogram_tie_break_matches_oracle(
     sf = _write_events(tmp_path_factory, "ties", rows)
     problems = check_query(spark, "events_session_duration_histogram", sf)
     assert not problems, problems
+
+
+def test_ntile_closed_form_wide_grid(spark):
+    """_ntile_bucket's closed form vs a from-scratch Python statement of
+    ntile (first n%k buckets take ceil(n/k) rows) over every (n, k) with
+    n <= 120, k in {1..12} — one Spark job per k, all ranks at once."""
+    from pyspark.sql import functions as F
+
+    from dsacord_spark.plans.distrib import _ntile_bucket
+
+    def ref_bucket(r, n, k):
+        q, rem = divmod(n, k)
+        cut = rem * (q + 1)
+        if r <= cut:
+            return (r - 1) // (q + 1) + 1
+        return rem + (r - cut - 1) // q + 1
+
+    rows = [(n, r) for n in range(1, 121) for r in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "n long, r long")
+    for k in range(1, 13):
+        got = {
+            (x["n"], x["r"]): x["b"]
+            for x in df.select(
+                "n", "r", _ntile_bucket(F.col("r"), F.col("n"), k).alias("b")
+            ).collect()
+        }
+        for (n, r), b in got.items():
+            assert b == ref_bucket(r, n, k), (n, r, k, b)
