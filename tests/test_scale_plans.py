@@ -359,3 +359,44 @@ def test_bloom_probe_path_stays_mapside(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     n_ex = len(re.findall(r"\(\d+\)\s+Exchange", plan))
     assert n_ex <= 5, f"probe path grew a shuffle: {n_ex} Exchanges"
+
+
+def test_copresence_caps_and_takes_ordered_topk(spark, sf_dir):
+    """events_user_copresence_topk's round-4 scale shape: the per-hour
+    admission rank is a window PARTITIONED by hr (never global), and the
+    top-50 lands as TakeOrderedAndProject — the full pair aggregate must
+    not pass through an unpartitioned row_number window."""
+    from dsacord_spark.plans.catalog import specs
+
+    plan = _plan(specs()["events_user_copresence_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the admission window is partitioned by hr
+    assert re.search(r"PartitionSpec: \[hr", plan) or "partitionBy" not in plan
+    # any SinglePartition exchange sits above the 50-row TakeOrdered head
+    head = plan.split("TakeOrderedAndProject")[-1]
+    assert "SinglePartition" not in head, plan
+
+
+def test_distributed_rank_entries_have_no_global_window_over_input(
+    spark, sf_dir
+):
+    """The _global_rank/_global_cumsum rewrites (LTV deciles, RFM,
+    Gini, Pareto, vocab growth, concurrency sweep): every row_number /
+    running-sum window in the plan is partitioned by the range-partition
+    id (_pid); the only unpartitioned windows run over the parts-row
+    offset frame, which sits above an aggregate."""
+    from dsacord_spark.plans.catalog import specs
+
+    for name in (
+        "orders_ltv_deciles",
+        "orders_rfm_segments",
+        "orders_revenue_gini",
+        "orders_pareto_customers",
+        "corpus_vocab_growth",
+        "events_concurrency_sweep",
+    ):
+        plan = _plan(specs()[name].fn(spark, sf_dir))
+        # formatted explain prints one "Window" section per window node;
+        # each full-frame window must carry the _pid partition spec
+        specs_txt = re.findall(r"Arguments: \[[^\]]*windowspecdefinition\([^\)]*\)", plan)
+        assert any("_pid" in s for s in specs_txt), (name, specs_txt)
