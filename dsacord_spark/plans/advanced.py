@@ -359,6 +359,21 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _feature_str(col: str = "feature"):
+    """Render an array<float> feature as a deterministic 6dp string.
+
+    Driver-visible catalog outputs must hold scalar cells only: the
+    round-4 harness crashed canonicalizing list columns (sort_values on
+    an object Series of lists — CORRECTNESS_r04 `unhashable type`
+    tracebacks for the two entries that exposed raw arrays). Internal
+    callers keep the typed array from decode_images/decode_audio; only
+    the registered entries flatten it."""
+    body = F.concat_ws(
+        ",", F.transform(F.col(col), lambda x: F.format_string("%.6f", x))
+    )
+    return F.concat(F.lit("["), body, F.lit("]"))
+
+
 @register(
     "multimodal_decode_meta",
     sql=None,  # decode runs in Python kernels: rows-only driver check;
@@ -374,7 +389,7 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     media = synthesize_real_media(d).filter(F.col("modality") == "image")
-    return decode_images(media)
+    return decode_images(media).withColumn("feature", _feature_str())
 
 
 @register(
@@ -392,7 +407,7 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     media = synthesize_real_media(d).filter(F.col("modality") == "audio")
-    return decode_audio(media)
+    return decode_audio(media).withColumn("feature", _feature_str())
 
 
 @register(

@@ -84,6 +84,15 @@ def _ordered() -> dict[str, QuerySpec]:
                 and rec.get("schema_match")
                 and rec.get("hash_match", True)
             ) and rec.get("err") is None
+            # rows-only entries (spec.sql is None) can never value-match:
+            # the driver records err="no_oracle" with the observed row
+            # count. That IS their full-strength check (the value gate is
+            # tests/test_rows_only_golden.py) — treat it as green so the
+            # slot rotates like any other, instead of pinning the window
+            # forever. A null spark_rows means the harness crashed before
+            # counting (e.g. a non-canonicalizable column) — real failure.
+            if rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None:
+                ok = True
             if not ok:
                 return (0, "", seq[name])
             return (3, rec.get("_round", ""), seq[name])

@@ -28,6 +28,8 @@ def _group_of(name, hist, sql):
             and rec.get("schema_match")
             and rec.get("hash_match", True)
         ) and rec.get("err") is None
+        if rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None:
+            ok = True  # clean rows-only driver check == green (see catalog)
         return 0 if not ok else 3
     return 1 if name in sql else 2
 
@@ -85,6 +87,33 @@ def test_driver_window_rotation_synthetic(monkeypatch):
     # both now green: oldest-round green rotates back in before the newer one
     assert names2.index(green_name) < names2.index(fail_name)
     assert names2[0] not in (fail_name, green_name)
+
+
+def test_driver_window_rows_only_classification(monkeypatch):
+    """A recorded err='no_oracle' WITH a row count is the driver's clean
+    rows-only verdict — the entry must rotate like a green, not lead the
+    window forever as a pseudo-failure. A no_oracle rec with spark_rows
+    null means the harness crashed before counting — that one must lead."""
+    import dsacord_spark.plans.catalog as cat
+
+    reg_names = list(cat.get_registry().keys())
+    rows_only = [n for n, s in cat.get_registry().items() if s.sql is None]
+    clean, crashed = rows_only[0], rows_only[1]
+    base = {"rows_match": None, "schema_match": None, "hash_match": None}
+
+    def fake_hist():
+        return {
+            clean: {**base, "err": "no_oracle", "spark_rows": 25,
+                    "_round": "CORRECTNESS_r98.json"},
+            crashed: {**base, "err": "no_oracle", "spark_rows": None,
+                      "_round": "CORRECTNESS_r98.json"},
+        }
+
+    monkeypatch.setattr(cat, "_driver_history", fake_hist)
+    names = list(cat.queries().keys())
+    assert names[0] == crashed
+    # the clean rows-only entry trails every never-checked entry
+    assert names.index(clean) > len(reg_names) - 3
 
 
 def test_driver_window_all_green_picks_oldest(monkeypatch):

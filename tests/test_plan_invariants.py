@@ -67,7 +67,8 @@ def _plans(spark, sf_dir):
         with redirect_stdout(buf):
             df.explain("formatted")
         simple = df._jdf.queryExecution().executedPlan().toString()
-        out[name] = {"fmt": buf.getvalue(), "simple": simple}
+        out[name] = {"fmt": buf.getvalue(), "simple": simple,
+                     "schema": df.schema}
     return out
 
 
@@ -117,6 +118,29 @@ def test_every_plan_scans_input(all_plans):
         and n not in _NO_SCAN_OK
     ]
     assert not no_scan, no_scan
+
+
+def test_no_nested_columns_in_catalog_outputs(all_plans):
+    """Driver-canonicalizer contract: catalog outputs hold SCALAR cells
+    only. The round-4 harness crashed (`unhashable type: 'list'`) when
+    multimodal_decode_meta/audio_meta exposed raw array<float> feature
+    columns — pandas sort_values can't canonicalize object-of-list
+    Series. Arrays/maps stay internal (decode_* keeps typed vectors);
+    registered entries must flatten them (e.g. _feature_str's 6dp
+    rendering)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {
+        n: [f.name for f in p["schema"].fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+        for n, p in all_plans.items()
+        if any(isinstance(f.dataType, (ArrayType, MapType, StructType))
+               for f in p["schema"].fields)
+    }
+    assert not offenders, (
+        f"nested driver-visible columns: {offenders} — serialize to a "
+        "deterministic string (see plans/advanced.py::_feature_str)"
+    )
 
 
 # --- invariant 4: single-partition funnels must be bounded -----------------

@@ -26,17 +26,20 @@ from dsacord_spark.plans.catalog import queries
 
 # name -> (n_rows, sha256, two sample canonical lines for debuggability)
 GOLDEN = {
+    # feature vectors are driver-visible as 6dp STRINGS since round 5
+    # (the r4 harness could not canonicalize list cells — ADVICE item);
+    # the numeric values are bit-identical to the old array renders.
     "multimodal_decode_meta": (
         167,
-        "8322e594f971b999f911e3454006b2acf8e2573e804ff18dd6bb2b1bfd36997f",
-        "[-0.001294,0.022084,0.006142,0.020460,0.001294,-0.022084,"
-        "-0.006142,-0.020460]|'bmp'|10|183|414|3|12",
+        "dbd902fe8796ba9c459adea63eb266f229d54bce580c0ede25f06ea3546e3740",
+        "'[-0.001294,0.022084,0.006142,0.020460,0.001294,-0.022084,"
+        "-0.006142,-0.020460]'|'bmp'|10|183|414|3|12",
     ),
     "multimodal_audio_meta": (
         167,
-        "da56c67584c31818d36e65c01894d821ee7f9a20798bc45d725bc3996b9050f8",
-        "10|[0.509033,0.380368,0.635350,0.510221,0.538622,0.659879,"
-        "0.648436,0.537107]|'wav'|301|212|1|84|8000",
+        "7ed8cad18895c77f684c1ce0d2d78364aee80dfa95cf0b94d4e283687acd5630",
+        "10|'[0.509033,0.380368,0.635350,0.510221,0.538622,0.659879,"
+        "0.648436,0.537107]'|'wav'|301|212|1|84|8000",
     ),
     "multimodal_video_meta": (
         166,
