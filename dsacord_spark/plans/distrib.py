@@ -33,18 +33,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
-def _ranged(df: DataFrame, order_cols, parts: int, persist: bool):
-    part = df.repartitionByRange(parts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+def _ranged(df: DataFrame, order_cols, parts: int):
+    # ALWAYS persisted — for correctness, not speed. The offsets branch
+    # (per-_pid counts) and the probe branch both consume this frame; if
+    # each materialized its own `repartitionByRange`, each would sample
+    # its own range boundaries (the sampler is seeded per materialization)
+    # and `spark_partition_id()` is nondeterministic across them, so the
+    # counts of one placement would be joined against the _pids of
+    # another and ranks/cumsums would silently shift. Relying on Spark's
+    # exchange/stage reuse to dedupe the two subtrees makes correctness
+    # optimizer-dependent (spark.sql.exchange.reuse=false, or plan drift
+    # that de-canonicalizes one side, breaks it — round-4 ADVICE).
+    # Persisting makes both branches share ONE cached plan, hence one
+    # shuffle, one boundary sample, one _pid assignment, structurally.
+    # tests/test_reports_properties.py::test_global_rank_survives_no_exchange_reuse
+    # pins this with reuse disabled. (It is also the measured fast shape
+    # for chained passes — RFM's 3-score chain: 2.8s vs 4.0s uncached at
+    # sf0.1.) Released at the harness/bench family boundary like every
+    # other catalog persist.
+    return (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
-    # persist=True: for CHAINED passes (e.g. RFM's three scores) each
-    # later pass's range-sampling job re-runs the whole upstream lineage
-    # including the earlier passes' shuffles — caching each pass's range
-    # frame truncates that (interleaved min-of-3 A/B at sf0.1: 2.8s vs
-    # 4.0s for the 3-pass chain; single passes are FASTER uncached, so
-    # default off). Released at the harness/bench family boundary like
-    # every other catalog persist.
-    return part.persist() if persist else part
+
+
+def _check_names(df: DataFrame, out_names) -> None:
+    """Output columns must not shadow inputs: _global_cumsum applies its
+    outputs via sequential withColumn, so a name collision would make a
+    later sum read an already-overwritten column (round-4 ADVICE)."""
+    clash = set(out_names) & set(df.columns)
+    if clash or "_pid" in df.columns:
+        raise ValueError(
+            f"distrib output names collide with input columns: "
+            f"{sorted(clash | ({'_pid'} & set(df.columns)))}"
+        )
 
 
 def _global_rank(
@@ -52,10 +75,14 @@ def _global_rank(
     order_cols,
     rank_name: str = "r",
     parts: int = 32,
-    persist: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
-    """Exact 1-based global row rank under a total ordering."""
-    part = _ranged(df, order_cols, parts, persist)
+    """Exact 1-based global row rank under a total ordering.
+
+    `persist` is accepted for call-site compatibility but the ranged
+    frame is persisted unconditionally — see _ranged."""
+    _check_names(df, [rank_name])
+    part = _ranged(df, order_cols, parts)
     cnt = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     woff = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     offs = cnt.select(
@@ -77,7 +104,7 @@ def _global_cumsum(
     order_cols,
     sums: dict,
     parts: int = 32,
-    persist: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact inclusive running totals under a total ordering.
 
@@ -85,8 +112,12 @@ def _global_cumsum(
     SUM(expr) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING), i.e.
     partition-total offsets plus a partitioned running sum. Null
     semantics match the window form (SUM skips nulls; an all-null prefix
-    stays null; offsets coalesce to 0)."""
-    part = _ranged(df, order_cols, parts, persist)
+    stays null; offsets coalesce to 0). Output names must not shadow
+    input columns (raises — see _check_names). `persist` is accepted for
+    call-site compatibility but the ranged frame is persisted
+    unconditionally — see _ranged."""
+    _check_names(df, sums)
+    part = _ranged(df, order_cols, parts)
     cnt = part.groupBy("_pid").agg(
         *[F.sum(expr).alias(f"_t_{name}") for name, expr in sums.items()],
         *[F.count(expr).alias(f"_n_{name}") for name, expr in sums.items()],

@@ -203,6 +203,70 @@ def test_global_cumsum_matches_builtin(spark):
     assert got == expect
 
 
+def test_global_rank_survives_no_exchange_reuse(spark):
+    """Structural-consistency pin (round-4 ADVICE medium): _global_rank /
+    _global_cumsum must not depend on Spark's exchange/stage reuse to
+    keep the offsets branch and the probe branch on the SAME
+    repartitionByRange materialization. With reuse disabled, only the
+    unconditional persist in _ranged guarantees one boundary sample and
+    one _pid assignment — ranks must still exactly match the built-in
+    window forms."""
+    from pyspark.sql import Window as W, functions as F
+
+    from dsacord_spark.plans.distrib import _global_cumsum, _global_rank
+
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        rows = [(i, (i * 7919) % 13, f"id{i:03d}") for i in range(157)]
+        df = spark.createDataFrame(rows, "i long, v long, tb string")
+        order = [F.col("v").desc(), F.col("tb").asc()]
+        expect = {
+            r["i"]: r["r"]
+            for r in df.select(
+                "i", F.row_number().over(W.orderBy(*order)).alias("r")
+            ).collect()
+        }
+        got = {
+            r["i"]: r["r"]
+            for r in _global_rank(df, order, "r", parts=8).collect()
+        }
+        assert got == expect
+        win = W.orderBy(F.col("i").asc()).rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        expect_c = {
+            r["i"]: r["cv"]
+            for r in df.select("i", F.sum("v").over(win).alias("cv")).collect()
+        }
+        got_c = {
+            r["i"]: r["cv"]
+            for r in _global_cumsum(
+                df, [F.col("i").asc()], {"cv": F.col("v")}, parts=8
+            ).collect()
+        }
+        assert got_c == expect_c
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+        spark.catalog.clearCache()
+
+
+def test_distrib_rejects_shadowing_output_names(spark):
+    """Output names that collide with input columns must raise instead of
+    silently computing later sums over an overwritten column (round-4
+    ADVICE low)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dsacord_spark.plans.distrib import _global_cumsum, _global_rank
+
+    df = spark.createDataFrame([(1, 2)], "i long, v long")
+    with pytest.raises(ValueError, match="collide"):
+        _global_rank(df, [F.col("i").asc()], rank_name="v")
+    with pytest.raises(ValueError, match="collide"):
+        _global_cumsum(df, [F.col("i").asc()], {"v": F.col("v")})
+
+
 def test_copresence_cap_binding_matches_oracle(spark, tmp_path_factory):
     """events_user_copresence_topk's per-hour admission cap never binds at
     the test SFs — this fixture makes it bind (one hour with more users
