@@ -1323,11 +1323,30 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COPRESENCE_CAP = 1024
+# Admission-scramble constants — shared by the Spark expression and the
+# oracle SQL below (interpolated, never duplicated as literals: editing
+# one side alone would silently break Spark/oracle lockstep — r4 ADVICE).
+# Fold the id through a modular multiply: exact integer math, identical
+# on both engines, so the per-hour cap samples the bucket deterministically
+# instead of admitting the lowest ids.
+_SCRAMBLE_MOD1 = 1048573
+_SCRAMBLE_MULT = 2654435761
+_SCRAMBLE_MOD2 = 1000003
+
+
+def _scramble(col):
+    """Spark Column form of the admission scramble."""
+    return ((col % _SCRAMBLE_MOD1) * _SCRAMBLE_MULT) % _SCRAMBLE_MOD2
+
+
+_SCRAMBLE_SQL = (
+    f"((user_id % {_SCRAMBLE_MOD1}) * {_SCRAMBLE_MULT}) % {_SCRAMBLE_MOD2}"
+)
 
 
 @register(
     "events_user_copresence_topk",
-    sql="""
+    sql=f"""
     WITH uh AS (
       SELECT DISTINCT user_id,
              date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr
@@ -1336,10 +1355,10 @@ _COPRESENCE_CAP = 1024
       SELECT user_id, hr,
              row_number() OVER (
                PARTITION BY hr
-               ORDER BY ((user_id % 1048573) * 2654435761) % 1000003,
+               ORDER BY {_SCRAMBLE_SQL},
                         user_id) AS rn
       FROM uh),
-    capped AS (SELECT user_id, hr FROM adm WHERE rn <= 1024),
+    capped AS (SELECT user_id, hr FROM adm WHERE rn <= {_COPRESENCE_CAP}),
     pairs AS (
       SELECT a.user_id AS user_a, b.user_id AS user_b,
              count(*) AS shared_hours
@@ -1375,7 +1394,7 @@ def events_user_copresence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both engines) so the cap samples the bucket rather than taking the
     # lowest ids. row_number is PARTITIONED by hr — no global window.
     adm = W.partitionBy("hr").orderBy(
-        (((F.col("user_id") % 1048573) * 2654435761) % 1000003).asc(),
+        _scramble(F.col("user_id")).asc(),
         F.col("user_id").asc(),
     )
     capped = (

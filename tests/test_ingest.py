@@ -48,7 +48,7 @@ def _build_fixture(tmp_path) -> str:
     csv2 = (
         "uuid,platform_uid,automated_detection\n"
         '"bbbb-1","abc-9-server","NO"\n'
-        '"bbbb-2"\n'  # short row: missing cells -> None
+        '"bbbb-2"\n'  # short row: missing cells -> '' (reference get-closure semantics)
     )
     inner = io.BytesIO()
     with zipfile.ZipFile(inner, "w") as zf:
