@@ -414,7 +414,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, "doc_id", "text", n=3, n_perm=32, bands=8, threshold=0.5)
 
 
-def _simhash_sql(max_hamming: int = 3) -> str:
+def _simhash_sig_ctes(src: str) -> str:
+    """CTE chain `toks, tok, sums, sig` computing the per-doc 60-bit
+    SimHash from `src` (any relation exposing doc_id, text) — shared by
+    the dedup_simhash oracle here and the radius-calibration oracle in
+    plans/reports.py so both engines' signature definitions stay in
+    lockstep with operators/dedup.simhash_signatures."""
     h = md5_long_sql("tk")
     bit_sums = ",\n             ".join(
         f"SUM(CASE WHEN (({h}) >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS s{bit}"
@@ -424,11 +429,15 @@ def _simhash_sql(max_hamming: int = 3) -> str:
         f"(CASE WHEN s{bit} > 0 THEN CAST({1 << bit} AS BIGINT) ELSE 0 END)"
         for bit in range(SIMHASH_BITS)
     )
-    return f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t FROM documents),
+    return f"""toks AS (SELECT doc_id, {_TOKS_SQL.format(c='text')} AS t FROM {src}),
     tok AS (SELECT DISTINCT doc_id AS doc, tk FROM toks, unnest(t) AS u(tk)),
     sums AS (SELECT doc, {bit_sums} FROM tok GROUP BY doc),
-    sig AS (SELECT doc, {sim} AS simhash FROM sums)
+    sig AS (SELECT doc, {sim} AS simhash FROM sums)"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    return f"""
+    WITH {_simhash_sig_ctes('documents')}
     SELECT a.doc AS doc_a, b.doc AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sig a JOIN sig b ON a.doc < b.doc

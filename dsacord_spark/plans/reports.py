@@ -3219,3 +3219,307 @@ def orders_basket_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_items_per_order"),
         )
     )
+
+
+# ===========================================================================
+# Round-5 additions: dedup-savings provenance, embedding-dimension
+# redundancy, and the SimHash radius-calibration curve. Registered LAST so
+# earlier entries keep their registration order (window-rotation stability).
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivorship: what exact dedup with keep-canonical (min doc_id per
+# normalized-text fingerprint cluster) would REMOVE, per source — docs,
+# chars, and the removal rate. The report run before committing a dedup
+# pass: it quantifies the storage/compute savings and shows which sources
+# the pass hits hardest (survivorship bias check). One fingerprint-keyed
+# shuffle (window min over fp — no self-join), then a #sources-row rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_dedup_savings_by_source",
+    sql="""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars,
+             CAST('0x' || SUBSTR(MD5(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+             ), 1, 15) AS BIGINT) AS fp
+      FROM documents),
+    k AS (
+      SELECT source, n_chars,
+             CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+                  THEN 1 ELSE 0 END AS kept
+      FROM fp)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(1 - kept) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN kept = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_removed,
+           round(CAST(SUM(1 - kept) AS DOUBLE) / count(*), 6) AS removal_rate
+    FROM k GROUP BY source
+    """,
+    doc="Dedup survivorship by source: docs/chars that exact "
+    "keep-canonical dedup (min doc_id per normalized-text fingerprint) "
+    "would remove, with per-source removal rates — the savings/bias "
+    "report run before committing a dedup pass. One fp-keyed shuffle "
+    "(window min, no self-join) + a #sources-row rollup.",
+)
+def corpus_dedup_savings_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source", "n_chars", doc_fingerprint("text").alias("fp")
+    )
+    kept = F.when(
+        F.col("doc_id") == F.min("doc_id").over(W.partitionBy("fp")), 1
+    ).otherwise(0)
+    k = fp.select("source", "n_chars", kept.alias("kept"))
+    return k.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.sum(1 - F.col("kept")).cast("bigint").alias("n_removed"),
+        F.sum(F.when(F.col("kept") == 0, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_removed"),
+        F.round(
+            F.sum(1 - F.col("kept")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("removal_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-dimension redundancy: top-20 dimension pairs by |Pearson
+# correlation| on the SQ8-style integer grid (q = floor(x * 128)). Highly
+# correlated dimensions signal a projection/whitening opportunity before
+# ANN indexing. Quantizing first makes EVERY aggregate an exact integer
+# (float32 -> double is exact, *128 is an exponent shift, floor is
+# deterministic), so the cross-multiplied correlation algebra
+#   corr = (n*Sxy - Sx*Sy) / sqrt(n*Sxx - Sx^2) / sqrt(n*Syy - Sy^2)
+# is bit-identical across engines (sums < 2^53; sqrt and division are
+# correctly-rounded IEEE ops on identical operands). Scale shape: the
+# d^2/2 pair products are emitted PER ROW by a nested array transform
+# (no self-join, no vec_id shuffle) and reduced map-side to one
+# 2016-row aggregate; per-dim moments ride a 64-row broadcast.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embed_dim_redundancy_topk",
+    sql="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 128) AS BIGINT)) AS qs
+      FROM embeddings),
+    exp AS (
+      SELECT vec_id, unnest(qs) AS qv, generate_subscripts(qs, 1) AS i
+      FROM q),
+    dim AS (
+      SELECT i, count(*) AS n, SUM(qv) AS s, SUM(qv * qv) AS ss
+      FROM exp GROUP BY i),
+    pr AS (
+      SELECT a.i AS di, b.i AS dj, SUM(a.qv * b.qv) AS sxy
+      FROM exp a JOIN exp b ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY 1, 2),
+    c AS (
+      SELECT di, dj,
+             CAST(da.n * sxy - da.s * db.s AS DOUBLE)
+               / sqrt(CAST(da.n * da.ss - da.s * da.s AS DOUBLE))
+               / sqrt(CAST(db.n * db.ss - db.s * db.s AS DOUBLE)) AS corr
+      FROM pr
+      JOIN dim da ON pr.di = da.i
+      JOIN dim db ON pr.dj = db.i
+      WHERE da.n * da.ss - da.s * da.s > 0
+        AND db.n * db.ss - db.s * db.s > 0),
+    top AS (
+      SELECT di, dj, corr FROM c
+      ORDER BY abs(corr) DESC, di ASC, dj ASC LIMIT 20)
+    SELECT row_number() OVER (ORDER BY abs(corr) DESC, di ASC, dj ASC)
+             AS rank,
+           CAST(di AS INT) AS dim_i, CAST(dj AS INT) AS dim_j,
+           round(corr, 6) AS corr
+    FROM top
+    """,
+    doc="Embedding-dimension redundancy: top-20 dimension pairs by "
+    "|Pearson correlation| on the floor(x*128) integer grid — exact "
+    "cross-multiplied integer algebra, cross-engine bit-identical. Pair "
+    "products emitted per row by a nested array transform (no self-join); "
+    "one 2016-row aggregate + a 64-row broadcast; top-20 via "
+    "orderBy+limit.",
+)
+def embed_dim_redundancy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    qs = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 128).cast("long"),
+    )
+    # persisted: the quantized frame feeds BOTH the pair-product path and
+    # the per-dim moment path (released at the harness/bench family
+    # boundary like every other catalog persist)
+    q = e.select("vec_id", qs.alias("qs")).persist()
+    pair_products = F.flatten(
+        F.transform(
+            F.col("qs"),
+            lambda qi, i: F.transform(
+                F.slice(F.col("qs"), i + F.lit(2), F.size(F.col("qs"))),
+                lambda qj, j: F.struct(
+                    (i + 1).alias("di"),
+                    (i + j + 2).alias("dj"),
+                    (qi * qj).alias("p"),
+                ),
+            ),
+        )
+    )
+    pr = (
+        q.select(F.explode(pair_products).alias("t"))
+        .select("t.di", "t.dj", "t.p")
+        .groupBy("di", "dj")
+        .agg(F.sum("p").alias("sxy"))
+    )
+    exp = q.select(F.posexplode("qs").alias("i0", "qv")).select(
+        (F.col("i0") + 1).alias("i"), "qv"
+    )
+    dim = exp.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).alias("ss"),
+    )
+    da = dim.select(
+        F.col("i").alias("di"), F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"), F.col("ss").alias("ss_a"),
+    )
+    db = dim.select(
+        F.col("i").alias("dj"), F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"), F.col("ss").alias("ss_b"),
+    )
+    va = F.col("n_a") * F.col("ss_a") - F.col("s_a") * F.col("s_a")
+    vb = F.col("n_b") * F.col("ss_b") - F.col("s_b") * F.col("s_b")
+    corr = (
+        (F.col("n_a") * F.col("sxy") - F.col("s_a") * F.col("s_b"))
+        .cast("double")
+        / F.sqrt(va.cast("double"))
+        / F.sqrt(vb.cast("double"))
+    )
+    c = (
+        pr.join(F.broadcast(da), "di")
+        .join(F.broadcast(db), "dj")
+        .filter((va > 0) & (vb > 0))
+        .select("di", "dj", corr.alias("corr"))
+    )
+    top = c.orderBy(
+        F.abs(F.col("corr")).desc(), F.col("di").asc(), F.col("dj").asc()
+    ).limit(20)
+    win = W.orderBy(
+        F.abs(F.col("corr")).desc(), F.col("di").asc(), F.col("dj").asc()
+    )
+    # rank over the 20-row TakeOrderedAndProject result only
+    return top.select(
+        F.row_number().over(win).alias("rank"),
+        F.col("di").cast("int").alias("dim_i"),
+        F.col("dj").cast("int").alias("dim_j"),
+        F.round("corr", 6).alias("corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash radius calibration: the Hamming-distance histogram over all
+# pairs of a deterministic hash-ordered document sample — the curve that
+# picks dedup_simhash's max_hamming radius (the knee between the
+# near-dup mass at low distance and the ~30-bit random-pair bulk).
+# Completes the threshold-selection family (MinHash calibration, Jaccard
+# band histogram, shingle-size sweep). SAMPLING is the scale design:
+# calibration needs distance statistics, not every pair, so the pair
+# count is capped at K^2/2 forever (K=400 -> 79,800 pairs) regardless of
+# corpus size; the sample itself plans as TakeOrderedAndProject (no
+# corpus shuffle), mirroring sample_deterministic_hash.
+# ---------------------------------------------------------------------------
+
+_SIMCAL_K = 400
+
+
+def _simcal_sql() -> str:
+    from dsacord_spark.functions.hashing import md5_long_sql
+    from dsacord_spark.plans.analysis import _simhash_sig_ctes
+
+    hk = md5_long_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH samp AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (ORDER BY {hk}, doc_id) AS rk
+        FROM documents)
+      WHERE rk <= {_SIMCAL_K}),
+    {_simhash_sig_ctes('samp')},
+    prh AS (
+      SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sig a JOIN sig b ON a.doc < b.doc),
+    h AS (SELECT hamming, count(*) AS n_pairs FROM prh GROUP BY hamming),
+    t AS (SELECT SUM(n_pairs) AS total FROM h)
+    SELECT CAST(hamming AS INT) AS hamming,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY hamming) AS BIGINT) AS cum_pairs,
+           round(CAST(SUM(n_pairs) OVER (ORDER BY hamming) AS DOUBLE)
+                 / (SELECT total FROM t), 6) AS cum_share
+    FROM h
+    """
+
+
+@register(
+    "dedup_simhash_radius_calibration",
+    sql=_simcal_sql(),
+    doc="SimHash radius-calibration curve: Hamming-distance histogram "
+    "(count / cumulative count / cumulative share) over all pairs of a "
+    "deterministic md5-ordered 400-doc sample — picks dedup_simhash's "
+    "max_hamming. Pair work capped at K^2/2 forever (sampling IS the "
+    "scale design); sample plans as TakeOrderedAndProject; signatures "
+    "shared with operators/dedup.simhash_signatures.",
+)
+def dedup_simhash_radius_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dsacord_spark.functions.hashing import md5_long
+    from dsacord_spark.operators.dedup import simhash_signatures
+
+    d = table(spark, sf_dir, "documents")
+    samp = (
+        d.select(
+            "doc_id", "text",
+            md5_long(F.col("doc_id").cast("string")).alias("hk"),
+        )
+        .orderBy(F.col("hk").asc(), F.col("doc_id").asc())
+        .limit(_SIMCAL_K)
+        .select("doc_id", "text")
+    )
+    # persisted: the K-row signature frame feeds both nested-loop sides
+    # AND the histogram total — unpersisted, the corpus-wide top-K sample
+    # scan (the only part that touches the full table) re-runs 4x
+    sig = simhash_signatures(samp, "doc_id", "text").persist()
+    a = sig.select(F.col("doc").alias("da"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc").alias("db"), F.col("simhash").alias("hb"))
+    # K-row frame vs K-row frame: broadcast nested-loop on the a<b
+    # predicate — bounded at K^2/2 pairs by construction, never corpus^2
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+    )
+    h = pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    t = h.agg(F.sum("n_pairs").alias("total"))
+    # cumulative over the <=61-row aggregated histogram — bounded window
+    wc = W.orderBy("hamming").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        h.withColumn("cum_pairs", F.sum("n_pairs").over(wc).cast("bigint"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("hamming").cast("int").alias("hamming"),
+            "n_pairs",
+            "cum_pairs",
+            F.round(
+                F.col("cum_pairs").cast("double") / F.col("total"), 6
+            ).alias("cum_share"),
+        )
+    )
