@@ -1,0 +1,132 @@
+"""Cross-engine parity for the round-5 entries on paths the test data
+never exercises (the repo's adversarial-fixture tradition: cap binding,
+empty folds, degenerate inputs — each checked at full driver strictness
+via tests.oracle_harness.check_query on a synthetic parquet table)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tests.oracle_harness import check_query
+
+
+def _write_docs(sf, texts, sources=None):
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(1, n + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(
+                sources or [f"s{i % 3}" for i in range(n)], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{sf}/documents.parquet")
+
+
+def test_dedup_savings_no_duplicates_and_total_wipe(spark, tmp_path_factory):
+    """Two degenerate corpora: all-unique (n_removed must be 0 for every
+    source on both engines) and one source that is pure duplicates of a
+    doc owned by another source (removal_rate exactly 1.0 there —
+    canonical selection is global, not per-source)."""
+    sf = str(tmp_path_factory.mktemp("uniq"))
+    _write_docs(sf, [f"unique doc {i}" for i in range(30)])
+    assert not check_query(spark, "corpus_dedup_savings_by_source", sf)
+
+    sf2 = str(tmp_path_factory.mktemp("wipe"))
+    texts = ["the shared doc"] * 10 + [f"own doc {i}" for i in range(10)]
+    sources = ["keeper"] + ["loser"] * 9 + ["keeper"] * 10
+    _write_docs(sf2, texts, sources)
+    assert not check_query(spark, "corpus_dedup_savings_by_source", sf2)
+
+
+def test_dedup_savings_whitespace_normalized_cluster(spark, tmp_path_factory):
+    """Docs differing only in case/whitespace must land in ONE cluster on
+    both engines (the normalized fingerprint is the dedup key)."""
+    sf = str(tmp_path_factory.mktemp("norm"))
+    _write_docs(
+        sf,
+        ["Hello   World", "hello world", "  HELLO  WORLD  ", "other"],
+        ["a", "b", "c", "c"],
+    )
+    assert not check_query(spark, "corpus_dedup_savings_by_source", sf)
+
+
+def _write_embeds(sf, vecs, labels=None):
+    n = len(vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(1, n + 1), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels or [0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{sf}/embeddings.parquet")
+
+
+def test_embed_redundancy_constant_dim_filtered_both_engines(
+    spark, tmp_path_factory
+):
+    """A zero-variance dimension has no defined correlation: both engines
+    must FILTER its pairs (the var>0 guard), not divide by zero."""
+    sf = str(tmp_path_factory.mktemp("const"))
+    vecs = [[1.0, float(i), float(i % 3), 2.5] for i in range(12)]
+    _write_embeds(sf, vecs)
+    assert not check_query(spark, "embed_dim_redundancy_topk", sf)
+
+
+def test_embed_redundancy_duplicated_dim_exact_unit_corr(
+    spark, tmp_path_factory
+):
+    """A dimension duplicated (and one negated) must score corr exactly
+    +/-1.0 on the integer grid — the quantized algebra is exact, so both
+    engines produce literal 1.0/-1.0, not 0.999999. Values sit ON the
+    1/128 grid (i/128 is exact in float32) because floor() is not
+    odd-symmetric off-grid: floor(-x*128) = -ceil(x*128) there, which
+    legitimately breaks perfect anti-correlation (both engines agree on
+    that too — check_query covers the off-grid case at the catalog SFs)."""
+    from dsacord_spark.plans.catalog import queries
+
+    sf = str(tmp_path_factory.mktemp("dup"))
+    vecs = [
+        [i / 128, i / 128, -i / 128, float(i % 5) / 3] for i in range(20)
+    ]
+    _write_embeds(sf, vecs)
+    assert not check_query(spark, "embed_dim_redundancy_topk", sf)
+    rows = {
+        (r["dim_i"], r["dim_j"]): r["corr"]
+        for r in queries()["embed_dim_redundancy_topk"](spark, sf).collect()
+    }
+    assert rows[(1, 2)] == 1.0
+    assert rows[(1, 3)] == -1.0
+
+
+def test_simhash_calibration_small_corpus_and_exact_dups(
+    spark, tmp_path_factory
+):
+    """Corpus smaller than the sample cap (every doc sampled, all pairs
+    scored) with an exact-duplicate pair (hamming-0 bucket must appear)
+    and an empty doc (dropped from signatures on both engines)."""
+    from dsacord_spark.plans.catalog import queries
+
+    sf = str(tmp_path_factory.mktemp("simcal"))
+    texts = (
+        ["alpha beta gamma delta"] * 2
+        + ["   "]  # tokenless: dropped by both signature pipelines
+        + [f"doc {i} words {i * 7} more {i * 13}" for i in range(12)]
+    )
+    _write_docs(sf, texts)
+    assert not check_query(spark, "dedup_simhash_radius_calibration", sf)
+    rows = {
+        r["hamming"]: r["n_pairs"]
+        for r in queries()["dedup_simhash_radius_calibration"](
+            spark, sf
+        ).collect()
+    }
+    assert rows.get(0) == 1  # exactly the duplicate pair
+    # 14 docs with tokens -> C(14,2) pairs total
+    assert sum(rows.values()) == 14 * 13 // 2
+    spark.catalog.clearCache()
