@@ -44,6 +44,7 @@ _PYTHON_KERNEL_OK = {
     "knn_label_accuracy",
     "ann_ivf_topk_blas",
     "ann_ivf_kmeans_topk",
+    "embed_dim_redundancy_topk",  # per-task int64 Gramian (mapInArrow)
     # streaming stateful (applyInPandasWithState sessionizer)
     "session_stateful",
 }
