@@ -68,6 +68,32 @@ def _driver_history() -> dict[str, dict]:
     return hist
 
 
+def _is_green(rec: dict, has_sql: bool) -> bool:
+    """Single definition of 'this driver record is a clean pass' — shared
+    with tests/test_catalog_oracle.py so the rotation tests can never
+    drift from production classification.
+
+    A value-oracled record is green iff rows+schema+hash all passed with
+    no error. A rows-only entry (has_sql=False) can never value-match:
+    the driver records err="no_oracle" with the observed row count, and
+    that IS its full-strength check (the value gate is
+    tests/test_rows_only_golden.py) — green, so the slot rotates like
+    any other instead of pinning the window forever. A null spark_rows
+    means the harness crashed before counting (e.g. a
+    non-canonicalizable column) — a real failure either way."""
+    if (
+        not has_sql
+        and rec.get("err") == "no_oracle"
+        and rec.get("spark_rows") is not None
+    ):
+        return True
+    return bool(
+        rec.get("rows_match")
+        and rec.get("schema_match")
+        and rec.get("hash_match", True)
+    ) and rec.get("err") is None
+
+
 def _ordered() -> dict[str, QuerySpec]:
     reg = get_registry()
     try:
@@ -79,23 +105,14 @@ def _ordered() -> dict[str, QuerySpec]:
     def sort_key(name: str):
         rec = hist.get(name)
         if rec is not None:
-            ok = bool(
-                rec.get("rows_match")
-                and rec.get("schema_match")
-                and rec.get("hash_match", True)
-            ) and rec.get("err") is None
-            # rows-only entries (spec.sql is None) can never value-match:
-            # the driver records err="no_oracle" with the observed row
-            # count. That IS their full-strength check (the value gate is
-            # tests/test_rows_only_golden.py) — treat it as green so the
-            # slot rotates like any other, instead of pinning the window
-            # forever. A null spark_rows means the harness crashed before
-            # counting (e.g. a non-canonicalizable column) — real failure.
-            if rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None:
-                ok = True
-            if not ok:
+            has_sql = reg[name].sql is not None
+            if _is_green(rec, has_sql):
+                return (3, rec.get("_round", ""), seq[name])
+            if not has_sql or rec.get("err") != "no_oracle":
                 return (0, "", seq[name])
-            return (3, rec.get("_round", ""), seq[name])
+            # history says rows-only but the entry HAS an oracle now: it
+            # was upgraded since that check — its first value check beats
+            # green canaries, so fall through to the never-checked groups
         if reg[name].sql is not None:
             named = reg[name].fn.__module__ in _WINDOW_PRIORITY_MODULES
             return (1, "" if named else "z", seq[name])

@@ -75,12 +75,9 @@ def _global_rank(
     order_cols,
     rank_name: str = "r",
     parts: int = 32,
-    persist: bool = True,
 ) -> DataFrame:
-    """Exact 1-based global row rank under a total ordering.
-
-    `persist` is accepted for call-site compatibility but the ranged
-    frame is persisted unconditionally — see _ranged."""
+    """Exact 1-based global row rank under a total ordering. The ranged
+    frame is always persisted — see _ranged."""
     _check_names(df, [rank_name])
     part = _ranged(df, order_cols, parts)
     cnt = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
@@ -104,7 +101,6 @@ def _global_cumsum(
     order_cols,
     sums: dict,
     parts: int = 32,
-    persist: bool = True,
 ) -> DataFrame:
     """Exact inclusive running totals under a total ordering.
 
@@ -113,9 +109,8 @@ def _global_cumsum(
     partition-total offsets plus a partitioned running sum. Null
     semantics match the window form (SUM skips nulls; an all-null prefix
     stays null; offsets coalesce to 0). Output names must not shadow
-    input columns (raises — see _check_names). `persist` is accepted for
-    call-site compatibility but the ranged frame is persisted
-    unconditionally — see _ranged."""
+    input columns (raises — see _check_names). The ranged frame is
+    always persisted — see _ranged."""
     _check_names(df, sums)
     part = _ranged(df, order_cols, parts)
     cnt = part.groupBy("_pid").agg(

@@ -558,7 +558,7 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("m_score",
          [F.col("monetary").cast("double").desc(), F.col("o_custkey").asc()]),
     ):
-        scored = _global_rank(scored, order, score_col, persist=True)
+        scored = _global_rank(scored, order, score_col)
     scored = scored.crossJoin(F.broadcast(n_tot)).select(
         "monetary",
         _ntile_bucket(F.col("r_score"), F.col("n_cust"), 5).alias("r_score"),
@@ -3238,14 +3238,15 @@ def orders_basket_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "corpus_dedup_savings_by_source",
-    sql="""
+def _savings_sql() -> str:
+    # the fingerprint fragment is INTERPOLATED from the one definition
+    # shared with doc_fingerprint()/dedup_exact (never duplicated as a
+    # literal — the copresence-constants lockstep rule)
+    from dsacord_spark.plans.analysis import _FPRINT_SQL
+
+    return f"""
     WITH fp AS (
-      SELECT doc_id, source, n_chars,
-             CAST('0x' || SUBSTR(MD5(
-               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
-             ), 1, 15) AS BIGINT) AS fp
+      SELECT doc_id, source, n_chars, {_FPRINT_SQL} AS fp
       FROM documents),
     k AS (
       SELECT source, n_chars,
@@ -3260,7 +3261,12 @@ def orders_basket_size_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS chars_removed,
            round(CAST(SUM(1 - kept) AS DOUBLE) / count(*), 6) AS removal_rate
     FROM k GROUP BY source
-    """,
+    """
+
+
+@register(
+    "corpus_dedup_savings_by_source",
+    sql=_savings_sql(),
     doc="Dedup survivorship by source: docs/chars that exact "
     "keep-canonical dedup (min doc_id per normalized-text fingerprint) "
     "would remove, with per-source removal rates — the savings/bias "
@@ -3295,12 +3301,17 @@ def corpus_dedup_savings_by_source(
 # Embedding-dimension redundancy: top-20 dimension pairs by |Pearson
 # correlation| on the SQ8-style integer grid (q = floor(x * 128)). Highly
 # correlated dimensions signal a projection/whitening opportunity before
-# ANN indexing. Quantizing first makes EVERY aggregate an exact integer
+# ANN indexing. Quantizing first makes every SUM an exact integer
 # (float32 -> double is exact, *128 is an exponent shift, floor is
-# deterministic), so the cross-multiplied correlation algebra
+# deterministic; null elements quantize to 0 on both engines), so the
+# cross-multiplied correlation algebra
 #   corr = (n*Sxy - Sx*Sy) / sqrt(n*Sxx - Sx^2) / sqrt(n*Syy - Sy^2)
-# is bit-identical across engines (sums < 2^53; sqrt and division are
-# correctly-rounded IEEE ops on identical operands). Scale shape: each
+# is bit-identical across engines. The cross-products are computed in
+# DOUBLE on both sides (identical op sequence): int64 cross-multiplies
+# like n*Sxy would hit ANSI ARITHMETIC_OVERFLOW past ~24M vectors, while
+# the double algebra stays exact wherever every term < 2^53 (all test
+# SFs, and any n*maxq^2 below ~10^15) and degrades gracefully — never
+# errors — beyond it. Scale shape: each
 # task reduces its rows to ONE d x d integer Gramian (numpy int64
 # matmul in a mapInArrow kernel — exact, order-independent, so the
 # oracle still value-matches) and emits d^2/2 partial rows; Spark sums
@@ -3319,17 +3330,30 @@ def _gram_partial_batches(it):
     integer Gramian (di, dj, p) partial. int64 end to end: products and
     sums are exact, so downstream algebra is engine-reproducible. Bound:
     |q| <= ~2^10 per cell keeps a 100 TB-scale accumulation far below
-    int64 overflow (guarded by the quantizer's input range)."""
+    int64 overflow (guarded by the quantizer's input range).
+
+    Input contract (kept in lockstep with the oracle): element nulls are
+    already quantized to 0 upstream; an all-NULL embedding row is
+    dropped (the oracle's unnest emits no rows for it); a ragged table
+    raises — fixed dimension is the embedding-table contract everywhere
+    in this engine (every cosine/fold entry assumes it)."""
     import numpy as np
     import pyarrow as pa_
 
     acc = None
     for batch in it:
-        if batch.num_rows == 0:
-            continue
         col = batch.column(0)
+        if col.null_count:
+            col = col.drop_null()
+        if len(col) == 0:
+            continue
         flat = col.flatten().to_numpy(zero_copy_only=False)
         d = len(col[0])
+        if flat.size != len(col) * d:
+            raise ValueError(
+                "embed_dim_redundancy_topk: ragged embedding lengths — "
+                "the embedding table must be fixed-dimension"
+            )
         mat = flat.reshape(-1, d)
         g = mat.T @ mat
         acc = g if acc is None else acc + g
@@ -3351,23 +3375,27 @@ def _gram_partial_batches(it):
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 128) AS BIGINT)) AS qs
+               x -> CAST(FLOOR(COALESCE(CAST(x AS DOUBLE), 0) * 128)
+                         AS BIGINT)) AS qs
       FROM embeddings),
     exp AS (
       SELECT vec_id, unnest(qs) AS qv, generate_subscripts(qs, 1) AS i
       FROM q),
     dim AS (
-      SELECT i, count(*) AS n, SUM(qv) AS s, SUM(qv * qv) AS ss
+      SELECT i, CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM(qv) AS DOUBLE) AS s,
+             CAST(SUM(qv * qv) AS DOUBLE) AS ss
       FROM exp GROUP BY i),
     pr AS (
-      SELECT a.i AS di, b.i AS dj, SUM(a.qv * b.qv) AS sxy
+      SELECT a.i AS di, b.i AS dj,
+             CAST(SUM(a.qv * b.qv) AS DOUBLE) AS sxy
       FROM exp a JOIN exp b ON a.vec_id = b.vec_id AND a.i < b.i
       GROUP BY 1, 2),
     c AS (
       SELECT di, dj,
-             CAST(da.n * sxy - da.s * db.s AS DOUBLE)
-               / sqrt(CAST(da.n * da.ss - da.s * da.s AS DOUBLE))
-               / sqrt(CAST(db.n * db.ss - db.s * db.s AS DOUBLE)) AS corr
+             (da.n * sxy - da.s * db.s)
+               / sqrt(da.n * da.ss - da.s * da.s)
+               / sqrt(db.n * db.ss - db.s * db.s) AS corr
       FROM pr
       JOIN dim da ON pr.di = da.i
       JOIN dim db ON pr.dj = db.i
@@ -3392,27 +3420,37 @@ def _gram_partial_batches(it):
 )
 def embed_dim_redundancy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
+    # null elements quantize to 0 (COALESCE mirrored in the oracle): the
+    # Arrow kernel then always sees non-null int64 values
     qs = F.transform(
         F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * 128).cast("long"),
+        lambda x: F.floor(
+            F.coalesce(x.cast("double"), F.lit(0.0)) * 128
+        ).cast("long"),
     )
     # persisted: the quantized frame feeds BOTH the pair-product path and
     # the per-dim moment path (released at the harness/bench family
-    # boundary like every other catalog persist)
-    q = e.select("vec_id", qs.alias("qs")).persist()
+    # boundary like every other catalog persist). vec_id is NOT kept —
+    # no Spark consumer needs it (it exists only for the oracle's
+    # self-join), and dropping it halves the cached row width.
+    q = e.select(qs.alias("qs")).persist()
     pr = (
-        q.select("qs")
-        .mapInArrow(_gram_partial_batches, schema="di int, dj int, p long")
+        q.mapInArrow(_gram_partial_batches, schema="di int, dj int, p long")
         .groupBy("di", "dj")
-        .agg(F.sum("p").alias("sxy"))
+        .agg(F.sum("p").cast("double").alias("sxy"))
     )
     exp = q.select(F.posexplode("qs").alias("i0", "qv")).select(
         (F.col("i0") + 1).alias("i"), "qv"
     )
+    # moments cast to double HERE, mirroring the oracle's dim CTE: the
+    # downstream cross-multiplies in int64 would hit ANSI
+    # ARITHMETIC_OVERFLOW past ~24M vectors; the double algebra is exact
+    # wherever every term < 2^53 (all test SFs) and degrades gracefully
+    # instead of erroring beyond that
     dim = exp.groupBy("i").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("qv").alias("s"),
-        F.sum(F.col("qv") * F.col("qv")).alias("ss"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("qv").cast("double").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).cast("double").alias("ss"),
     )
     da = dim.select(
         F.col("i").alias("di"), F.col("n").alias("n_a"),
@@ -3426,9 +3464,8 @@ def embed_dim_redundancy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = F.col("n_b") * F.col("ss_b") - F.col("s_b") * F.col("s_b")
     corr = (
         (F.col("n_a") * F.col("sxy") - F.col("s_a") * F.col("s_b"))
-        .cast("double")
-        / F.sqrt(va.cast("double"))
-        / F.sqrt(vb.cast("double"))
+        / F.sqrt(va)
+        / F.sqrt(vb)
     )
     c = (
         pr.join(F.broadcast(da), "di")
@@ -3547,5 +3584,83 @@ def dedup_simhash_radius_calibration(
             F.round(
                 F.col("cum_pairs").cast("double") / F.col("total"), 6
             ).alias("cum_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard balance plan: deterministic md5 doc->shard assignment
+# (the reproducible pseudo-shuffle a training-data export needs — rand()
+# is none of reproducible/partitioning-stable/engine-stable) with
+# per-shard doc/token/char loads and a load factor vs the mean. The
+# report that validates shard balance BEFORE burning a 100 TB export:
+# one corpus scan, a 64-group map-side-combined aggregate, a one-row
+# broadcast total. Hash assignment means rebalancing is a constant
+# change, not a reshuffle of prior shards.
+# ---------------------------------------------------------------------------
+
+_SHARD_N = 64
+
+
+def _shard_plan_sql() -> str:
+    # hash + tokenizer fragments interpolated from the shared
+    # definitions (md5_long_sql / _TOKS_SQL), never duplicated as
+    # literals — the lockstep rule
+    from dsacord_spark.functions.hashing import md5_long_sql
+
+    return f"""
+    WITH a AS (
+      SELECT {md5_long_sql('CAST(doc_id AS VARCHAR)')} % {_SHARD_N} AS shard,
+             len({_TOKS_SQL.format(c='text')}) AS n_toks,
+             n_chars
+      FROM documents),
+    t AS (SELECT count(*) AS total_docs FROM a)
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           round(CAST(count(*) * {_SHARD_N} AS DOUBLE)
+                 / (SELECT total_docs FROM t), 6) AS load_factor
+    FROM a GROUP BY shard
+    """
+
+
+@register(
+    "corpus_shard_plan",
+    sql=_shard_plan_sql(),
+    doc=f"Training-shard balance plan: deterministic md5 doc->shard "
+    f"assignment into {_SHARD_N} shards with per-shard doc/token/char "
+    "loads and load factor vs the mean — validates export balance "
+    "before writing; one scan, map-side-combined 64-group aggregate, "
+    "one-row broadcast total.",
+)
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.functions.hashing import md5_long
+
+    d = table(spark, sf_dir, "documents")
+    a = d.select(
+        (md5_long(F.col("doc_id").cast("string")) % _SHARD_N).alias("shard"),
+        F.size(tokens("text")).alias("n_toks"),
+        "n_chars",
+    )
+    t = a.agg(F.count(F.lit(1)).alias("total_docs"))
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.round(
+                (F.col("n_docs") * _SHARD_N).cast("double")
+                / F.col("total_docs"),
+                6,
+            ).alias("load_factor"),
         )
     )

@@ -20,18 +20,22 @@ def test_catalog_query_matches_oracle(spark, sf_dir, name):
 
 
 def _group_of(name, hist, sql):
-    """Mirror catalog._ordered's group assignment for property checks."""
+    """Mirror catalog._ordered's group assignment for property checks
+    (the green predicate itself is IMPORTED, not duplicated, so these
+    tests can never classify under a different rule than production)."""
+    from dsacord_spark.plans.catalog import _is_green
+
     rec = hist.get(name)
+    has_sql = name in sql
     if rec is not None:
-        ok = bool(
-            rec.get("rows_match")
-            and rec.get("schema_match")
-            and rec.get("hash_match", True)
-        ) and rec.get("err") is None
-        if rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None:
-            ok = True  # clean rows-only driver check == green (see catalog)
-        return 0 if not ok else 3
-    return 1 if name in sql else 2
+        if _is_green(rec, has_sql):
+            return 3
+        if not has_sql or rec.get("err") != "no_oracle":
+            return 0
+        # rows-only history on a since-upgraded oracle entry: falls
+        # through to the never-checked groups (first value check beats
+        # green canaries)
+    return 1 if has_sql else 2
 
 
 def test_driver_window_rotation_invariants():
@@ -114,6 +118,24 @@ def test_driver_window_rows_only_classification(monkeypatch):
     assert names[0] == crashed
     # the clean rows-only entry trails every never-checked entry
     assert names.index(clean) > len(reg_names) - 3
+
+    # an entry whose history says rows-only but that HAS an oracle now
+    # (upgraded since the check) must rotate as never-value-checked
+    # (group 1), ahead of greens but not as a failure
+    oracled = next(n for n, s in cat.get_registry().items() if s.sql is not None)
+
+    def fake_hist2():
+        return {
+            oracled: {**base, "err": "no_oracle", "spark_rows": 10,
+                      "_round": "CORRECTNESS_r98.json"},
+            clean: {**base, "err": "no_oracle", "spark_rows": 25,
+                    "_round": "CORRECTNESS_r98.json"},
+        }
+
+    monkeypatch.setattr(cat, "_driver_history", fake_hist2)
+    names2 = list(cat.queries().keys())
+    assert names2.index(oracled) < names2.index(clean)
+    assert names2[0] != oracled  # not classified as a failure
 
 
 def test_driver_window_all_green_picks_oldest(monkeypatch):
