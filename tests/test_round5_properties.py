@@ -104,6 +104,40 @@ def test_embed_redundancy_duplicated_dim_exact_unit_corr(
     assert rows[(1, 3)] == -1.0
 
 
+def test_embed_redundancy_null_elements_and_null_rows(
+    spark, tmp_path_factory
+):
+    """Null embedding ELEMENTS quantize to 0 on both engines; an
+    all-NULL embedding row contributes nothing (dropped by the Arrow
+    kernel, no rows from the oracle's unnest) — driver-strict parity on
+    the dirty-input path the catalog data never exercises."""
+    import pyarrow as pa
+
+    sf = str(tmp_path_factory.mktemp("nulls"))
+    vecs = [
+        [1.0, None, float(i) / 4, 0.5] if i % 4 == 0
+        else ([None, None, None, None] if i == 5
+              else [float(i) / 8, 1.0 - i / 8, float(i % 3), -0.25])
+        for i in range(16)
+    ]
+    vecs_arr = pa.array(
+        [None if i == 5 else vecs[i] for i in range(16)],
+        pa.list_(pa.float32()),
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(1, 17), pa.int64()),
+            "embedding": vecs_arr,
+            "label": pa.array([0] * 16, pa.int32()),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, f"{sf}/embeddings.parquet")
+    assert not check_query(spark, "embed_dim_redundancy_topk", sf)
+    spark.catalog.clearCache()
+
+
 def test_simhash_calibration_small_corpus_and_exact_dups(
     spark, tmp_path_factory
 ):
