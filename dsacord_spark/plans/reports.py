@@ -240,14 +240,18 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _dup_cluster_histogram_fp_sql() -> str:
+    from dsacord_spark.plans.analysis import _FPRINT_SQL
+
+    return f"""
+    WITH fp AS (
+      SELECT {_FPRINT_SQL} AS fp
+      FROM documents),"""
+
+
 @register(
     "corpus_dup_cluster_histogram",
-    sql="""
-    WITH fp AS (
-      SELECT CAST('0x' || SUBSTR(MD5(
-               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
-             ), 1, 15) AS BIGINT) AS fp
-      FROM documents),
+    sql=_dup_cluster_histogram_fp_sql() + """
     cl AS (SELECT fp, count(*) AS cluster_size FROM fp GROUP BY fp),
     tot AS (SELECT count(*) AS n_docs FROM documents)
     SELECT cluster_size,
@@ -3108,14 +3112,14 @@ def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "corpus_dup_cross_source",
-    sql="""
+def _dup_cross_source_sql() -> str:
+    # fingerprint fragment interpolated from the shared definition
+    # (analysis._FPRINT_SQL == doc_fingerprint()), not re-inlined
+    from dsacord_spark.plans.analysis import _FPRINT_SQL
+
+    return f"""
     WITH fp AS (
-      SELECT source,
-             CAST('0x' || SUBSTR(MD5(
-               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
-             ), 1, 15) AS BIGINT) AS fp
+      SELECT source, {_FPRINT_SQL} AS fp
       FROM documents),
     cl AS (
       SELECT fp, count(*) AS n_docs,
@@ -3128,7 +3132,12 @@ def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_docs) AS BIGINT) AS n_docs,
            CAST(SUM(n_docs - 1) AS BIGINT) AS n_removable
     FROM cl GROUP BY 1
-    """,
+    """
+
+
+@register(
+    "corpus_dup_cross_source",
+    sql=_dup_cross_source_sql(),
     doc="Duplicate provenance: exact-dup clusters split into "
     "within-source (template/boilerplate reuse) vs cross-source "
     "(mirrored/scraped contamination) with docs and removable counts — "
