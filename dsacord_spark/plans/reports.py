@@ -3356,13 +3356,22 @@ def _gram_partial_batches(it):
             col = col.drop_null()
         if len(col) == 0:
             continue
-        flat = col.flatten().to_numpy(zero_copy_only=False)
-        d = len(col[0])
-        if flat.size != len(col) * d:
+        # per-row length check (list_value_length is slice-safe, unlike
+        # raw .offsets): a total-count check alone would accept
+        # compensating ragged lengths ([4,3,5] vs d=4) and silently
+        # shear values across rows
+        import pyarrow.compute as pc
+
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        d = int(lens[0])
+        if (lens != d).any():
             raise ValueError(
                 "embed_dim_redundancy_topk: ragged embedding lengths — "
                 "the embedding table must be fixed-dimension"
             )
+        if d == 0:
+            continue  # all-empty lists: the oracle's unnest emits no rows
+        flat = col.flatten().to_numpy(zero_copy_only=False)
         mat = flat.reshape(-1, d)
         g = mat.T @ mat
         acc = g if acc is None else acc + g
@@ -3623,14 +3632,17 @@ def _shard_plan_sql() -> str:
              len({_TOKS_SQL.format(c='text')}) AS n_toks,
              n_chars
       FROM documents),
-    t AS (SELECT count(*) AS total_docs FROM a)
+    g AS (
+      SELECT shard, count(*) AS n_docs, SUM(n_toks) AS n_tokens,
+             SUM(n_chars) AS n_chars
+      FROM a GROUP BY shard)
     SELECT CAST(shard AS INT) AS shard,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
-           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-           round(CAST(count(*) * {_SHARD_N} AS DOUBLE)
-                 / (SELECT total_docs FROM t), 6) AS load_factor
-    FROM a GROUP BY shard
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           round(CAST(n_docs * {_SHARD_N} AS DOUBLE)
+                 / SUM(n_docs) OVER (), 6) AS load_factor
+    FROM g
     """
 
 
@@ -3640,8 +3652,9 @@ def _shard_plan_sql() -> str:
     doc=f"Training-shard balance plan: deterministic md5 doc->shard "
     f"assignment into {_SHARD_N} shards with per-shard doc/token/char "
     "loads and load factor vs the mean — validates export balance "
-    "before writing; one scan, map-side-combined 64-group aggregate, "
-    "one-row broadcast total.",
+    "before writing; ONE corpus scan (the grand total comes from a "
+    "bounded window over the 64-row grouped aggregate, not a second "
+    "scan), map-side-combined 64-group aggregate.",
 )
 def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dsacord_spark.functions.hashing import md5_long
@@ -3652,24 +3665,25 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens("text")).alias("n_toks"),
         "n_chars",
     )
-    t = a.agg(F.count(F.lit(1)).alias("total_docs"))
-    return (
-        a.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_toks").cast("bigint").alias("n_tokens"),
-            F.sum("n_chars").cast("bigint").alias("n_chars"),
-        )
-        .crossJoin(F.broadcast(t))
-        .select(
-            F.col("shard").cast("int").alias("shard"),
-            "n_docs",
-            "n_tokens",
-            "n_chars",
-            F.round(
-                (F.col("n_docs") * _SHARD_N).cast("double")
-                / F.col("total_docs"),
-                6,
-            ).alias("load_factor"),
-        )
+    g = a.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    # grand total as a bounded window over the 64-row aggregate — a
+    # separate a.agg() branch would re-scan the whole corpus (exchange
+    # reuse cannot dedupe two different aggregates over one frame)
+    wall = W.partitionBy(F.lit(0)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return g.select(
+        F.col("shard").cast("int").alias("shard"),
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(
+            (F.col("n_docs") * _SHARD_N).cast("double")
+            / F.sum("n_docs").over(wall),
+            6,
+        ).alias("load_factor"),
     )

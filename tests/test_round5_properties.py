@@ -138,6 +138,28 @@ def test_embed_redundancy_null_elements_and_null_rows(
     spark.catalog.clearCache()
 
 
+def test_embed_redundancy_all_empty_lists_empty_result(
+    spark, tmp_path_factory
+):
+    """Embeddings that are all EMPTY lists: the oracle's unnest emits no
+    rows, so the result is empty — the Arrow kernel must skip the batch
+    (d=0), not crash on a zero-width reshape."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path_factory.mktemp("empty"))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(1, 6), pa.int64()),
+            "embedding": pa.array([[]] * 5, pa.list_(pa.float32())),
+            "label": pa.array([0] * 5, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{sf}/embeddings.parquet")
+    assert not check_query(spark, "embed_dim_redundancy_topk", sf)
+    spark.catalog.clearCache()
+
+
 def test_simhash_calibration_small_corpus_and_exact_dups(
     spark, tmp_path_factory
 ):

@@ -39,13 +39,20 @@ def _node_metrics(plan) -> list[tuple[str, dict]]:
             walk(ch.apply(i))
         # adaptive plans nest the real subtree behind wrapper nodes
         # (AdaptiveSparkPlanExec.executedPlan, *QueryStageExec.plan) —
-        # probe generically so new wrapper types keep traversing
+        # probe generically so new wrapper types keep traversing. Only
+        # the method PROBE may fail silently (missing method on this
+        # node type); errors inside the recursive walk must propagate,
+        # or a mid-walk failure would truncate traversal and let the
+        # bound assertions pass vacuously on partial metrics.
+        sub = None
         for sub_attr in ("executedPlan", "plan"):
             try:
-                walk(getattr(node, sub_attr)())
+                sub = getattr(node, sub_attr)()
                 break
             except Exception:
                 continue
+        if sub is not None:
+            walk(sub)
 
     walk(plan)
     return out
