@@ -162,6 +162,10 @@ def _run_ingest_bench(spark, sf_dir: str, cpus: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # co-tenant load on this host swings timings up to 10x with no code
+    # change (SWEEPS/PLANS noise methodology); recording the load lets a
+    # reader discount a noisy snapshot without re-running
+    load_start = os.getloadavg()
 
     from dsacord_spark.session import get_spark
     from dsacord_spark.plans.catalog import specs
@@ -301,6 +305,10 @@ def main() -> None:
         "retry_method": "slowest-10 min-of-3, interleaved A/B block "
         "(pass A slowest-first, pass B reversed)",
         "retried": retry,
+        "load_avg": {
+            "start": [round(x, 2) for x in load_start],
+            "end": [round(x, 2) for x in os.getloadavg()],
+        },
     }
     try:
         detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
