@@ -89,6 +89,26 @@ def quality_score(col: Column | str) -> Column:
     return len_term + punct_term + stop_term
 
 
+def quality_score10(col: Column | str) -> Column:
+    """quality_score rendered in integer tenths (4+3+3 instead of
+    .4+.3+.3): the SAME double-valued conditions (length band, punct
+    ratio, stopword ratio), but integer terms, so threshold grids over
+    the score never sit on float-sum grid points (0.4+0.3 is
+    0.7000000000000001 in IEEE — identical in both engines, but an
+    integer grid removes the hazard class entirely). Kept in lockstep
+    with quality_score by tests/test_text_functions.py (score10 ==
+    round(quality*10) over the corpus)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    len_term = F.when((n_tok >= 5) & (n_tok <= 5000), F.lit(4)).otherwise(F.lit(0))
+    punct_term = F.when(punct_ratio(c) < 0.2, F.lit(3)).otherwise(F.lit(0))
+    stop_term = F.when(
+        stopword_hits(c, LANG_MARKERS["en"]).cast("double") / F.greatest(n_tok, F.lit(1.0)) > 0.01,
+        F.lit(3),
+    ).otherwise(F.lit(0))
+    return len_term + punct_term + stop_term
+
+
 def char_shingles(col: Column | str, k: int = 8) -> Column:
     """Distinct k-character shingles of lowercased text (classic near-dup
     unit). Pure expressions: substring at each offset via sequence+transform,

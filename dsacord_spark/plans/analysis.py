@@ -133,6 +133,25 @@ _FPRINT_SQL = md5_long_sql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKS_TEXT = _TOKS_SQL.format(c="text")
 
 
+def _quality10_sql(c: str = "text") -> str:
+    """Integer-tenths quality score (4+3+3) — the SQL rendering of
+    functions/text.quality_score10. Conditions are byte-identical to the
+    text_quality oracle above (same double-valued n_tok / punct-ratio /
+    stopword-ratio comparisons); only the CASE terms are integers, so a
+    threshold grid over the score is float-free."""
+    n_tok = f"CAST(len({_TOKS_SQL.format(c=c)}) AS DOUBLE)"
+    pr = (
+        f"CAST(length({c}) - length(regexp_replace({c}, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+        f" / length({c})"
+    )
+    sw = f"CAST({_stop_hits_sql(c, _EN)} AS DOUBLE)"
+    return (
+        f"(CASE WHEN {n_tok} >= 5 AND {n_tok} <= 5000 THEN 4 ELSE 0 END)"
+        f" + (CASE WHEN {pr} < 0.2 THEN 3 ELSE 0 END)"
+        f" + (CASE WHEN {sw} / greatest({n_tok}, 1.0) > 0.01 THEN 3 ELSE 0 END)"
+    )
+
+
 @register(
     "text_stats",
     sql=f"""

@@ -3687,3 +3687,201 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("load_factor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-prune threshold sweep: for every cutoff t on the integer-tenths
+# quality score (functions/text.quality_score10 — the 4+3+3 rendering of
+# the text_quality heuristic), how many documents and tokens survive
+# `quality >= t`? The curation planning table behind "where do we set the
+# quality bar": one corpus scan reduced to a <= 11-row per-level
+# aggregate; the 11-threshold grid joins against THAT aggregate, never
+# the corpus, so the sweep costs one scan regardless of grid size.
+# Integer score levels mean no threshold ever sits on a float-sum grid
+# point (0.4+0.3 is 0.7000000000000001 in both engines; 4+3 is just 7).
+# ---------------------------------------------------------------------------
+
+
+def _quality_sweep_sql() -> str:
+    # score fragment interpolated from the shared definition
+    # (analysis._quality10_sql == functions/text.quality_score10)
+    from dsacord_spark.plans.analysis import _quality10_sql
+
+    return f"""
+    WITH q AS (
+      SELECT {_quality10_sql('text')} AS s10,
+             len({_TOKS_SQL.format(c='text')}) AS n_toks
+      FROM documents),
+    lvl AS (SELECT s10, count(*) AS d, SUM(n_toks) AS tk
+            FROM q GROUP BY s10),
+    tot AS (SELECT SUM(d) AS td, SUM(tk) AS tt FROM lvl),
+    thr AS (SELECT CAST(unnest(generate_series(0, 10)) AS INT) AS threshold)
+    SELECT t.threshold,
+           CAST(COALESCE(SUM(l.d), 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(l.tk), 0) AS BIGINT) AS n_tokens,
+           round(CAST(COALESCE(SUM(l.d), 0) AS DOUBLE)
+                 / (SELECT td FROM tot), 6) AS doc_pct,
+           round(CAST(COALESCE(SUM(l.tk), 0) AS DOUBLE)
+                 / (SELECT tt FROM tot), 6) AS token_pct
+    FROM thr t LEFT JOIN lvl l ON l.s10 >= t.threshold
+    GROUP BY t.threshold
+    """
+
+
+@register(
+    "corpus_quality_prune_sweep",
+    sql=_quality_sweep_sql(),
+    doc="Docs/tokens retained at every quality cutoff t in 0..10 over the "
+    "integer-tenths quality score — the set-the-quality-bar planning "
+    "table. One corpus scan -> <=11-row level aggregate; the threshold "
+    "grid joins the aggregate, not the corpus.",
+)
+def corpus_quality_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.functions.text import quality_score10, token_count
+
+    d = table(spark, sf_dir, "documents")
+    q = d.select(
+        quality_score10("text").alias("s10"),
+        token_count("text").alias("n_toks"),
+    )
+    lvl = q.groupBy("s10").agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("n_toks").alias("tk"),
+    )
+    # persisted so the totals branch reads the 11-row aggregate, not the
+    # corpus (exchange reuse cannot dedupe two different aggregates over
+    # one frame); the harness releases catalog persists per query
+    lvl = lvl.persist()
+    tot = lvl.agg(F.sum("d").alias("td"), F.sum("tk").alias("tt"))
+    thr = spark.range(0, 11).select(F.col("id").cast("int").alias("threshold"))
+    # totals ride EVERY threshold row via the one-row cross join, so
+    # thresholds no document reaches still divide by the real totals
+    # (a totals column carried on the level join would be NULL there)
+    joined = thr.crossJoin(F.broadcast(tot)).join(
+        F.broadcast(lvl), F.col("s10") >= F.col("threshold"), "left"
+    )
+    return joined.groupBy("threshold").agg(
+        F.coalesce(F.sum("d"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("tk"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.coalesce(F.sum("d"), F.lit(0)).cast("double") / F.max("td"),
+            6,
+        ).alias("doc_pct"),
+        F.round(
+            F.coalesce(F.sum("tk"), F.lit(0)).cast("double") / F.max("tt"),
+            6,
+        ).alias("token_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily-volume autocorrelation: Pearson r between the gap-filled daily
+# event-count series and itself at lags 1/2/3/7/14 days — the seasonality
+# detector behind capacity planning (a strong lag-7 says weekly cycle;
+# lag-1 says momentum). The series lives on an integer day-index spine
+# (missing days count 0 — autocorrelation over a gappy series is wrong
+# without the spine), pairs come from an equi-join on i + lag against the
+# tiny per-day aggregate, and every moment sum is DECIMAL-exact over
+# integer counts (the part_size_price_corr playbook): only the final
+# sqrt/divide touch floating point, on identical operands in both
+# engines. Scale: one events scan reduced to a #days-row frame; the
+# lag join and moments run on that frame, so cost is O(days), not
+# O(events), at any corpus size.
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_LAGS = (1, 2, 3, 7, 14)
+
+
+@register(
+    "events_daily_autocorr",
+    sql=f"""
+    WITH d AS (
+      SELECT datediff('day', DATE '1970-01-01',
+                      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS i,
+             count(*) AS c
+      FROM events GROUP BY 1),
+    b AS (SELECT min(i) AS mn, max(i) AS mx FROM d),
+    s AS (
+      SELECT t.i, COALESCE(d.c, 0) AS c
+      FROM (SELECT unnest(generate_series((SELECT mn FROM b),
+                                          (SELECT mx FROM b))) AS i) t
+      LEFT JOIN d USING (i)),
+    l AS (SELECT unnest([{", ".join(str(x) for x in _AUTOCORR_LAGS)}]) AS lag),
+    p AS (
+      SELECT l.lag, a.c AS x, bb.c AS y
+      FROM s a JOIN l ON true JOIN s bb ON bb.i = a.i + l.lag),
+    m AS (
+      SELECT lag, count(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      FROM p GROUP BY lag)
+    SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS autocorr
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    doc="Pearson autocorrelation of the gap-filled daily event-count "
+    "series at lags 1/2/3/7/14 (weekly-cycle detector). Day-index spine "
+    "fills missing days with 0; moment sums are DECIMAL-exact integers; "
+    "one events scan -> O(days) frame for everything downstream.",
+)
+def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("i")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # persisted: the spine bounds and the spine join both read d — two
+    # different aggregates/branches over the events scan otherwise
+    d = d.persist()
+    b = d.agg(F.min("i").alias("mn"), F.max("i").alias("mx"))
+    spine = b.select(F.explode(F.sequence("mn", "mx")).alias("i"))
+    sc = (
+        spine.join(d, "i", "left")
+        .select("i", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+        .persist()
+    )
+    lags = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in _AUTOCORR_LAGS])
+        ).alias("lag")
+    )
+    a = sc.select(F.col("i").alias("ia"), F.col("c").alias("x"))
+    bb = sc.select(F.col("i").alias("ib"), F.col("c").alias("y"))
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        F.broadcast(bb), F.col("ib") == F.col("ia") + F.col("lag")
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dy * F.col("y")).alias("syy"),
+        F.sum(dx * F.col("y")).alias("sxy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        m.filter((varx > 0) & (vary > 0))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.round(
+                cov.cast("double")
+                / (
+                    F.sqrt(varx.cast("double"))
+                    * F.sqrt(vary.cast("double"))
+                ),
+                6,
+            ).alias("autocorr"),
+        )
+    )

@@ -186,3 +186,84 @@ def test_simhash_calibration_small_corpus_and_exact_dups(
     # 14 docs with tokens -> C(14,2) pairs total
     assert sum(rows.values()) == 14 * 13 // 2
     spark.catalog.clearCache()
+
+
+def _write_events_ts(sf, days_and_counts, base=None):
+    """events.parquet with `count` events on each given day offset."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = base or dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    for day, count in days_and_counts:
+        for k in range(count):
+            rows.append(base + dt.timedelta(days=day, seconds=k))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "ts": pa.array(rows, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, f"{sf}/events.parquet")
+
+
+def test_autocorr_gap_days_count_as_zero(spark, tmp_path_factory):
+    """Days with no events are 0 on the spine, not absent: a 3-day hole
+    between two active stretches must depress lag-1 correlation on both
+    engines identically (without the spine the pair set itself differs)."""
+    sf = str(tmp_path_factory.mktemp("gap"))
+    _write_events_ts(
+        sf, [(0, 5), (1, 9), (2, 4), (6, 8), (7, 3), (8, 11), (20, 2)]
+    )
+    assert not check_query(spark, "events_daily_autocorr", sf)
+
+
+def test_autocorr_constant_series_drops_all_lags(spark, tmp_path_factory):
+    """A constant daily series has zero variance: the var>0 guard must
+    produce an EMPTY result on both engines (not NaN/divide-by-zero)."""
+    sf = str(tmp_path_factory.mktemp("const"))
+    _write_events_ts(sf, [(d, 7) for d in range(20)])
+    assert not check_query(spark, "events_daily_autocorr", sf)
+
+
+def test_autocorr_series_shorter_than_longest_lag(spark, tmp_path_factory):
+    """A 5-day span has no lag-7/14 pairs at all: those lags must vanish
+    from the output on both engines rather than emit n_pairs=0 rows."""
+    sf = str(tmp_path_factory.mktemp("short"))
+    _write_events_ts(sf, [(0, 3), (1, 9), (2, 1), (3, 14), (4, 6)])
+    assert not check_query(spark, "events_daily_autocorr", sf)
+
+
+def test_quality_sweep_unreached_thresholds_report_zero(
+    spark, tmp_path_factory
+):
+    """A corpus where no document reaches the top score levels: the
+    thresholds above the best score must report n_docs=0 / doc_pct=0.0
+    (NOT null — the totals ride every threshold row via the one-row
+    cross join, the exact path a totals column on the level join would
+    leave NULL)."""
+    sf = str(tmp_path_factory.mktemp("lowq"))
+    # pure punctuation docs: fail the length band (tokens < 5), fail the
+    # stopword ratio, fail punct < 0.2 -> score 0 for all
+    _write_docs(sf, ["!!! ??? ***"] * 6)
+    assert not check_query(spark, "corpus_quality_prune_sweep", sf)
+
+
+def test_quality_sweep_mixed_levels_and_token_weighting(
+    spark, tmp_path_factory
+):
+    """Docs engineered onto distinct score levels with very different
+    token counts: doc_pct and token_pct must diverge (token weighting is
+    real) and match the oracle at every threshold."""
+    sf = str(tmp_path_factory.mktemp("mix"))
+    s10 = "the cat and the dog walked to the park with a friend"  # 4+3+3
+    s7_no_stop = " ".join(f"w{i}" for i in range(120))  # len + punct
+    s7_stop_punct = "the!!! and??? of*** to### is$$$ in%%%"  # len + stop
+    s4 = " ".join(f"w{i}!!!!!!!!!!" for i in range(120))  # len only
+    s3 = "alpha beta gamma"  # punct only (under the length band)
+    s0 = "!!! ??? ***"
+    _write_docs(sf, [s10] * 3 + [s7_no_stop, s7_stop_punct] + [s4] * 2 + [s3, s0])
+    assert not check_query(spark, "corpus_quality_prune_sweep", sf)
