@@ -3366,7 +3366,7 @@ def _gram_partial_batches(it):
         d = int(lens[0])
         if (lens != d).any():
             raise ValueError(
-                "embed_dim_redundancy_topk: ragged embedding lengths — "
+                "embedding Gramian kernel: ragged embedding lengths — "
                 "the embedding table must be fixed-dimension"
             )
         if d == 0:
@@ -3883,5 +3883,161 @@ def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("autocorr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding effective rank (participation ratio): PR = trace(M)^2 /
+# ||M||_F^2 over the raw second-moment matrix M = n*Sxy - Sx*Sy on the
+# floor(x*128) integer grid — (sum lambda)^2 / (sum lambda^2) of the
+# covariance spectrum WITHOUT any eigendecomposition (both traces are
+# closed forms in the Gramian entries), plus the top raw-variance
+# dimension and its share of total variance. PR near 1 means one
+# direction carries everything (collapse); PR near d means isotropic —
+# the standard representation-quality diagnostic run before ANN
+# indexing or whitening. Scale shape: the same one-pass mapInArrow
+# integer-Gramian sketch as embed_dim_redundancy_topk (d^2/2 partial
+# rows per task, no self-join, no vec_id shuffle), then everything
+# downstream runs on d- and d^2-row frames. Every sum is DECIMAL-exact
+# integer algebra (PR is scale-invariant, so the quantization and the
+# uncentered-vs-centered n factor cancel nowhere that matters for
+# determinism); only the final ratio touches floating point, on
+# identical operands in both engines. Bound: |M| must fit DECIMAL(19,0)
+# before squaring — n*q_max^2 < 1e19, ~3e7 vectors at |q|<=2^10 (the
+# redundancy entry's documented bound class; past it the entry raises
+# ANSI overflow rather than degrade silently — re-grid the quantizer or
+# subsample to extend).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embed_effective_rank",
+    sql="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(COALESCE(CAST(x AS DOUBLE), 0) * 128)
+                         AS BIGINT)) AS qs
+      FROM embeddings),
+    exp AS (
+      SELECT vec_id, unnest(qs) AS qv, generate_subscripts(qs, 1) AS i
+      FROM q),
+    dim AS (
+      SELECT i, count(*) AS n, SUM(qv) AS s, SUM(qv * qv) AS ss
+      FROM exp GROUP BY i),
+    nv AS (SELECT max(n) AS nv FROM dim),
+    dd AS (
+      SELECT i,
+             CAST(nv AS DECIMAL(18,0)) * CAST(ss AS DECIMAL(19,0))
+               - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)) AS m
+      FROM dim, nv),
+    pr AS (
+      SELECT a.i AS di, b.i AS dj, SUM(a.qv * b.qv) AS sxy
+      FROM exp a JOIN exp b ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY 1, 2),
+    pm AS (
+      SELECT CAST(nv AS DECIMAL(18,0)) * CAST(sxy AS DECIMAL(19,0))
+               - CAST(da.s AS DECIMAL(19,0)) * CAST(db.s AS DECIMAL(19,0))
+               AS m
+      FROM pr JOIN dim da ON pr.di = da.i
+              JOIN dim db ON pr.dj = db.i, nv),
+    tr AS (SELECT SUM(m) AS tra, count(*) AS n_dims FROM dd),
+    fd AS (SELECT SUM(CAST(m AS DECIMAL(19,0))
+                      * CAST(m AS DECIMAL(19,0))) AS f1 FROM dd),
+    fp AS (SELECT COALESCE(SUM(CAST(m AS DECIMAL(19,0))
+                               * CAST(m AS DECIMAL(19,0))), 0) AS f2
+           FROM pm),
+    top AS (SELECT i, m FROM dd ORDER BY m DESC, i ASC LIMIT 1)
+    SELECT CAST(nv AS BIGINT) AS n_vecs,
+           CAST(n_dims AS INT) AS n_dims,
+           round(CAST(tra AS DOUBLE) * CAST(tra AS DOUBLE)
+                 / CAST(f1 + 2 * f2 AS DOUBLE), 6) AS effective_rank,
+           CAST(top.i AS INT) AS top_var_dim,
+           round(CAST(top.m AS DOUBLE) / CAST(tra AS DOUBLE), 6)
+             AS top_var_share
+    FROM tr, fd, fp, top, nv
+    WHERE f1 + 2 * f2 > 0 AND tra > 0
+    """,
+    doc="Embedding effective rank (participation ratio trace^2/frobenius^2 "
+    "of the second-moment matrix) + top-variance dimension share — the "
+    "representation-collapse diagnostic, eigendecomposition-free. Same "
+    "one-pass integer-Gramian mapInArrow sketch as the dimension-"
+    "redundancy entry; DECIMAL-exact sums; one output row.",
+)
+def embed_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    qs = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            F.coalesce(x.cast("double"), F.lit(0.0)) * 128
+        ).cast("long"),
+    )
+    q = e.select(qs.alias("qs")).persist()
+    pr = (
+        q.mapInArrow(_gram_partial_batches, schema="di int, dj int, p long")
+        .groupBy("di", "dj")
+        .agg(F.sum("p").alias("sxy"))
+    )
+    exp = q.select(F.posexplode("qs").alias("i0", "qv")).select(
+        (F.col("i0") + 1).alias("i"), "qv"
+    )
+    # persisted: trace, frobenius-diagonal, top-dim, and the pair join
+    # all read this 64-row frame (and through it the one corpus pass)
+    dim = exp.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).alias("ss"),
+    ).persist()
+    nv = dim.agg(F.max("n").alias("nv"))
+    d18 = F.col("nv").cast("decimal(18,0)")
+    dd = dim.crossJoin(F.broadcast(nv)).select(
+        "i",
+        (
+            d18 * F.col("ss").cast("decimal(19,0)")
+            - F.col("s").cast("decimal(19,0)")
+            * F.col("s").cast("decimal(19,0)")
+        ).alias("m"),
+    )
+    da = dim.select(F.col("i").alias("di"), F.col("s").alias("s_a"))
+    db = dim.select(F.col("i").alias("dj"), F.col("s").alias("s_b"))
+    pm = (
+        pr.join(F.broadcast(da), "di")
+        .join(F.broadcast(db), "dj")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            (
+                d18 * F.col("sxy").cast("decimal(19,0)")
+                - F.col("s_a").cast("decimal(19,0)")
+                * F.col("s_b").cast("decimal(19,0)")
+            ).alias("m")
+        )
+    )
+    m19 = F.col("m").cast("decimal(19,0)")
+    tr = dd.agg(
+        F.sum("m").alias("tra"), F.count(F.lit(1)).alias("n_dims")
+    )
+    fd = dd.agg(F.sum(m19 * m19).alias("f1"))
+    fp_ = pm.agg(F.coalesce(F.sum(m19 * m19), F.lit(0)).alias("f2"))
+    top = dd.orderBy(F.col("m").desc(), F.col("i").asc()).limit(1)
+    frob2 = F.col("f1") + 2 * F.col("f2")
+    return (
+        tr.crossJoin(F.broadcast(fd))
+        .crossJoin(F.broadcast(fp_))
+        .crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(nv))
+        .filter((frob2 > 0) & (F.col("tra") > 0))
+        .select(
+            F.col("nv").cast("bigint").alias("n_vecs"),
+            F.col("n_dims").cast("int").alias("n_dims"),
+            F.round(
+                F.col("tra").cast("double") * F.col("tra").cast("double")
+                / frob2.cast("double"),
+                6,
+            ).alias("effective_rank"),
+            F.col("i").cast("int").alias("top_var_dim"),
+            F.round(
+                F.col("m").cast("double") / F.col("tra").cast("double"), 6
+            ).alias("top_var_share"),
         )
     )

@@ -267,3 +267,65 @@ def test_quality_sweep_mixed_levels_and_token_weighting(
     s0 = "!!! ??? ***"
     _write_docs(sf, [s10] * 3 + [s7_no_stop, s7_stop_punct] + [s4] * 2 + [s3, s0])
     assert not check_query(spark, "corpus_quality_prune_sweep", sf)
+
+
+def test_effective_rank_rank1_collapse_is_exactly_one(
+    spark, tmp_path_factory
+):
+    """All vectors on one ray: the second-moment matrix is rank 1, so
+    the participation ratio must be EXACTLY 1.0 on both engines (trace^2
+    == frobenius^2 in exact integer algebra — any drift means a sum left
+    the decimal path)."""
+    sf = str(tmp_path_factory.mktemp("rank1"))
+    base = [1.0, 2.0, -1.0, 0.5]
+    _write_embeds(sf, [[x * s for x in base] for s in (1.0, 2.0, 3.0, -2.0)])
+    assert not check_query(spark, "embed_effective_rank", sf)
+    from dsacord_spark.plans.catalog import specs
+
+    row = specs()["embed_effective_rank"].fn(spark, sf).collect()[0]
+    assert row.effective_rank == 1.0
+    spark.catalog.clearCache()
+
+
+def test_effective_rank_orthogonal_basis_hits_dimension(
+    spark, tmp_path_factory
+):
+    """One vector per basis direction with equal magnitude: isotropic
+    second moment, PR == d exactly (4.0 here), top share == 1/d."""
+    sf = str(tmp_path_factory.mktemp("iso"))
+    vecs = [
+        [2.0, 0.0, 0.0, 0.0],
+        [0.0, 2.0, 0.0, 0.0],
+        [0.0, 0.0, 2.0, 0.0],
+        [0.0, 0.0, 0.0, 2.0],
+    ]
+    # two copies of each so n*ss - s*s is nonzero per dimension
+    _write_embeds(sf, vecs + [[-x for x in v] for v in vecs])
+    assert not check_query(spark, "embed_effective_rank", sf)
+    from dsacord_spark.plans.catalog import specs
+
+    row = specs()["embed_effective_rank"].fn(spark, sf).collect()[0]
+    assert row.effective_rank == 4.0
+    spark.catalog.clearCache()
+
+
+def test_effective_rank_zero_variance_empty_and_null_elements(
+    spark, tmp_path_factory
+):
+    """Identical vectors -> M == 0 -> trace guard drops the row on BOTH
+    engines (empty result, not NaN). Null elements quantize to 0 like
+    the redundancy entry; parity checked on a mixed-null fixture."""
+    sf = str(tmp_path_factory.mktemp("zero"))
+    _write_embeds(sf, [[1.0, 2.0, 3.0]] * 5)
+    assert not check_query(spark, "embed_effective_rank", sf)
+    from dsacord_spark.plans.catalog import specs
+
+    assert specs()["embed_effective_rank"].fn(spark, sf).count() == 0
+    spark.catalog.clearCache()
+
+    sf2 = str(tmp_path_factory.mktemp("nulls"))
+    _write_embeds(
+        sf2,
+        [[1.0, None, 2.0], [None, 1.5, -1.0], [0.25, 0.75, None], [1.0, 1.0, 1.0]],
+    )
+    assert not check_query(spark, "embed_effective_rank", sf2)
