@@ -4041,3 +4041,241 @@ def embed_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_var_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty / saturation curve: split the corpus into 10 equal
+# deterministic slices (md5(doc_id) % 10 — the corpus_shard_plan
+# assignment), treat slice index as a synthetic ingestion schedule, and
+# measure how much of each slice's 3-gram shingle vocabulary is NEW
+# (first seen in that slice) vs already covered by earlier slices. The
+# Heaps'-law planning curve behind "is more of this corpus still buying
+# diversity?": a flat novelty_rate tail says additional data from the
+# same distribution mostly repeats what the model has seen.
+# Scale: ONE text scan -> linear n-gram explode -> a SINGLE corpus-sized
+# shuffle keyed by shingle hash (groupBy(hg) with map-side partial
+# collect_set bounded by 10 buckets); the per-bucket aggregate is 10
+# rows, so the cum_vocab window is bounded. n_docs comes from a second
+# scan PRUNED to doc_id only (exchange reuse cannot dedupe two different
+# aggregates; a one-int64-column parquet scan is noise at any scale).
+# No joins between corpus-sized frames, no persist, no driver state.
+# ---------------------------------------------------------------------------
+
+_NOVELTY_BUCKETS = 10
+_NOVELTY_N = 3  # n-gram width — the dedup machinery's default shingle
+
+
+def _novelty_sql() -> str:
+    # bucket + tokenizer + hash fragments interpolated from the shared
+    # definitions (md5_long_sql / _TOKS_SQL), never duplicated literals
+    from dsacord_spark.functions.hashing import md5_long_sql
+
+    b = f"{md5_long_sql('CAST(doc_id AS VARCHAR)')} % {_NOVELTY_BUCKETS}"
+    n = _NOVELTY_N
+    return f"""
+    WITH toks AS (
+      SELECT {b} AS b, {_TOKS_SQL.format(c='text')} AS t FROM documents),
+    ngr_s AS (
+      SELECT DISTINCT b, array_to_string(t[i:i+{n - 1}], ' ') AS ng
+      FROM toks,
+           unnest(generate_series(1, greatest(len(t)-{n - 1}, 1))) AS u(i)),
+    pairs AS (SELECT DISTINCT b, {md5_long_sql('ng')} AS hg FROM ngr_s
+              WHERE ng IS NOT NULL AND ng <> ''),
+    firstb AS (SELECT hg, min(b) AS fb FROM pairs GROUP BY hg),
+    per AS (
+      SELECT p.b, count(*) AS seen,
+             SUM(CASE WHEN p.b = f.fb THEN 1 ELSE 0 END) AS new
+      FROM pairs p JOIN firstb f USING (hg) GROUP BY p.b),
+    nd AS (SELECT {b} AS b, count(*) AS n_docs FROM documents GROUP BY 1)
+    SELECT CAST(per.b AS INT) AS bucket,
+           CAST(nd.n_docs AS BIGINT) AS n_docs,
+           CAST(seen AS BIGINT) AS shingles_seen,
+           CAST(new AS BIGINT) AS new_shingles,
+           CAST((2000000 * new + seen) // (2 * seen) AS DOUBLE) / 1000000
+               AS novelty_rate,
+           CAST(SUM(new) OVER (ORDER BY per.b ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_vocab
+    FROM per JOIN nd ON nd.b = per.b
+    """
+
+
+@register(
+    "corpus_novelty_curve",
+    sql=_novelty_sql(),
+    doc=f"N-gram novelty/saturation curve over {_NOVELTY_BUCKETS} "
+    "deterministic md5 corpus slices exposed in index order: per slice, "
+    "distinct 3-gram shingles present, shingles first seen there, the "
+    "novelty rate, and the cumulative vocabulary. One text scan, one "
+    "shingle-keyed shuffle (collect_set bounded by the bucket count), "
+    "10-row output.",
+)
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.functions.hashing import md5_long
+    from dsacord_spark.functions.text import word_ngrams
+
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        md5_long(F.col("doc_id").cast("string")) % _NOVELTY_BUCKETS
+    ).alias("b")
+    # word_ngrams is already array_distinct per doc; cross-doc duplicates
+    # within a bucket collapse in the collect_set below, so no explicit
+    # distinct() (saves one corpus shuffle vs distinct-then-group).
+    # Tokenless docs are excluded from shingle generation on BOTH
+    # engines (their only "shingle" is the empty-slice artifact, which
+    # Spark renders '' and DuckDB NULL — a join-semantics trap, not a
+    # vocabulary item); they still count in n_docs.
+    exploded = (
+        d.select(
+            bucket, F.explode(word_ngrams("text", _NOVELTY_N)).alias("ng")
+        )
+        .filter(F.col("ng") != "")
+        .select("b", md5_long(F.col("ng")).alias("hg"))
+    )
+    per_h = exploded.groupBy("hg").agg(
+        F.min("b").alias("fb"), F.collect_set("b").alias("bs")
+    )
+    per_b = (
+        per_h.select(F.explode("bs").alias("b"), "fb")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("seen"),
+            F.sum(F.when(F.col("b") == F.col("fb"), 1).otherwise(0)).alias(
+                "new"
+            ),
+        )
+    )
+    nd = d.groupBy(bucket).agg(F.count(F.lit(1)).alias("n_docs"))
+    # bounded window: per_b is a grouped aggregate of <= 10 rows
+    wcum = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_b.join(nd, "b").select(
+        F.col("b").cast("int").alias("bucket"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("seen").cast("bigint").alias("shingles_seen"),
+        F.col("new").cast("bigint").alias("new_shingles"),
+        # half-up 6dp rounding in integer math ((2e6*new + seen) div
+        # (2*seen)): new/seen is a small-denominator rational that can
+        # land on exact .xxxxxx5 ties where the engines' round() modes
+        # diverge (the text_readability_ari playbook)
+        (
+            F.expr("(2000000 * new + seen) div (2 * seen)").cast("double")
+            / F.lit(1_000_000)
+        ).alias("novelty_rate"),
+        F.sum("new").over(wcum).cast("bigint").alias("cum_vocab"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus manifest — the per-source "dataset card" a training-data release
+# ships with: volume (docs/tokens/chars), language spread, mean quality,
+# exact-duplicate load, and share of the corpus, in one table. Composes
+# the per-aspect entries (text_stats / text_lang_breakdown / dedup_exact)
+# into the single summary a data curator actually reads first.
+# Scale: one text scan -> groupBy(source, text-hash, lang) (the corpus
+# shuffle, map-side combined); the source-level distinct counts run over
+# THAT deduplicated frame (Expand x2 of the deduped rows, never the raw
+# corpus); the grand total is a bounded window over the #sources-row
+# aggregate. Ratios are half-up-rounded in integer arithmetic (the ARI
+# playbook) — mean quality, dup rate and doc share are all
+# small-denominator rationals. Documented bound: 2e6 * sum(quality10)
+# must fit int64, i.e. < ~4.6e11 docs per source; past that, regrid to
+# DECIMAL before the division.
+# ---------------------------------------------------------------------------
+
+
+def _manifest_sql() -> str:
+    from dsacord_spark.functions.hashing import md5_long_sql
+    from dsacord_spark.plans.analysis import _quality10_sql
+
+    return f"""
+    WITH b AS (
+      SELECT source, lang, {md5_long_sql('text')} AS h,
+             {_quality10_sql('text')} AS s10,
+             len({_TOKS_SQL.format(c='text')}) AS n_toks, n_chars
+      FROM documents),
+    g AS (
+      SELECT source, count(*) AS n_docs, SUM(n_toks) AS n_tokens,
+             SUM(n_chars) AS n_chars, count(DISTINCT lang) AS n_langs,
+             count(DISTINCT h) AS distinct_texts, SUM(s10) AS sq
+      FROM b GROUP BY source),
+    t AS (SELECT SUM(n_docs) AS total FROM g)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           CAST(distinct_texts AS BIGINT) AS distinct_texts,
+           CAST((2000000 * sq + n_docs) // (2 * n_docs) AS DOUBLE)
+               / 1000000 AS mean_quality10,
+           CAST((2000000 * (n_docs - distinct_texts) + n_docs)
+                // (2 * n_docs) AS DOUBLE) / 1000000 AS dup_rate,
+           CAST((2000000 * n_docs + total) // (2 * total) AS DOUBLE)
+               / 1000000 AS doc_share
+    FROM g, t
+    """
+
+
+@register(
+    "corpus_manifest",
+    sql=_manifest_sql(),
+    doc="Per-source dataset card: docs/tokens/chars, distinct languages, "
+    "distinct texts, mean integer-tenths quality, exact-dup rate, and "
+    "corpus doc share. One corpus scan -> (source, hash, lang) combine; "
+    "distinct counts over the deduped frame; integer-exact 6dp ratios.",
+)
+def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.functions.hashing import md5_long
+    from dsacord_spark.functions.text import quality_score10, token_count
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "lang",
+        md5_long(F.col("text")).alias("h"),
+        quality_score10("text").alias("s10"),
+        token_count("text").alias("n_toks"),
+        "n_chars",
+    )
+    g1 = base.groupBy("source", "h", "lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_toks").alias("tk"),
+        F.sum("n_chars").alias("ch"),
+        F.sum("s10").alias("sq1"),
+    )
+    g = g1.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum("tk").alias("n_tokens"),
+        F.sum("ch").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("h").alias("distinct_texts"),
+        F.sum(F.col("sq1")).alias("sq"),
+    )
+    # bounded window: g is the #sources-row aggregate
+    wall = W.partitionBy(F.lit(0)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    g = g.withColumn("total", F.sum("n_docs").over(wall))
+    return g.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.col("distinct_texts").cast("bigint").alias("distinct_texts"),
+        (
+            F.expr("(2000000 * sq + n_docs) div (2 * n_docs)").cast("double")
+            / F.lit(1_000_000)
+        ).alias("mean_quality10"),
+        (
+            F.expr(
+                "(2000000 * (n_docs - distinct_texts) + n_docs)"
+                " div (2 * n_docs)"
+            ).cast("double")
+            / F.lit(1_000_000)
+        ).alias("dup_rate"),
+        (
+            F.expr("(2000000 * n_docs + total) div (2 * total)").cast(
+                "double"
+            )
+            / F.lit(1_000_000)
+        ).alias("doc_share"),
+    )

@@ -11,13 +11,13 @@ import pyarrow.parquet as pq
 from tests.oracle_harness import check_query
 
 
-def _write_docs(sf, texts, sources=None):
+def _write_docs(sf, texts, sources=None, langs=None):
     n = len(texts)
     tbl = pa.table(
         {
             "doc_id": pa.array(range(1, n + 1), pa.int64()),
             "text": pa.array(texts, pa.string()),
-            "lang": pa.array(["en"] * n, pa.string()),
+            "lang": pa.array(langs or ["en"] * n, pa.string()),
             "source": pa.array(
                 sources or [f"s{i % 3}" for i in range(n)], pa.string()
             ),
@@ -329,3 +329,108 @@ def test_effective_rank_zero_variance_empty_and_null_elements(
         [[1.0, None, 2.0], [None, 1.5, -1.0], [0.25, 0.75, None], [1.0, 1.0, 1.0]],
     )
     assert not check_query(spark, "embed_effective_rank", sf2)
+
+
+# --- corpus_novelty_curve ---------------------------------------------------
+
+
+def test_novelty_identical_corpus_all_old_after_first(
+    spark, tmp_path_factory
+):
+    """All docs identical: the lowest populated bucket owns the whole
+    vocabulary (novelty 1.0), every later bucket re-sees it (novelty 0),
+    and cum_vocab is flat at the one-doc shingle count — on both engines."""
+    sf = str(tmp_path_factory.mktemp("ident"))
+    _write_docs(sf, ["the very same document text here"] * 40)
+    assert not check_query(spark, "corpus_novelty_curve", sf)
+
+    from dsacord_spark.plans.reports import corpus_novelty_curve
+
+    rows = sorted(
+        corpus_novelty_curve(spark, sf).collect(), key=lambda r: r.bucket
+    )
+    assert rows[0].novelty_rate == 1.0
+    assert rows[0].new_shingles == rows[0].shingles_seen
+    for r in rows[1:]:
+        assert r.new_shingles == 0 and r.novelty_rate == 0.0
+        assert r.shingles_seen == rows[0].shingles_seen
+        assert r.cum_vocab == rows[0].cum_vocab
+
+
+def test_novelty_disjoint_vocab_rate_one_everywhere(
+    spark, tmp_path_factory
+):
+    """Fully disjoint per-doc vocabularies: every bucket's shingles are
+    first-seen there, so novelty_rate is exactly 1.0 in every bucket and
+    the final cum_vocab equals the corpus-wide distinct shingle count."""
+    sf = str(tmp_path_factory.mktemp("disj"))
+    _write_docs(
+        sf, [f"tok{i}a tok{i}b tok{i}c tok{i}d tok{i}e" for i in range(50)]
+    )
+    assert not check_query(spark, "corpus_novelty_curve", sf)
+
+    from dsacord_spark.plans.reports import corpus_novelty_curve
+
+    rows = corpus_novelty_curve(spark, sf).collect()
+    assert all(r.novelty_rate == 1.0 for r in rows)
+    assert max(r.cum_vocab for r in rows) == sum(r.new_shingles for r in rows)
+
+
+def test_novelty_empty_texts_no_vocabulary(spark, tmp_path_factory):
+    """All-empty texts contribute NO shingles on either engine (the
+    empty-slice artifact is '' on Spark but NULL on DuckDB — the entry
+    excludes tokenless docs from shingle generation entirely, so the
+    divergence can't surface): the result is empty on both."""
+    sf = str(tmp_path_factory.mktemp("empty"))
+    _write_docs(sf, [""] * 25)
+    assert not check_query(spark, "corpus_novelty_curve", sf)
+
+    from dsacord_spark.plans.reports import corpus_novelty_curve
+
+    assert corpus_novelty_curve(spark, sf).count() == 0
+
+
+# --- corpus_manifest --------------------------------------------------------
+
+
+def test_manifest_planted_duplicates_and_langs(spark, tmp_path_factory):
+    """Planted exact duplicates and a controlled language mix: dup_rate
+    and n_langs must be exact on both engines. Source 'dupy': 10 docs, 4
+    copies of one text (7 distinct -> dup_rate 0.3), langs en/fr."""
+    texts = (
+        ["copy me"] * 4
+        + [f"dupy own {i}" for i in range(6)]
+        + [f"clean {i}" for i in range(10)]
+    )
+    sources = ["dupy"] * 10 + ["clean"] * 10
+    langs = ["en", "fr"] * 5 + ["en"] * 10
+    sf = str(tmp_path_factory.mktemp("mani"))
+    _write_docs(sf, texts, sources, langs)
+    assert not check_query(spark, "corpus_manifest", sf)
+
+    from dsacord_spark.plans.reports import corpus_manifest
+
+    by_src = {r.source: r for r in corpus_manifest(spark, sf).collect()}
+    assert by_src["dupy"].distinct_texts == 7
+    assert by_src["dupy"].dup_rate == 0.3
+    assert by_src["dupy"].n_langs == 2
+    assert by_src["clean"].dup_rate == 0.0
+    assert by_src["clean"].n_langs == 1
+    assert by_src["dupy"].doc_share == 0.5 == by_src["clean"].doc_share
+
+
+def test_manifest_single_source_full_share(spark, tmp_path_factory):
+    """One source owns the corpus: doc_share is exactly 1.0 and the
+    token/char sums equal direct recounts."""
+    texts = [f"alpha beta gamma {i}" for i in range(12)]
+    sf = str(tmp_path_factory.mktemp("solo"))
+    _write_docs(sf, texts, ["only"] * 12)
+    assert not check_query(spark, "corpus_manifest", sf)
+
+    from dsacord_spark.plans.reports import corpus_manifest
+
+    (row,) = corpus_manifest(spark, sf).collect()
+    assert row.doc_share == 1.0
+    assert row.n_docs == 12 and row.distinct_texts == 12
+    assert row.n_tokens == sum(len(t.split()) for t in texts)
+    assert row.n_chars == sum(len(t) for t in texts)
