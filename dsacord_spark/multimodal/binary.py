@@ -159,15 +159,16 @@ def make_png_bytes(seed: bytes, width: int = 8, height: int = 8) -> bytes:
     )
 
 
-def _png_pixel_feature(data: bytes) -> list[float] | None:
-    """REAL pixel-level feature for 8-bit non-interlaced PNGs, pure
-    stdlib: walk the chunk stream, inflate the concatenated IDATs with
-    zlib, reverse the per-scanline filters (None/Sub/Up/Average/Paeth —
-    the five filters of the public PNG spec), and compute the same
-    quadrant-luma feature the BMP tier emits. Supports color types 0
-    (gray), 2 (RGB), 4 (gray+alpha) and 6 (RGBA); returns None for
-    palette, 16-bit, or interlaced images (those need more machinery
-    than a feature probe justifies)."""
+def _png_luma_grid(data: bytes) -> tuple[int, int, list[list[float]]] | None:
+    """REAL pixel decode for 8-bit non-interlaced PNGs, pure stdlib: walk
+    the chunk stream, inflate the concatenated IDATs with zlib, reverse
+    the per-scanline filters (None/Sub/Up/Average/Paeth — the five
+    filters of the public PNG spec), and return the row-major per-pixel
+    luma grid as (width, height, rows). Supports color types 0 (gray),
+    2 (RGB), 4 (gray+alpha) and 6 (RGBA); returns None for palette,
+    16-bit, or interlaced images (those need more machinery than a
+    feature probe justifies). Shared by the quadrant-luma feature and
+    the perceptual-hash (dHash) kernel."""
     import struct
     import zlib
 
@@ -227,24 +228,45 @@ def _png_pixel_feature(data: bytes) -> list[float] | None:
             return None
         out[y * stride : (y + 1) * stride] = line
         prev = bytes(line)
-    # quadrant luma means (same layout as the BMP tier)
+    rows: list[list[float]] = []
+    for y in range(h):
+        row = out[y * stride : (y + 1) * stride]
+        lr = []
+        for x in range(w):
+            px = row[x * n_ch : (x + 1) * n_ch]
+            if color_type in (0, 4):
+                lr.append(float(px[0]))
+            else:
+                lr.append(0.299 * px[0] + 0.587 * px[1] + 0.114 * px[2])
+        rows.append(lr)
+    return w, h, rows
+
+
+def _quadrant_feature(w: int, h: int, rows: list[list[float]]) -> list[float]:
+    """Quadrant luma means over a luma grid, scaled to [-1, 1], plus the
+    mirrored complements (the stable 8-dim layout shared by every image
+    decode tier). Row-major accumulation order — identical IEEE sums to
+    the pre-refactor in-line loops, so the golden pins hold."""
     sums = [0.0] * 4
     counts = [0] * 4
     for y in range(h):
         qy = 0 if y < h // 2 else 1
-        row = out[y * stride : (y + 1) * stride]
         for x in range(w):
-            px = row[x * n_ch : (x + 1) * n_ch]
-            if color_type in (0, 4):
-                luma = float(px[0])
-            else:
-                luma = 0.299 * px[0] + 0.587 * px[1] + 0.114 * px[2]
             q = qy * 2 + (0 if x < w // 2 else 1)
-            sums[q] += luma
+            sums[q] += rows[y][x]
             counts[q] += 1
     means = [s / c if c else 0.0 for s, c in zip(sums, counts)]
     feat = [(m / 255.0) * 2.0 - 1.0 for m in means]
     return feat + [-f for f in feat]
+
+
+def _png_pixel_feature(data: bytes) -> list[float] | None:
+    """Quadrant-luma feature for PNGs (see _png_luma_grid for the real
+    pixel decode; same layout as the BMP tier)."""
+    g = _png_luma_grid(data)
+    if g is None:
+        return None
+    return _quadrant_feature(*g)
 
 
 def make_wav_bytes(seed: bytes, n_frames: int = 128, sample_rate: int = 8000,
@@ -362,10 +384,13 @@ def _fake_decode_one(data: bytes) -> dict:
     }
 
 
-def _bmp_pixel_feature(data: bytes, width: int, height: int) -> list[float] | None:
-    """REAL pixel-level feature for uncompressed 24-bit BMPs, no codec
-    needed: per-quadrant luma means over the raw BGR rows, scaled to
-    [-1, 1]. Returns None for compressed/other-depth BMPs."""
+def _bmp_luma_grid(
+    data: bytes, width: int, height: int
+) -> list[list[float]] | None:
+    """Row-major per-pixel luma grid for uncompressed 24-bit BMPs, no
+    codec needed (raw BGR rows per the public BITMAPINFOHEADER layout).
+    Returns None for compressed/other-depth BMPs. Shared by the
+    quadrant-luma feature and the perceptual-hash (dHash) kernel."""
     import struct
 
     if len(data) < 30:
@@ -379,22 +404,56 @@ def _bmp_pixel_feature(data: bytes, width: int, height: int) -> list[float] | No
     stride = row_raw + (4 - row_raw % 4) % 4
     if len(data) < pixel_offset + stride * height:
         return None
-    sums = [0.0] * 4
-    counts = [0] * 4
+    rows: list[list[float]] = []
     for y in range(height):
         row = data[pixel_offset + y * stride : pixel_offset + y * stride + row_raw]
-        qy = 0 if y < height // 2 else 1
+        lr = []
         for x in range(width):
             b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
-            luma = 0.299 * r + 0.587 * g + 0.114 * b
-            q = qy * 2 + (0 if x < width // 2 else 1)
-            sums[q] += luma
-            counts[q] += 1
-    means = [s / c if c else 0.0 for s, c in zip(sums, counts)]
-    # 8-dim: quadrant means plus mirrored complements (stable layout
-    # shared with the other decode tiers)
-    feat = [(m / 255.0) * 2.0 - 1.0 for m in means]
-    return feat + [-f for f in feat]
+            lr.append(0.299 * r + 0.587 * g + 0.114 * b)
+        rows.append(lr)
+    return rows
+
+
+def _bmp_pixel_feature(data: bytes, width: int, height: int) -> list[float] | None:
+    """Quadrant-luma feature for uncompressed 24-bit BMPs (see
+    _bmp_luma_grid; 8-dim layout shared with the other decode tiers)."""
+    rows = _bmp_luma_grid(data, width, height)
+    if rows is None:
+        return None
+    return _quadrant_feature(width, height, rows)
+
+
+def _dhash64(w: int, h: int, rows: list[list[float]]) -> int:
+    """64-bit difference hash (classic public dHash): box-mean
+    downsample the luma grid to a 9x8 cell grid, set bit (r*8+c) when
+    the cell to the right is strictly brighter. Near-identical images
+    differ in a handful of bits (Hamming distance), unrelated images in
+    ~32. Returned as a SIGNED 64-bit int (two's complement) so it
+    round-trips Spark's bigint without a float detour."""
+    gw, gh = 9, 8
+    cells: list[list[float]] = []
+    for r in range(gh):
+        y0 = r * h // gh
+        y1 = max((r + 1) * h // gh, y0 + 1)
+        crow = []
+        for c in range(gw):
+            x0 = c * w // gw
+            x1 = max((c + 1) * w // gw, x0 + 1)
+            tot = 0.0
+            n = 0
+            for y in range(y0, min(y1, h)):
+                for x in range(x0, min(x1, w)):
+                    tot += rows[y][x]
+                    n += 1
+            crow.append(tot / n if n else 0.0)
+        cells.append(crow)
+    v = 0
+    for r in range(gh):
+        for c in range(gw - 1):
+            if cells[r][c + 1] > cells[r][c]:
+                v |= 1 << (r * 8 + c)
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def _decode_one(data: bytes) -> dict:
@@ -528,6 +587,181 @@ def decode_images(media: DataFrame) -> DataFrame:
     return media.select("media_id", "data").mapInPandas(
         decode_batches, schema=IMAGE_META_SCHEMA
     )
+
+
+IMAGE_HASH_SCHEMA = (
+    "media_id long, format string, width int, height int, dhash long"
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """mapInPandas perceptual hash: (media_id, data) -> 64-bit dHash over
+    the REAL decoded luma grid (the stdlib BMP/PNG pixel tiers). Rows
+    whose pixels can't be decoded (palette/16-bit/interlaced PNG,
+    compressed BMP, non-image bytes) get a NULL dhash — callers filter.
+    The dhash column is built as a nullable Arrow int64 explicitly: a
+    plain object/float pandas column would round 64-bit hashes through
+    float64 and corrupt them."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fmts, ws, hs, dhs = [], [], [], [], []
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(data)
+                sn = _sniff_header(data)
+                fmt = sn["format"] if sn else None
+                w = sn.get("width") if sn else None
+                h = sn.get("height") if sn else None
+                grid = None
+                if fmt == "bmp" and w and h:
+                    rows = _bmp_luma_grid(data, w, h)
+                    if rows is not None:
+                        grid = (w, h, rows)
+                elif fmt == "png":
+                    grid = _png_luma_grid(data)
+                ids.append(int(media_id))
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                dhs.append(_dhash64(*grid) if grid is not None else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "format": pd.array(fmts, dtype="object"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "dhash": pd.array(dhs, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        batches, schema=IMAGE_HASH_SCHEMA
+    )
+
+
+def perturb_images(media: DataFrame) -> DataFrame:
+    """Deterministic one-pixel perturbation: for uncompressed 24-bit
+    BMPs, flip the top bit of the first pixel's blue channel (a single
+    corner pixel shifts by ~15 luma units — a visually trivial edit that
+    moves the dHash by at most a couple of bits). Other formats pass
+    through byte-identical (PNG would need a re-encoder; an identical
+    twin is still a legitimate near-duplicate: Hamming 0). Used to plant
+    known near-duplicates in the synthesized corpus, which has none
+    naturally."""
+    import struct
+
+    schema = media.schema
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for data in pdf["data"]:
+                data = bytes(data)
+                sn = _sniff_header(data)
+                if sn and sn["format"] == "bmp" and len(data) >= 14:
+                    off = struct.unpack("<I", data[10:14])[0]
+                    if off < len(data):
+                        buf = bytearray(data)
+                        buf[off] ^= 0x80
+                        data = bytes(buf)
+                out.append(data)
+            pdf = pdf.copy()
+            pdf["data"] = out
+            yield pdf
+
+    return media.mapInPandas(batches, schema=schema)
+
+
+def _wav_ehash64(data: bytes) -> int | None:
+    """64-bit temporal-envelope difference hash for 16-bit PCM WAVs —
+    the audio analogue of dHash: 65 segment RMS values over the sample
+    stream, bit k set when segment k+1 is strictly louder than segment
+    k. Robust to small per-sample edits (one sample moves at most the
+    two comparisons that touch its segment), unrelated audio disagrees
+    on ~half the bits. Returns None for non-WAV / non-16-bit input.
+    Returned as a SIGNED 64-bit int (two's complement) so it round-trips
+    Spark's bigint without a float detour."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            n_frames = w.getnframes()
+            width = w.getsampwidth()
+            frames = w.readframes(n_frames)
+    except (wave.Error, EOFError, struct.error):
+        return None
+    if width != 2 or not n_frames:
+        return None
+    samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+    n_seg = 65
+    seg = max(1, len(samples) // n_seg)
+    env = []
+    for i in range(n_seg):
+        chunk = samples[i * seg : (i + 1) * seg]
+        if chunk:
+            env.append((sum(s * s for s in chunk) / len(chunk)) ** 0.5)
+        else:
+            env.append(0.0)
+    v = 0
+    for k in range(64):
+        if env[k + 1] > env[k]:
+            v |= 1 << k
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+AUDIO_HASH_SCHEMA = "media_id long, ehash long"
+
+
+def audio_ehash(media: DataFrame) -> DataFrame:
+    """mapInPandas audio fingerprint: (media_id, data) -> 64-bit envelope
+    difference hash (see _wav_ehash64). NULL for undecodable rows. The
+    hash column is a nullable Arrow int64 explicitly — a float pandas
+    column would corrupt 64-bit hashes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ehs = [], []
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                ids.append(int(media_id))
+                ehs.append(_wav_ehash64(bytes(data)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "ehash": pd.array(ehs, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        batches, schema=AUDIO_HASH_SCHEMA
+    )
+
+
+def perturb_audio(media: DataFrame) -> DataFrame:
+    """Deterministic one-sample perturbation for RIFF/WAVE bytes: flip a
+    mid-amplitude bit in the final PCM sample (an inaudible click). For
+    short files whose tail falls outside the hashed 65-segment window
+    the twin hashes identically — still a legitimate near-duplicate
+    (Hamming 0). Non-WAV bytes pass through unchanged. Used to plant
+    known near-duplicates in the synthesized corpus."""
+    schema = media.schema
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for data in pdf["data"]:
+                data = bytes(data)
+                if len(data) > 44 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                    buf = bytearray(data)
+                    buf[-1] ^= 0x40
+                    data = bytes(buf)
+                out.append(data)
+            pdf = pdf.copy()
+            pdf["data"] = out
+            yield pdf
+
+    return media.mapInPandas(batches, schema=schema)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 5) -> DataFrame:
@@ -760,6 +994,95 @@ def _bgr_frame_luma(frame: bytes, width: int, height: int) -> float:
             total += 0.299 * r + 0.587 * g + 0.114 * b
             n += 1
     return total / n if n else 0.0
+
+
+def _avi_vhash64(data: bytes) -> int | None:
+    """64-bit spatio-temporal fingerprint for raw-BGR AVIs: sample 8
+    frames evenly across the stream; per frame, 9 column-luma means give
+    8 left-vs-right comparisons (the dHash trick per frame), packing
+    8 frames x 8 bits. A one-pixel edit moves at most the two
+    comparisons touching its column in one sampled frame; unrelated
+    clips disagree on ~half the bits. Returns None for non-AVI bytes or
+    an AVI with no frame chunks. Returned as a SIGNED 64-bit int."""
+    meta = parse_avi(data)
+    if meta is None or not meta["frames"] or not meta.get("width"):
+        return None
+    w, h = meta["width"], meta["height"]
+    frames = meta["frames"]
+    nf = len(frames)
+    row_raw = w * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    v = 0
+    for fi in range(8):
+        frame = frames[fi * nf // 8]
+        colmeans = []
+        for c in range(9):
+            x0 = c * w // 9
+            x1 = max((c + 1) * w // 9, x0 + 1)
+            tot = 0.0
+            n = 0
+            for y in range(h):
+                row = frame[y * stride : y * stride + row_raw]
+                for x in range(x0, min(x1, len(row) // 3)):
+                    b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+                    tot += 0.299 * r + 0.587 * g + 0.114 * b
+                    n += 1
+            colmeans.append(tot / n if n else 0.0)
+        for c in range(8):
+            if colmeans[c + 1] > colmeans[c]:
+                v |= 1 << (fi * 8 + c)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+VIDEO_HASH_SCHEMA = "media_id long, vhash long"
+
+
+def video_vhash(media: DataFrame) -> DataFrame:
+    """mapInPandas video fingerprint: (media_id, data) -> 64-bit
+    spatio-temporal hash (see _avi_vhash64). NULL for undecodable rows;
+    nullable Arrow int64 explicitly (no float corruption)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, vhs = [], []
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                ids.append(int(media_id))
+                vhs.append(_avi_vhash64(bytes(data)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "vhash": pd.array(vhs, dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        batches, schema=VIDEO_HASH_SCHEMA
+    )
+
+
+def perturb_video(media: DataFrame) -> DataFrame:
+    """Deterministic one-pixel perturbation for RIFF/AVI bytes: flip the
+    top bit of the final byte (a pixel channel in the last frame chunk).
+    When the last frame isn't among the 8 sampled the twin hashes
+    identically — still a legitimate near-duplicate (Hamming 0).
+    Non-AVI bytes pass through unchanged."""
+    schema = media.schema
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for data in pdf["data"]:
+                data = bytes(data)
+                if len(data) > 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                    buf = bytearray(data)
+                    buf[-1] ^= 0x80
+                    data = bytes(buf)
+                out.append(data)
+            pdf = pdf.copy()
+            pdf["data"] = out
+            yield pdf
+
+    return media.mapInPandas(batches, schema=schema)
 
 
 VIDEO_META_SCHEMA = (

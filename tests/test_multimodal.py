@@ -453,3 +453,210 @@ class TestPngDecode:
             ).select("format").distinct().collect()
         }
         assert {"png", "bmp"} <= fmts, fmts
+
+
+# --- perceptual hash (dHash) -------------------------------------------------
+
+
+def test_dhash_deterministic_and_format_agnostic_content():
+    """Same pixels -> same hash on repeated decode; BMP and PNG built
+    from the SAME md5 pixel stream hash close to each other only when
+    the streams actually match (the builders use different stream salts,
+    so these two differ — we assert determinism, not cross-format
+    equality)."""
+    seed = b"\x01" * 16
+    bmp = mm.make_bmp_bytes(seed, width=12, height=10)
+    g1 = mm._bmp_luma_grid(bmp, 12, 10)
+    g2 = mm._bmp_luma_grid(bmp, 12, 10)
+    assert g1 == g2
+    assert mm._dhash64(12, 10, g1) == mm._dhash64(12, 10, g2)
+
+
+def test_dhash_one_pixel_bmp_edit_small_hamming():
+    """The perturb_images edit (flip 0x80 in the first pixel's blue
+    channel) must move the dHash by only a few bits — the whole premise
+    of perceptual dedup."""
+    seed = b"\x42" * 16
+    bmp = mm.make_bmp_bytes(seed, width=9, height=8)
+    off = struct.unpack("<I", bmp[10:14])[0]
+    edited = bytearray(bmp)
+    edited[off] ^= 0x80
+    h0 = mm._dhash64(9, 8, mm._bmp_luma_grid(bmp, 9, 8))
+    h1 = mm._dhash64(9, 8, mm._bmp_luma_grid(bytes(edited), 9, 8))
+    ham = bin((h0 ^ h1) & ((1 << 64) - 1)).count("1")
+    assert ham <= 4, f"one-pixel edit moved {ham} bits"
+
+
+def test_dhash_unrelated_images_far_apart():
+    """Independent random images should disagree on roughly half the 64
+    comparison bits — well past any near-dup radius."""
+    h = []
+    for b in (b"\x07", b"\x99", b"\xee"):
+        bmp = mm.make_bmp_bytes(b * 16, width=16, height=16)
+        h.append(mm._dhash64(16, 16, mm._bmp_luma_grid(bmp, 16, 16)))
+    for i in range(len(h)):
+        for j in range(i + 1, len(h)):
+            ham = bin((h[i] ^ h[j]) & ((1 << 64) - 1)).count("1")
+            assert ham > 10, f"unrelated images at hamming {ham}"
+
+
+def test_dhash_png_grid_matches_bmp_grid_for_same_pixels():
+    """A PNG and BMP encoding the SAME raw RGB rows must produce the
+    SAME luma grid (hence the same dHash): pixel decode is
+    format-independent. Uses the public builders' layouts directly."""
+    w, ht = 6, 4
+    rgb = bytes(range(17, 17 + w * ht * 3))  # deterministic RGB rows
+
+    # PNG: filter-0 scanlines of the rgb rows
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for y in range(ht):
+        raw += b"\x00" + rgb[y * w * 3 : (y + 1) * w * 3]
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, ht, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    # BMP: same rows, but stored as BGR with 4-byte row padding
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    body = bytearray()
+    for y in range(ht):
+        row = rgb[y * row_raw : (y + 1) * row_raw]
+        for x in range(w):
+            r, g, b = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+            body += bytes((b, g, r))
+        body += b"\x00" * pad
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, ht, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    bmp = header + info + bytes(body)
+
+    gp = mm._png_luma_grid(png)
+    gb = mm._bmp_luma_grid(bmp, w, ht)
+    assert gp is not None and gb is not None
+    assert gp == (w, ht, gb)
+    assert mm._dhash64(*gp) == mm._dhash64(w, ht, gb)
+
+
+def test_image_dhash_dataframe_roundtrip(spark):
+    """image_dhash end-to-end through Arrow: hashes survive as exact
+    int64 (no float corruption), undecodable bytes yield NULL dhash."""
+    bmp = mm.make_bmp_bytes(b"\x33" * 16, width=10, height=9)
+    png = mm.make_png_bytes(b"\x44" * 16, width=8, height=8)
+    rows = [(1, bmp), (2, png), (3, b"not an image at all")]
+    media = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {r.media_id: r for r in mm.image_dhash(media).collect()}
+    assert got[1].format == "bmp" and got[1].width == 10
+    assert got[1].dhash == mm._dhash64(10, 9, mm._bmp_luma_grid(bmp, 10, 9))
+    assert got[2].format == "png"
+    assert got[2].dhash == mm._dhash64(*mm._png_luma_grid(png))
+    assert got[3].dhash is None and got[3].format is None
+
+
+# --- audio envelope fingerprint ----------------------------------------------
+
+
+def test_wav_ehash_deterministic_and_sample_edit_small():
+    """Envelope hash is stable across decodes, and a one-sample edit
+    (the perturb_audio flip) moves it by at most 2 bits — or 0 when the
+    edited tail sample falls outside the 65-segment window."""
+    wav = mm.make_wav_bytes(b"\x21" * 16, n_frames=260)
+    h0 = mm._wav_ehash64(wav)
+    assert h0 == mm._wav_ehash64(wav)
+    edited = bytearray(wav)
+    edited[-1] ^= 0x40
+    h1 = mm._wav_ehash64(bytes(edited))
+    ham = bin((h0 ^ h1) & ((1 << 64) - 1)).count("1")
+    assert ham <= 2, f"one-sample edit moved {ham} bits"
+
+
+def test_wav_ehash_unrelated_clips_far_apart():
+    """Independent random clips disagree on many comparison bits."""
+    h = [
+        mm._wav_ehash64(mm.make_wav_bytes(b * 16, n_frames=300))
+        for b in (b"\x05", b"\x77", b"\xcd")
+    ]
+    for i in range(len(h)):
+        for j in range(i + 1, len(h)):
+            ham = bin((h[i] ^ h[j]) & ((1 << 64) - 1)).count("1")
+            assert ham > 10, f"unrelated clips at hamming {ham}"
+
+
+def test_wav_ehash_rejects_non_wav():
+    assert mm._wav_ehash64(b"definitely not a RIFF file") is None
+    bmp = mm.make_bmp_bytes(b"\x11" * 16)
+    assert mm._wav_ehash64(bmp) is None
+
+
+def test_audio_ehash_dataframe_roundtrip(spark):
+    """audio_ehash end-to-end through Arrow: exact int64 hashes, NULL
+    for undecodable rows; perturb_audio only touches RIFF/WAVE bytes."""
+    wav = mm.make_wav_bytes(b"\x66" * 16, n_frames=128)
+    rows = [(1, wav), (2, b"not audio")]
+    media = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {r.media_id: r for r in mm.audio_ehash(media).collect()}
+    assert got[1].ehash == mm._wav_ehash64(wav)
+    assert got[2].ehash is None
+    pert = {
+        r.media_id: bytes(r.data)
+        for r in mm.perturb_audio(media).collect()
+    }
+    assert pert[1] != wav and len(pert[1]) == len(wav)
+    assert pert[2] == b"not audio"
+
+
+# --- video spatio-temporal fingerprint ---------------------------------------
+
+
+def test_avi_vhash_deterministic_and_pixel_edit_small():
+    """Fingerprint is stable across decodes; the perturb_video edit
+    (flip 0x80 in the last frame's final pixel byte) moves it by at most
+    2 bits — or 0 when the last frame isn't among the 8 sampled."""
+    avi = mm.make_avi_bytes(b"\x31" * 16, width=8, height=6, n_frames=8)
+    h0 = mm._avi_vhash64(avi)
+    assert h0 == mm._avi_vhash64(avi)
+    edited = bytearray(avi)
+    edited[-1] ^= 0x80
+    h1 = mm._avi_vhash64(bytes(edited))
+    ham = bin((h0 ^ h1) & ((1 << 64) - 1)).count("1")
+    assert ham <= 2, f"one-pixel edit moved {ham} bits"
+
+
+def test_avi_vhash_unrelated_clips_far_apart():
+    h = [
+        mm._avi_vhash64(mm.make_avi_bytes(b * 16, width=8, height=6,
+                                          n_frames=10))
+        for b in (b"\x09", b"\x55", b"\xbb")
+    ]
+    for i in range(len(h)):
+        for j in range(i + 1, len(h)):
+            ham = bin((h[i] ^ h[j]) & ((1 << 64) - 1)).count("1")
+            assert ham > 10, f"unrelated clips at hamming {ham}"
+
+
+def test_avi_vhash_rejects_non_avi():
+    assert mm._avi_vhash64(b"not a riff container") is None
+    assert mm._avi_vhash64(mm.make_wav_bytes(b"\x13" * 16)) is None
+
+
+def test_video_vhash_dataframe_roundtrip(spark):
+    avi = mm.make_avi_bytes(b"\x77" * 16, width=8, height=6, n_frames=7)
+    rows = [(1, avi), (2, b"junk bytes")]
+    media = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {r.media_id: r for r in mm.video_vhash(media).collect()}
+    assert got[1].vhash == mm._avi_vhash64(avi)
+    assert got[2].vhash is None
+    pert = {
+        r.media_id: bytes(r.data)
+        for r in mm.perturb_video(media).collect()
+    }
+    assert pert[1] != avi and len(pert[1]) == len(avi)
+    assert pert[2] == b"junk bytes"

@@ -35,6 +35,9 @@ _PYTHON_KERNEL_OK = {
     "multimodal_frame_sample",
     "multimodal_resize",
     "multimodal_binary_stats",
+    "multimodal_phash_dedup",  # pixel decode + dHash kernel
+    "multimodal_audio_fingerprint_dedup",  # PCM decode + envelope hash
+    "multimodal_video_fingerprint_dedup",  # AVI demux + frame hash
     "text_compression_ratio",  # zlib kernel
     # UDX surface (the POINT of these entries is the Python UDF API)
     "udtf_sentence_split",

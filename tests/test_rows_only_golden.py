@@ -1,7 +1,7 @@
 """Golden-value gates for the rows-only catalog entries (VERDICT r2 #5).
 
-Seven catalog entries can never hash-match a DuckDB oracle: the five
-multimodal queries decode binary media DuckDB can't parse, the
+Ten catalog entries can never hash-match a DuckDB oracle: the eight
+multimodal queries decode/hash binary media DuckDB can't parse, the
 compression-ratio query needs zlib, and the streaming HLL query's
 estimates are engine-specific. Their driver check is rows-only — so
 THIS file is their value oracle: every entry's FULL result at sf0.001
@@ -65,6 +65,27 @@ GOLDEN = {
         3,
         "302d8f9981cb663698d6b1e335483a765e320199603c0ea04aaea97e8cb068e6",
         "143|'P'",
+    ),
+    # every planted perturbed twin recovered (hamming <= 1), zero
+    # false-positive pairs among the unrelated images
+    "multimodal_phash_dedup": (
+        17,
+        "1cd7ed01f27f456d480c73db01ce71f6d15ff9ae695c8a0ee319b1000ac66189",
+        "0|0|1000000",
+    ),
+    # every planted one-sample-edit twin recovered, zero false positives
+    # among the unrelated audio clips
+    "multimodal_audio_fingerprint_dedup": (
+        17,
+        "1fcc1ecc615d8f2e38bc72e7a54c212430e8e7ef1c8bab777c44427a7c552023",
+        "0|121|1000121",
+    ),
+    # every planted one-pixel-edit twin recovered, zero false positives
+    # among the unrelated video clips
+    "multimodal_video_fingerprint_dedup": (
+        17,
+        "6c7470162a801e9d5b8195c60966c3e34c453e18f3e4fd0337606aee4e3f5dad",
+        "0|122|1000122",
     ),
 }
 
