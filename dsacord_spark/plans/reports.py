@@ -4279,3 +4279,106 @@ def corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000)
         ).alias("doc_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation scorecard: per labeled language, the support /
+# predicted / correct counts and precision, recall, F1 of the lang_id
+# heuristic against the labeled `lang` column — the classifier-QA table
+# behind text_lang_breakdown's raw confusion matrix (is the lang-ID gate
+# good enough to route documents at 100 TB?). One corpus scan -> the
+# (lang, guess) confusion aggregate (persisted: the support and
+# predicted branches both read it — tiny, <= |langs|^2 rows); everything
+# downstream is bounded by the language count. F1 is computed as
+# 2*correct / (predicted + support) — the algebraically equal form whose
+# operands stay integers, so the ARI integer-rounding playbook applies
+# to all three ratios (no nested float division).
+# ---------------------------------------------------------------------------
+
+
+def _langid_eval_sql() -> str:
+    from dsacord_spark.plans.analysis import _lang_id_sql
+
+    return f"""
+    WITH cm AS (
+      SELECT lang, {_lang_id_sql('text')} AS g, count(*) AS n
+      FROM documents GROUP BY 1, 2),
+    sup AS (
+      SELECT lang, SUM(n) AS support,
+             SUM(CASE WHEN g = lang THEN n ELSE 0 END) AS correct
+      FROM cm GROUP BY lang),
+    pred AS (SELECT g, SUM(n) AS predicted FROM cm GROUP BY g)
+    SELECT s.lang,
+           CAST(s.support AS BIGINT) AS support,
+           CAST(COALESCE(p.predicted, 0) AS BIGINT) AS predicted,
+           CAST(s.correct AS BIGINT) AS correct,
+           CASE WHEN COALESCE(p.predicted, 0) = 0 THEN 0.0
+                ELSE CAST((2000000 * s.correct + p.predicted)
+                          // (2 * p.predicted) AS DOUBLE) / 1000000
+           END AS precision,
+           CAST((2000000 * s.correct + s.support) // (2 * s.support)
+                AS DOUBLE) / 1000000 AS recall,
+           CAST((2000000 * 2 * s.correct + (COALESCE(p.predicted, 0) + s.support))
+                // (2 * (COALESCE(p.predicted, 0) + s.support)) AS DOUBLE)
+               / 1000000 AS f1
+    FROM sup s LEFT JOIN pred p ON p.g = s.lang
+    """
+
+
+@register(
+    "text_langid_eval",
+    sql=_langid_eval_sql(),
+    doc="Per-language precision/recall/F1 scorecard of the lang-ID "
+    "heuristic vs the labeled lang column. One corpus scan -> persisted "
+    "(lang, guess) confusion aggregate; bounded joins; integer-exact "
+    "6dp ratios (F1 as 2c/(p+s) keeps operands integral).",
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.functions.text import lang_id
+
+    d = table(spark, sf_dir, "documents")
+    # persisted: support and predicted are DIFFERENT aggregates over this
+    # frame (exchange reuse cannot dedupe them) — unpersisted, the corpus
+    # scan + confusion shuffle would run twice. <= |langs|^2 rows.
+    cm = (
+        d.groupBy(F.col("lang"), lang_id("text").alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    sup = cm.groupBy("lang").agg(
+        F.sum("n").alias("support"),
+        F.sum(F.when(F.col("g") == F.col("lang"), F.col("n")).otherwise(0)).alias(
+            "correct"
+        ),
+    )
+    pred = cm.groupBy("g").agg(F.sum("n").alias("predicted"))
+    j = sup.join(
+        F.broadcast(pred), sup["lang"] == pred["g"], "left"
+    ).withColumn("predicted", F.coalesce(F.col("predicted"), F.lit(0)))
+    return j.select(
+        "lang",
+        F.col("support").cast("bigint").alias("support"),
+        F.col("predicted").cast("bigint").alias("predicted"),
+        F.col("correct").cast("bigint").alias("correct"),
+        F.when(F.col("predicted") == 0, F.lit(0.0))
+        .otherwise(
+            F.expr(
+                "(2000000 * correct + predicted) div (2 * predicted)"
+            ).cast("double")
+            / F.lit(1_000_000)
+        )
+        .alias("precision"),
+        (
+            F.expr("(2000000 * correct + support) div (2 * support)").cast(
+                "double"
+            )
+            / F.lit(1_000_000)
+        ).alias("recall"),
+        (
+            F.expr(
+                "(2000000 * 2 * correct + (predicted + support))"
+                " div (2 * (predicted + support))"
+            ).cast("double")
+            / F.lit(1_000_000)
+        ).alias("f1"),
+    )

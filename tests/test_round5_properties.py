@@ -434,3 +434,57 @@ def test_manifest_single_source_full_share(spark, tmp_path_factory):
     assert row.n_docs == 12 and row.distinct_texts == 12
     assert row.n_tokens == sum(len(t.split()) for t in texts)
     assert row.n_chars == sum(len(t) for t in texts)
+
+
+# --- text_langid_eval ---------------------------------------------------------
+
+
+def test_langid_eval_perfect_and_never_predicted(spark, tmp_path_factory):
+    """A corpus the heuristic classifies perfectly (pure stopword texts,
+    matching labels) scores precision=recall=f1=1.0 exactly; a label the
+    heuristic never predicts ('xx' on numeric gibberish -> guess 'und')
+    gets predicted=0, precision 0.0 (the div0 guard), recall 0.0 — on
+    both engines."""
+    texts = (
+        ["the and of to is in"] * 5
+        + ["der die das und ist nicht"] * 4
+        + ["12345 67890 99999"] * 3
+    )
+    langs = ["en"] * 5 + ["de"] * 4 + ["xx"] * 3
+    sf = str(tmp_path_factory.mktemp("lid"))
+    _write_docs(sf, texts, None, langs)
+    assert not check_query(spark, "text_langid_eval", sf)
+
+    from dsacord_spark.plans.reports import text_langid_eval
+
+    by = {r.lang: r for r in text_langid_eval(spark, sf).collect()}
+    assert by["en"].precision == 1.0 == by["en"].recall == by["en"].f1
+    assert by["de"].f1 == 1.0
+    assert by["xx"].predicted == 0
+    assert by["xx"].precision == 0.0 and by["xx"].recall == 0.0
+    spark.catalog.clearCache()
+
+
+def test_langid_eval_asymmetric_confusion(spark, tmp_path_factory):
+    """Mislabeling in ONE direction: es-labeled docs written with French
+    stopwords deflate fr precision but not es recall's denominator —
+    the support/predicted split must stay per-side exact. es: support 4,
+    predicted 0; fr: predicted includes the 4 impostors."""
+    texts = (
+        ["le la les et est dans"] * 6       # labeled fr, guessed fr
+        + ["le la les et est pour"] * 4     # labeled es, guessed fr
+    )
+    langs = ["fr"] * 6 + ["es"] * 4
+    sf = str(tmp_path_factory.mktemp("conf"))
+    _write_docs(sf, texts, None, langs)
+    assert not check_query(spark, "text_langid_eval", sf)
+
+    from dsacord_spark.plans.reports import text_langid_eval
+
+    by = {r.lang: r for r in text_langid_eval(spark, sf).collect()}
+    assert by["fr"].support == 6 and by["fr"].predicted == 10
+    assert by["fr"].precision == 0.6 and by["fr"].recall == 1.0
+    assert by["es"].predicted == 0 and by["es"].recall == 0.0
+    # f1 for fr: 2*6/(10+6) = 0.75 exactly
+    assert by["fr"].f1 == 0.75
+    spark.catalog.clearCache()
