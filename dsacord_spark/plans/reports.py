@@ -4382,3 +4382,173 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000)
         ).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation attrition funnel: how many documents/tokens survive each gate
+# of the standard curation pipeline, applied cumulatively in pipeline
+# order — (0) raw corpus, (1) target-language gate (lang_id == 'en'),
+# (2) quality gate (integer-tenths score >= 7), (3) exact dedup
+# keep-canonical (min doc_id per normalized fingerprint AMONG the
+# gate-1+2 survivors — dedup runs on what's left, the real pipeline
+# order). THE planning table before burning a full 100 TB curation run.
+# Scale: one corpus scan; the only shuffle is the fingerprint-keyed
+# window (min survivor doc_id per fp — partitioned, never global); the
+# funnel reduces to a ONE-ROW aggregate and the 4 output rows are
+# exploded from it, so stage count never touches the corpus. Ratios are
+# integer-round exact; zero denominators (empty corpus / empty stage)
+# take the div0 guard on both engines.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_QUALITY_MIN = 7
+_FUNNEL_LANG = "en"
+
+
+def _funnel_sql() -> str:
+    from dsacord_spark.plans.analysis import (
+        _FPRINT_SQL, _lang_id_sql, _quality10_sql,
+    )
+
+    q = _FUNNEL_QUALITY_MIN
+    pct = (
+        "CASE WHEN {d} = 0 THEN 0.0 ELSE "
+        "CAST((2000000 * {n} + {d}) // (2 * {d}) AS DOUBLE) / 1000000 END"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             {_FPRINT_SQL} AS fp,
+             {_lang_id_sql('text')} = '{_FUNNEL_LANG}' AS l,
+             {_quality10_sql('text')} >= {q} AS qok,
+             len({_TOKS_SQL.format(c='text')}) AS n_toks
+      FROM documents),
+    w AS (
+      SELECT doc_id, l, qok, n_toks,
+             min(CASE WHEN l AND qok THEN doc_id END)
+               OVER (PARTITION BY fp) AS m
+      FROM base),
+    agg AS (
+      SELECT count(*) AS d0, COALESCE(SUM(n_toks), 0) AS t0,
+             COALESCE(SUM(CASE WHEN l THEN 1 ELSE 0 END), 0) AS d1,
+             COALESCE(SUM(CASE WHEN l THEN n_toks ELSE 0 END), 0) AS t1,
+             COALESCE(SUM(CASE WHEN l AND qok THEN 1 ELSE 0 END), 0) AS d2,
+             COALESCE(SUM(CASE WHEN l AND qok THEN n_toks ELSE 0 END), 0) AS t2,
+             COALESCE(SUM(CASE WHEN l AND qok AND doc_id = m THEN 1 ELSE 0 END), 0) AS d3,
+             COALESCE(SUM(CASE WHEN l AND qok AND doc_id = m THEN n_toks ELSE 0 END), 0) AS t3
+      FROM w),
+    st AS (
+      SELECT * FROM (VALUES
+        (0, 'all'), (1, 'lang'), (2, 'quality'), (3, 'dedup')
+      ) AS v(stage, stage_name))
+    SELECT st.stage, st.stage_name,
+           CAST(CASE st.stage WHEN 0 THEN d0 WHEN 1 THEN d1
+                WHEN 2 THEN d2 ELSE d3 END AS BIGINT) AS n_docs,
+           CAST(CASE st.stage WHEN 0 THEN t0 WHEN 1 THEN t1
+                WHEN 2 THEN t2 ELSE t3 END AS BIGINT) AS n_tokens,
+           CASE st.stage
+             WHEN 0 THEN CASE WHEN d0 = 0 THEN 0.0 ELSE 1.0 END
+             WHEN 1 THEN {pct.format(n='d1', d='d0')}
+             WHEN 2 THEN {pct.format(n='d2', d='d1')}
+             ELSE {pct.format(n='d3', d='d2')}
+           END AS pct_of_prev,
+           CASE st.stage
+             WHEN 0 THEN CASE WHEN d0 = 0 THEN 0.0 ELSE 1.0 END
+             WHEN 1 THEN {pct.format(n='d1', d='d0')}
+             WHEN 2 THEN {pct.format(n='d2', d='d0')}
+             ELSE {pct.format(n='d3', d='d0')}
+           END AS pct_of_total
+    FROM st, agg
+    """
+
+
+@register(
+    "corpus_curation_funnel",
+    sql=_funnel_sql(),
+    doc="Curation attrition funnel: docs/tokens surviving each pipeline "
+    "gate cumulatively (raw -> lang_id target gate -> quality >= "
+    f"{_FUNNEL_QUALITY_MIN} -> exact-dedup canonical among survivors), "
+    "with integer-exact step and total retention. One scan; the only "
+    "shuffle is the fingerprint-partitioned window; one-row aggregate "
+    "-> 4 exploded rows.",
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.functions.text import (
+        doc_fingerprint, lang_id, quality_score10, token_count,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fp"),
+        (lang_id("text") == _FUNNEL_LANG).alias("l"),
+        (quality_score10("text") >= _FUNNEL_QUALITY_MIN).alias("qok"),
+        token_count("text").alias("n_toks"),
+    )
+    wfp = W.partitionBy("fp")
+    w = base.select(
+        "doc_id",
+        "l",
+        "qok",
+        "n_toks",
+        F.min(
+            F.when(F.col("l") & F.col("qok"), F.col("doc_id"))
+        ).over(wfp).alias("m"),
+    )
+    surv = F.col("l") & F.col("qok") & (F.col("doc_id") == F.col("m"))
+    agg = w.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.coalesce(F.sum("n_toks"), F.lit(0)).alias("t0"),
+        F.coalesce(F.sum(F.when(F.col("l"), 1).otherwise(0)), F.lit(0)).alias("d1"),
+        F.coalesce(
+            F.sum(F.when(F.col("l"), F.col("n_toks")).otherwise(0)), F.lit(0)
+        ).alias("t1"),
+        F.coalesce(
+            F.sum(F.when(F.col("l") & F.col("qok"), 1).otherwise(0)), F.lit(0)
+        ).alias("d2"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("l") & F.col("qok"), F.col("n_toks")).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("t2"),
+        F.coalesce(F.sum(F.when(surv, 1).otherwise(0)), F.lit(0)).alias("d3"),
+        F.coalesce(
+            F.sum(F.when(surv, F.col("n_toks")).otherwise(0)), F.lit(0)
+        ).alias("t3"),
+    )
+
+    def _pct(n: str, dd: str):
+        return F.when(F.col(dd) == 0, F.lit(0.0)).otherwise(
+            F.expr(f"(2000000 * {n} + {dd}) div (2 * {dd})").cast("double")
+            / F.lit(1_000_000)
+        )
+
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(nm).alias("stage_name"),
+                F.col(f"d{i}").cast("bigint").alias("n_docs"),
+                F.col(f"t{i}").cast("bigint").alias("n_tokens"),
+                (
+                    F.when(F.col("d0") == 0, F.lit(0.0)).otherwise(F.lit(1.0))
+                    if i == 0
+                    else _pct(f"d{i}", f"d{i - 1}")
+                ).alias("pct_of_prev"),
+                (
+                    F.when(F.col("d0") == 0, F.lit(0.0)).otherwise(F.lit(1.0))
+                    if i == 0
+                    else _pct(f"d{i}", "d0")
+                ).alias("pct_of_total"),
+            )
+            for i, nm in enumerate(["all", "lang", "quality", "dedup"])
+        ]
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        F.col("s.stage").cast("int").alias("stage"),
+        "s.stage_name",
+        "s.n_docs",
+        "s.n_tokens",
+        "s.pct_of_prev",
+        "s.pct_of_total",
+    )

@@ -488,3 +488,60 @@ def test_langid_eval_asymmetric_confusion(spark, tmp_path_factory):
     # f1 for fr: 2*6/(10+6) = 0.75 exactly
     assert by["fr"].f1 == 0.75
     spark.catalog.clearCache()
+
+
+# --- corpus_curation_funnel ----------------------------------------------------
+
+
+def test_curation_funnel_every_gate_bites(spark, tmp_path_factory):
+    """A corpus where each gate removes known docs: 4 German (lang gate),
+    2 high-punctuation English (quality gate: punct >= 0.2 and the
+    length band both fail -> score 3 < 7), 3 copies of one good doc
+    (dedup keeps the min doc_id). Exact counts at every stage on both
+    engines; dedup runs on the SURVIVORS (the duplicate set that never
+    reaches gate 3 must not consume a canonical slot)."""
+    good = "the cat and the dog went to the market in the morning"
+    texts = (
+        [good] * 3                                     # dup cluster, all pass
+        + ["the quick brown fox is in the old barn"] * 2  # unique good
+        + ["der hund und die katze sind nicht hier"] * 4  # german
+        # english (stopwords -> passes the lang gate) but too short AND
+        # punct-heavy: score 0+0+3 = 3 < 7 -> quality gate removes it
+        + ["the of !!!"] * 2
+    )
+    sf = str(tmp_path_factory.mktemp("funnel"))
+    _write_docs(sf, texts)
+    assert not check_query(spark, "corpus_curation_funnel", sf)
+
+    from dsacord_spark.plans.reports import corpus_curation_funnel
+
+    by = {r.stage: r for r in corpus_curation_funnel(spark, sf).collect()}
+    assert by[0].n_docs == 11
+    assert by[1].n_docs == 7          # 4 german out
+    assert by[2].n_docs == 5          # 2 short+punct-heavy english out
+    assert by[3].n_docs == 2          # dup clusters (3 and 2) -> 1 + 1
+    assert by[3].pct_of_total == 0.181818
+    spark.catalog.clearCache()
+
+
+def test_curation_funnel_empty_and_all_filtered(spark, tmp_path_factory):
+    """Empty corpus: all stages 0 with pct 0.0 (div0 guard) on both
+    engines. All-filtered corpus (nothing passes the lang gate): later
+    stages 0/0 -> pct_of_prev 0.0, never a crash."""
+    sf = str(tmp_path_factory.mktemp("fempty"))
+    _write_docs(sf, [])
+    assert not check_query(spark, "corpus_curation_funnel", sf)
+
+    from dsacord_spark.plans.reports import corpus_curation_funnel
+
+    rows = {r.stage: r for r in corpus_curation_funnel(spark, sf).collect()}
+    assert rows[0].n_docs == 0 and rows[0].pct_of_total == 0.0
+    assert rows[3].pct_of_prev == 0.0
+
+    sf2 = str(tmp_path_factory.mktemp("fnolang"))
+    _write_docs(sf2, ["der hund ist nicht hier und das ist gut"] * 6)
+    assert not check_query(spark, "corpus_curation_funnel", sf2)
+    rows2 = {r.stage: r for r in corpus_curation_funnel(spark, sf2).collect()}
+    assert rows2[0].n_docs == 6 and rows2[1].n_docs == 0
+    assert rows2[1].pct_of_prev == 0.0 and rows2[2].pct_of_prev == 0.0
+    spark.catalog.clearCache()
