@@ -660,3 +660,40 @@ def test_video_vhash_dataframe_roundtrip(spark):
     }
     assert pert[1] != avi and len(pert[1]) == len(avi)
     assert pert[2] == b"junk bytes"
+
+
+def test_banded_hamming_pairs_equals_brute_force(spark):
+    """The _banded_hamming_pairs contract: with radius <= n_bands - 1 the
+    banded join's result EQUALS the brute-force O(n^2) scan. Seeded
+    64-bit hashes with planted near pairs (0/1/3-bit edits) and a
+    just-outside pair (4 bits, must be excluded by radius 3)."""
+    import random
+
+    from dsacord_spark.plans.advanced import _banded_hamming_pairs
+
+    rng = random.Random(0xD5AC0)
+    hashes = {i: rng.getrandbits(64) for i in range(1, 41)}
+    hashes[101] = hashes[1]                                  # 0-bit twin
+    hashes[102] = hashes[2] ^ (1 << 7)                       # 1-bit
+    hashes[103] = hashes[3] ^ (1 << 0) ^ (1 << 21) ^ (1 << 63)  # 3-bit
+    hashes[104] = hashes[4] ^ 0b1111                         # 4-bit: out
+    signed = {
+        k: v - (1 << 64) if v >= (1 << 63) else v for k, v in hashes.items()
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in signed.items()], "media_id long, h long"
+    )
+    got = {
+        (r.media_id_a, r.media_id_b, r.hamming)
+        for r in _banded_hamming_pairs(df, "h", 4, 3).collect()
+    }
+    exp = set()
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            if ham <= 3:
+                exp.add((a, b, ham))
+    assert (1, 101, 0) in exp and (2, 102, 1) in exp and (3, 103, 3) in exp
+    assert not any(a == 4 and b == 104 for a, b, _ in exp)
+    assert got == exp
