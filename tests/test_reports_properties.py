@@ -441,3 +441,33 @@ def test_ntile_closed_form_wide_grid(spark):
         }
         for (n, r), b in got.items():
             assert b == ref_bucket(r, n, k), (n, r, k, b)
+
+
+def test_integer_round6_formula_is_half_up_everywhere():
+    """The cross-engine 6dp rounding used throughout reports.py —
+    (2e6*n + d) div (2*d), both engines truncating toward zero on
+    non-negative operands — must equal exact half-UP rounding of n/d to
+    six decimals for ALL non-negative n <= d. Property-checked with
+    exact rational arithmetic (no float detour), including the
+    .xxxxxx5 ties where Spark round() (half-up) and DuckDB round()
+    (half-even on doubles) genuinely disagree."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.integers(0, 10**12), st.integers(1, 10**12))
+    def check(n, d):
+        if n > d:
+            n, d = d, n  # ratios in the catalog are shares <= 1
+        got = (2_000_000 * n + d) // (2 * d)
+        x = Fraction(n, d) * 1_000_000
+        exact_half_up = (x.numerator * 2 + x.denominator) // (
+            2 * x.denominator
+        )
+        assert got == exact_half_up, (n, d, got, exact_half_up)
+
+    check()
+
+    # the documented tie case: 1/128 * 1e6 = 7812.5 -> half-up 7813
+    assert (2_000_000 * 1 + 128) // (2 * 128) == 7813
