@@ -4552,3 +4552,127 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s.pct_of_prev",
         "s.pct_of_total",
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine band histogram: the threshold-selection curve for
+# embedding near-dup dedup / ANN cutoffs — pair-cosine distribution over
+# all pairs of a deterministic md5-ordered 400-vector sample, bucketed
+# into 0.05-wide bands with cumulative shares. Completes the dedup
+# calibration triple (Jaccard threshold bands, SimHash Hamming radius,
+# embedding cosine). Pair work capped at K^2/2 forever (sampling IS the
+# scale design, the dedup_simhash_radius_calibration playbook); the
+# sample plans as TakeOrderedAndProject; every fold is the
+# functions/vectors double-promoted strict left-to-right accumulate, so
+# cosines are bit-identical to DuckDB's list_dot_product over the same
+# DOUBLE[] cast. Bands floor identical doubles -> identical ints; the
+# +/-1.0 edge is clamped into the outermost bands on both engines.
+# ---------------------------------------------------------------------------
+
+_COSCAL_K = 400
+_COSCAL_BANDS = 20  # bands per unit: band = floor(cos * 20), 0.05 wide
+
+
+def _coscal_sql() -> str:
+    from dsacord_spark.functions.hashing import md5_long_sql
+
+    k = _COSCAL_BANDS
+    return f"""
+    WITH s AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      ORDER BY {md5_long_sql('CAST(vec_id AS VARCHAR)')} ASC, vec_id ASC
+      LIMIT {_COSCAL_K}),
+    vv AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+      FROM s WHERE list_dot_product(v, v) > 0),
+    p AS (
+      SELECT least({k - 1}, greatest({-k},
+               CAST(floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+                          * {k}) AS INT))) AS band
+      FROM vv a JOIN vv b ON a.vec_id < b.vec_id),
+    h AS (SELECT band, count(*) AS n_pairs FROM p GROUP BY band),
+    t AS (SELECT SUM(n_pairs) AS total FROM h),
+    c AS (
+      SELECT band, n_pairs,
+             SUM(n_pairs) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING)
+               AS cum_pairs
+      FROM h)
+    SELECT CAST(band AS INT) AS band,
+           CAST(band AS DOUBLE) / {k} AS band_lo,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(cum_pairs AS BIGINT) AS cum_pairs,
+           CAST((2000000 * cum_pairs + total) // (2 * total) AS DOUBLE)
+               / 1000000 AS cum_share
+    FROM c, t
+    """
+
+
+@register(
+    "embed_cosine_band_histogram",
+    sql=_coscal_sql(),
+    doc="Embedding-cosine threshold-selection curve: pair-cosine "
+    f"histogram (0.05 bands) with cumulative shares over all pairs of "
+    f"a deterministic md5-ordered {_COSCAL_K}-vector sample — picks the "
+    "near-dup / ANN cosine cutoff. K^2/2-bounded BNLJ; double-promoted "
+    "order-pinned folds; integer-exact shares.",
+)
+def embed_cosine_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.functions.hashing import md5_long
+    from dsacord_spark.functions.vectors import dot, to_double_array
+
+    e = table(spark, sf_dir, "embeddings")
+    samp = (
+        e.select(
+            "vec_id",
+            to_double_array("embedding").alias("v"),
+            md5_long(F.col("vec_id").cast("string")).alias("hk"),
+        )
+        .orderBy(F.col("hk").asc(), F.col("vec_id").asc())
+        .limit(_COSCAL_K)
+        .select("vec_id", "v")
+    )
+    # persisted: the K-row normed frame feeds both nested-loop sides —
+    # unpersisted, the corpus-wide top-K sample scan re-runs per side
+    vv = (
+        samp.filter(dot("v", "v") > 0)
+        .withColumn("nrm", F.sqrt(dot("v", "v")))
+        .persist()
+    )
+    a = vv.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = vv.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    k = _COSCAL_BANDS
+    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(
+        F.least(
+            F.lit(k - 1),
+            F.greatest(F.lit(-k), F.floor(cos * k).cast("int")),
+        ).alias("band")
+    )
+    h = pairs.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    t = h.agg(F.sum("n_pairs").alias("total"))
+    wc = W.orderBy("band").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        h.withColumn("cum_pairs", F.sum("n_pairs").over(wc).cast("bigint"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("band").cast("int").alias("band"),
+            (F.col("band").cast("double") / k).alias("band_lo"),
+            "n_pairs",
+            "cum_pairs",
+            (
+                F.expr(
+                    "(2000000 * cum_pairs + total) div (2 * total)"
+                ).cast("double")
+                / F.lit(1_000_000)
+            ).alias("cum_share"),
+        )
+    )

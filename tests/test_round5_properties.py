@@ -545,3 +545,52 @@ def test_curation_funnel_empty_and_all_filtered(spark, tmp_path_factory):
     assert rows2[0].n_docs == 6 and rows2[1].n_docs == 0
     assert rows2[1].pct_of_prev == 0.0 and rows2[2].pct_of_prev == 0.0
     spark.catalog.clearCache()
+
+
+# --- embed_cosine_band_histogram ------------------------------------------------
+
+
+def test_cosine_bands_identical_and_antiparallel(spark, tmp_path_factory):
+    """Identical vectors land in the TOP band (cos==1 floors to k and is
+    clamped to k-1; tiny sqrt round-off floors to k-1 directly — both
+    engines agree bit-for-bit either way); anti-parallel pairs land in
+    the BOTTOM band (-k). Zero vectors are dropped by both engines."""
+    vecs = (
+        [[1.0, 2.0, 3.0, 4.0]] * 3      # identical triple -> 3 pairs at top
+        + [[-1.0, -2.0, -3.0, -4.0]]    # anti-parallel to the triple
+        + [[0.0, 0.0, 0.0, 0.0]] * 2    # zero: dropped
+    )
+    sf = str(tmp_path_factory.mktemp("cosb"))
+    _write_embeds(sf, vecs)
+    assert not check_query(spark, "embed_cosine_band_histogram", sf)
+
+    from dsacord_spark.plans.reports import embed_cosine_band_histogram
+
+    by = {r.band: r for r in embed_cosine_band_histogram(spark, sf).collect()}
+    assert by[19].n_pairs == 3          # the identical triple
+    assert by[-20].n_pairs == 3         # each of the triple vs the negation
+    assert sum(r.n_pairs for r in by.values()) == 6  # C(4,2), zeros gone
+    assert max(by) == 19 and min(by) == -20
+    assert by[19].cum_share == 1.0
+    spark.catalog.clearCache()
+
+
+def test_cosine_bands_sample_cap_binds(spark, tmp_path_factory):
+    """More vectors than the 400-sample cap: pair count is exactly
+    C(400, 2) on both engines (the md5-ordered sample is shared), never
+    corpus^2."""
+    import math
+
+    vecs = [
+        [math.sin(i * 0.7), math.cos(i * 1.3), (i % 17) / 8.0, 1.0]
+        for i in range(450)
+    ]
+    sf = str(tmp_path_factory.mktemp("coscap"))
+    _write_embeds(sf, vecs)
+    assert not check_query(spark, "embed_cosine_band_histogram", sf)
+
+    from dsacord_spark.plans.reports import embed_cosine_band_histogram
+
+    rows = embed_cosine_band_histogram(spark, sf).collect()
+    assert sum(r.n_pairs for r in rows) == 400 * 399 // 2
+    spark.catalog.clearCache()
