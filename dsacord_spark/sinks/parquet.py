@@ -379,3 +379,32 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed lake table: hash-bucket `df` by `bucket_cols` into
+    `n_buckets` files per partition via DataFrameWriter.bucketBy +
+    saveAsTable. Two tables bucketed the same way join WITHOUT any
+    Exchange — the bucketed scan reports HashPartitioning(n_buckets), so
+    SortMergeJoin consumes both sides in place (and with sortBy the
+    per-bucket sort is pre-paid at write time too). This is the storage
+    layout that makes the TPC-H join chains exchange-free at 100 TB
+    (plans/composite.py documents the claim; tests/test_sink.py
+    demonstrates it mechanically on the physical plan). Bucket count is
+    a layout contract: co-locating joins requires equal n_buckets on
+    both tables, so changing it is a rewrite, not a config flip."""
+    w = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

@@ -146,3 +146,40 @@ def test_unique_violation_sniffer():
     assert is_unique_violation(Exception("ERROR: SQLSTATE 23505 dup"))
     assert is_unique_violation(sqlite3.IntegrityError("UNIQUE constraint failed: t.u"))
     assert not is_unique_violation(Exception("connection refused"))
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """write_bucketed layout contract, demonstrated mechanically: two
+    tables bucketed by the join key into the same bucket count join via
+    SortMergeJoin with ZERO Exchange in the physical plan (the bucketed
+    scans report HashPartitioning(n)), and sortBy removes the per-bucket
+    Sort too. This is the claim plans/composite.py makes for the TPC-H
+    join chains at 100 TB — here it is on the actual plan."""
+    from dsacord_spark.sinks.parquet import write_bucketed
+
+    orders = spark.range(0, 1000).selectExpr(
+        "id AS o_orderkey", "id % 7 AS o_custkey"
+    )
+    items = spark.range(0, 3000).selectExpr(
+        "id % 1000 AS l_orderkey", "id AS l_qty"
+    )
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8,
+                   sort_cols=["o_orderkey"])
+    write_bucketed(items, "t_items_b", ["l_orderkey"], 8,
+                    sort_cols=["l_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_orders_b").join(
+            spark.table("t_items_b"),
+            spark.table("t_orders_b")["o_orderkey"]
+            == spark.table("t_items_b")["l_orderkey"],
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 3000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_items_b")
