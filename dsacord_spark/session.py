@@ -37,13 +37,21 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # serve bare MIN/MAX/COUNT from parquet footer statistics instead
-        # of scanning row groups (profile/count-style queries); aggregate
-        # pushdown only exists on the DSv2 read path, so take parquet/orc
-        # off the v1 fallback list (writes are unaffected: the v1 list
-        # only governs reads, and file WRITES always use the v1 committer)
+        # parquet reads stay on the V1 path: the v2 FileScan in this
+        # build does NOT implement runtime filtering, so DSv2 parquet
+        # silently loses DYNAMIC PARTITION PRUNING — a star join against
+        # a day-partitioned 100 TB fact would full-scan (measured:
+        # identical query shows `dynamicpruningexpression` under v1 and
+        # nothing under v2; pinned by tests/test_scale_plans.py). That
+        # outweighs v2's footer-served bare MIN/MAX/COUNT (aggregate
+        # pushdown), which stays available as an opt-in: set
+        # useV1SourceList without 'parquet' for profile/count sessions —
+        # aggregatePushdown=true is kept so the opt-in works unchanged.
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
+        .config(
+            "spark.sql.sources.useV1SourceList",
+            "avro,csv,json,kafka,orc,parquet,text",
+        )
         # INT96 (the legacy default) writes NO min/max column statistics;
         # TIMESTAMP_MICROS restores footer-stats min/max for timestamp
         # columns (row-group skipping on ts predicates, driver-side
