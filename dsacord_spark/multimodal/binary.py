@@ -690,11 +690,18 @@ def _wav_ehash64(data: bytes) -> int | None:
             n_frames = w.getnframes()
             width = w.getsampwidth()
             frames = w.readframes(n_frames)
+        if width != 2 or not n_frames:
+            return None
+        # a data chunk truncated mid-sample leaves an odd byte count;
+        # struct.unpack demands an exact-length buffer, so decode the
+        # whole-sample prefix — the contract is a hash or None for
+        # undecodable bytes, never a task crash (review finding)
+        even = len(frames) - len(frames) % 2
+        samples = struct.unpack(f"<{even // 2}h", frames[:even])
     except (wave.Error, EOFError, struct.error):
         return None
-    if width != 2 or not n_frames:
+    if not samples:
         return None
-    samples = struct.unpack(f"<{len(frames) // 2}h", frames)
     n_seg = 65
     seg = max(1, len(samples) // n_seg)
     env = []
@@ -740,11 +747,13 @@ def audio_ehash(media: DataFrame) -> DataFrame:
 
 def perturb_audio(media: DataFrame) -> DataFrame:
     """Deterministic one-sample perturbation for RIFF/WAVE bytes: flip a
-    mid-amplitude bit in the final PCM sample (an inaudible click). For
-    short files whose tail falls outside the hashed 65-segment window
-    the twin hashes identically — still a legitimate near-duplicate
-    (Hamming 0). Non-WAV bytes pass through unchanged. Used to plant
-    known near-duplicates in the synthesized corpus."""
+    mid-amplitude bit in the FIRST PCM sample (an inaudible click). The
+    first sample always sits inside _wav_ehash64's 65-segment window
+    (the last n mod 65 samples are discarded — a tail edit would hash
+    identically for ~99% of corpus lengths, review finding), so the
+    twin lands at a small nonzero Hamming distance whenever the edit
+    flips an envelope comparison. Non-WAV bytes pass through unchanged.
+    Used to plant known near-duplicates in the synthesized corpus."""
     schema = media.schema
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -752,10 +761,14 @@ def perturb_audio(media: DataFrame) -> DataFrame:
             out = []
             for data in pdf["data"]:
                 data = bytes(data)
-                if len(data) > 44 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-                    buf = bytearray(data)
-                    buf[-1] ^= 0x40
-                    data = bytes(buf)
+                if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                    i = data.find(b"data")
+                    # first sample's high byte lives at data-chunk
+                    # payload offset +1 (16-bit little-endian PCM)
+                    if 0 <= i and i + 9 < len(data):
+                        buf = bytearray(data)
+                        buf[i + 9] ^= 0x40
+                        data = bytes(buf)
                 out.append(data)
             pdf = pdf.copy()
             pdf["data"] = out
@@ -1062,10 +1075,11 @@ def video_vhash(media: DataFrame) -> DataFrame:
 
 def perturb_video(media: DataFrame) -> DataFrame:
     """Deterministic one-pixel perturbation for RIFF/AVI bytes: flip the
-    top bit of the final byte (a pixel channel in the last frame chunk).
-    When the last frame isn't among the 8 sampled the twin hashes
-    identically — still a legitimate near-duplicate (Hamming 0).
-    Non-AVI bytes pass through unchanged."""
+    top bit of the FIRST pixel byte of the FIRST frame chunk. Frame 0 is
+    always among _avi_vhash64's 8 sampled frames (a last-byte edit hit a
+    sampled frame only when 7*nf//8 == nf-1 — review finding), so the
+    twin lands at a small nonzero Hamming distance whenever the edit
+    flips a column comparison. Non-AVI bytes pass through unchanged."""
     schema = media.schema
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1074,9 +1088,13 @@ def perturb_video(media: DataFrame) -> DataFrame:
             for data in pdf["data"]:
                 data = bytes(data)
                 if len(data) > 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI ":
-                    buf = bytearray(data)
-                    buf[-1] ^= 0x80
-                    data = bytes(buf)
+                    i = data.find(b"00db")
+                    if i < 0:
+                        i = data.find(b"00dc")
+                    if 0 <= i and i + 8 < len(data):
+                        buf = bytearray(data)
+                        buf[i + 8] ^= 0x80
+                        data = bytes(buf)
                 out.append(data)
             pdf = pdf.copy()
             pdf["data"] = out

@@ -580,3 +580,64 @@ def _propagate_min_labels(sym: DataFrame, max_iter: int) -> DataFrame:
             )
     sym.unpersist()
     raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
+
+
+def banded_hamming_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bands: int = 4,
+    radius: int = 3,
+    hash_bits: int = 64,
+) -> DataFrame:
+    """Banded-LSH near-dup pairs over an arbitrary `hash_bits`-bit hash
+    column — the 64-bit generalization of simhash_pairs' candidate
+    machinery, shared by the multimodal perceptual-hash dedup entries
+    (image dHash, audio envelope hash, video frame hash). Split the hash
+    into `n_bands` equal bands, equi-join rows sharing any band, verify
+    candidates with exact JVM-side bit_count(xor). With
+    radius <= n_bands - 1 the pigeonhole argument makes recall exactly 1
+    (every within-radius pair shares at least one clean band), so the
+    result EQUALS the brute-force O(n^2) scan. `hashed` should be
+    persisted by the caller when the hash is kernel-computed (the
+    self-join reads it on both sides and Spark does no CSE across
+    branches). Output: (media_id_a, media_id_b, hamming int)."""
+    assert n_bands > radius, "pigeonhole recall needs n_bands > radius"
+    width = hash_bits // n_bands
+    mask = (1 << width) - 1
+    bands = hashed.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(hash_col, width * i).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_no", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("media_id_a"),
+            F.col("b._id").alias("media_id_b"),
+            F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        # filter BEFORE distinct (the simhash_pairs rule): the banded
+        # join emits each qualifying pair up to n_bands times, so
+        # dropping far pairs first shrinks the distinct's shuffle input
+        # — and the distinct no longer carries the two 64-bit hashes
+        .filter(F.col("hamming") <= radius)
+        .distinct()
+    )

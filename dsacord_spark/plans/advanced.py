@@ -465,14 +465,16 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # slightly-edited images; a 64-bit dHash over decoded pixels clusters
 # them). The synthesized corpus has no natural near-duplicates, so the
 # entry PLANTS a perturbed twin for every 30th image (one-pixel BMP edit
-# / byte-identical PNG copy at media_id + 1e6) and must find exactly
+# / byte-identical PNG copy at twin id -(media_id + 1) — the NEGATIVE id
+# space can never collide with a real doc-derived media_id at any corpus
+# size, unlike an additive offset; review finding) and must find exactly
 # those pairs (plus any naturally byte-identical images — duplicated
 # source text seeds identical media). Scale shape: the Arrow-batched
-# hash kernel is linear; the candidate join is banded LSH (4 x 16-bit
-# bands, radius 3 = bands - 1, so pigeonhole makes recall exactly 1 —
-# the result EQUALS the brute-force O(n^2) scan, same contract as
-# operators/dedup.simhash_pairs); the exact Hamming check
-# (bit_count(xor), JVM-side) touches candidates only. At multi-billion-
+# hash kernel is linear; the candidate join is
+# operators/dedup.banded_hamming_pairs (4 x 16-bit bands, radius 3 =
+# bands - 1, pigeonhole recall exactly 1 — the result EQUALS the
+# brute-force O(n^2) scan, the simhash_pairs contract; exact
+# bit_count(xor) verify filtered BEFORE distinct). At multi-billion-
 # image scale the 16-bit band value space saturates (hot buckets go
 # quadratic): widen to 2 x 32-bit bands (radius 1) or add a per-bucket
 # admission cap (the copresence playbook) — band count is the one knob.
@@ -481,65 +483,6 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PHASH_BANDS = 4  # 16-bit bands of the 64-bit hash
 _PHASH_RADIUS = _PHASH_BANDS - 1  # pigeonhole: recall 1 at <= bands-1
 _PHASH_TWIN_EVERY = 30  # plant a perturbed twin for every 30th image
-_PHASH_TWIN_OFFSET = 1_000_000
-
-
-def _banded_hamming_pairs(
-    hashed: DataFrame, hash_col: str, n_bands: int, radius: int
-) -> DataFrame:
-    """Banded-LSH near-dup pairs over a 64-bit hash column: split the
-    hash into `n_bands` equal bands, equi-join rows sharing any band,
-    verify candidates with exact JVM-side bit_count(xor). With
-    radius <= n_bands - 1 the pigeonhole argument makes recall exactly
-    1 (every within-radius pair shares at least one clean band), so the
-    result equals the brute-force O(n^2) scan — the simhash_pairs
-    contract. `hashed` must expose (media_id, hash_col) and should be
-    persisted by the caller (the self-join reads it on both sides).
-    Shared by the image-dHash and audio-envelope fingerprint entries."""
-    assert n_bands > radius, "pigeonhole recall needs n_bands > radius"
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    bands = hashed.select(
-        "media_id",
-        F.col(hash_col).alias("_h"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(hash_col, width * i).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band_no", "band_val"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_id_a"),
-            F.col("b.media_id").alias("media_id_b"),
-            F.col("a._h").alias("ha"),
-            F.col("b._h").alias("hb"),
-        )
-        .distinct()  # a pair can collide in several bands
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-        )
-        .filter(F.col("hamming") <= radius)
-        .select(
-            "media_id_a",
-            "media_id_b",
-            F.col("hamming").cast("int").alias("hamming"),
-        )
-    )
 
 
 @register(
@@ -556,12 +499,13 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dsacord_spark.multimodal.binary import (
         image_dhash, perturb_images, synthesize_real_media,
     )
+    from dsacord_spark.operators.dedup import banded_hamming_pairs
 
     d = table(spark, sf_dir, "documents")
     media = synthesize_real_media(d).filter(F.col("modality") == "image")
     twins = perturb_images(
         media.filter(F.col("media_id") % _PHASH_TWIN_EVERY == 0)
-    ).withColumn("media_id", F.col("media_id") + F.lit(_PHASH_TWIN_OFFSET))
+    ).withColumn("media_id", -(F.col("media_id") + F.lit(1)))
     # persisted for the same reason as simhash_pairs' signature frame:
     # the banded self-join reads this on BOTH sides and Spark does no
     # CSE across self-join branches — unpersisted, the pixel decode +
@@ -572,8 +516,8 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dhash").isNotNull())
         .persist()
     )
-    return _banded_hamming_pairs(
-        hashed, "dhash", _PHASH_BANDS, _PHASH_RADIUS
+    return banded_hamming_pairs(
+        hashed, "media_id", "dhash", _PHASH_BANDS, _PHASH_RADIUS
     )
 
 
@@ -593,21 +537,22 @@ def multimodal_audio_fingerprint_dedup(
     from dsacord_spark.multimodal.binary import (
         audio_ehash, perturb_audio, synthesize_real_media,
     )
+    from dsacord_spark.operators.dedup import banded_hamming_pairs
 
     d = table(spark, sf_dir, "documents")
     media = synthesize_real_media(d).filter(F.col("modality") == "audio")
     # audio media_ids are == 1 (mod 3); every 10th of them gets a twin
     twins = perturb_audio(
         media.filter(F.col("media_id") % _PHASH_TWIN_EVERY == 1)
-    ).withColumn("media_id", F.col("media_id") + F.lit(_PHASH_TWIN_OFFSET))
+    ).withColumn("media_id", -(F.col("media_id") + F.lit(1)))
     # persisted across the banded self-join like the image entry
     hashed = (
         audio_ehash(media.unionByName(twins))
         .filter(F.col("ehash").isNotNull())
         .persist()
     )
-    return _banded_hamming_pairs(
-        hashed, "ehash", _PHASH_BANDS, _PHASH_RADIUS
+    return banded_hamming_pairs(
+        hashed, "media_id", "ehash", _PHASH_BANDS, _PHASH_RADIUS
     )
 
 
@@ -628,20 +573,21 @@ def multimodal_video_fingerprint_dedup(
     from dsacord_spark.multimodal.binary import (
         perturb_video, synthesize_real_media, video_vhash,
     )
+    from dsacord_spark.operators.dedup import banded_hamming_pairs
 
     d = table(spark, sf_dir, "documents")
     media = synthesize_real_media(d).filter(F.col("modality") == "video")
     # video media_ids are == 2 (mod 3); every 10th of them gets a twin
     twins = perturb_video(
         media.filter(F.col("media_id") % _PHASH_TWIN_EVERY == 2)
-    ).withColumn("media_id", F.col("media_id") + F.lit(_PHASH_TWIN_OFFSET))
+    ).withColumn("media_id", -(F.col("media_id") + F.lit(1)))
     hashed = (
         video_vhash(media.unionByName(twins))
         .filter(F.col("vhash").isNotNull())
         .persist()
     )
-    return _banded_hamming_pairs(
-        hashed, "vhash", _PHASH_BANDS, _PHASH_RADIUS
+    return banded_hamming_pairs(
+        hashed, "media_id", "vhash", _PHASH_BANDS, _PHASH_RADIUS
     )
 
 

@@ -669,7 +669,7 @@ def test_banded_hamming_pairs_equals_brute_force(spark):
     just-outside pair (4 bits, must be excluded by radius 3)."""
     import random
 
-    from dsacord_spark.plans.advanced import _banded_hamming_pairs
+    from dsacord_spark.operators.dedup import banded_hamming_pairs
 
     rng = random.Random(0xD5AC0)
     hashes = {i: rng.getrandbits(64) for i in range(1, 41)}
@@ -685,7 +685,7 @@ def test_banded_hamming_pairs_equals_brute_force(spark):
     )
     got = {
         (r.media_id_a, r.media_id_b, r.hamming)
-        for r in _banded_hamming_pairs(df, "h", 4, 3).collect()
+        for r in banded_hamming_pairs(df, "media_id", "h", 4, 3).collect()
     }
     exp = set()
     ids = sorted(hashes)
@@ -697,3 +697,16 @@ def test_banded_hamming_pairs_equals_brute_force(spark):
     assert (1, 101, 0) in exp and (2, 102, 1) in exp and (3, 103, 3) in exp
     assert not any(a == 4 and b == 104 for a, b, _ in exp)
     assert got == exp
+
+
+def test_wav_ehash_truncated_data_chunk_returns_hash_not_crash():
+    """A WAV whose data chunk is cut mid-sample (odd byte count) must
+    yield a hash of the whole-sample prefix (or None), never raise —
+    one malformed media row must not kill the dedup job (review
+    finding: struct.unpack demands an exact-length buffer)."""
+    wav = mm.make_wav_bytes(b"\x52" * 16, n_frames=130)
+    truncated = wav[:-1]
+    h = mm._wav_ehash64(truncated)
+    assert h is None or isinstance(h, int)
+    # and the hash of the undamaged file still stands
+    assert isinstance(mm._wav_ehash64(wav), int)

@@ -66,26 +66,28 @@ GOLDEN = {
         "302d8f9981cb663698d6b1e335483a765e320199603c0ea04aaea97e8cb068e6",
         "143|'P'",
     ),
-    # every planted perturbed twin recovered (hamming <= 1), zero
-    # false-positive pairs among the unrelated images
+    # every planted perturbed twin recovered (twin ids are negative:
+    # -(media_id+1), collision-free at any corpus size), zero
+    # false-positive pairs; the in-window edits land some twins at
+    # hamming 1, exercising the within-radius path
     "multimodal_phash_dedup": (
         17,
-        "1cd7ed01f27f456d480c73db01ce71f6d15ff9ae695c8a0ee319b1000ac66189",
-        "0|0|1000000",
+        "dd2c43de40425f510452c270c7329b72a3e9c51f00bbbdc2633e7fba10556591",
+        "0|-151|150",
     ),
-    # every planted one-sample-edit twin recovered, zero false positives
-    # among the unrelated audio clips
+    # every planted one-sample-edit twin recovered (3 at hamming 1),
+    # zero false positives among the unrelated audio clips
     "multimodal_audio_fingerprint_dedup": (
         17,
-        "1fcc1ecc615d8f2e38bc72e7a54c212430e8e7ef1c8bab777c44427a7c552023",
-        "0|121|1000121",
+        "c7008c5febdc5a1cec0ad3cee891acf32f51e28ec4b19b1a00013a7f8e1537b7",
+        "0|-122|121",
     ),
-    # every planted one-pixel-edit twin recovered, zero false positives
-    # among the unrelated video clips
+    # every planted one-pixel-edit twin recovered (1 at hamming 1),
+    # zero false positives among the unrelated video clips
     "multimodal_video_fingerprint_dedup": (
         17,
-        "6c7470162a801e9d5b8195c60966c3e34c453e18f3e4fd0337606aee4e3f5dad",
-        "0|122|1000122",
+        "9ea107d242806ed68735dfd494e3697dcac71452204a340a0c195c0c001464e5",
+        "0|-123|122",
     ),
 }
 
