@@ -710,3 +710,35 @@ def test_wav_ehash_truncated_data_chunk_returns_hash_not_crash():
     assert h is None or isinstance(h, int)
     # and the hash of the undamaged file still stands
     assert isinstance(mm._wav_ehash64(wav), int)
+
+
+def test_dhash_invariant_under_affine_luma_transforms():
+    """dHash only compares cell-mean ORDER, so any strictly increasing
+    AFFINE transform of the luma grid (brightness/contrast shifts — the
+    classic edits perceptual hashing must survive) yields the IDENTICAL
+    hash: mean(g*v + b) = g*mean(v) + b preserves every comparison for
+    g > 0. Checked in EXACT float arithmetic (integer lumas,
+    power-of-two gains, integer biases) so near-tie cell means cannot
+    flip from rounding and the property holds bit-for-bit forever."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(2, 14),
+        st.integers(2, 12),
+        st.integers(0, 2**32 - 1),
+        st.sampled_from([0.25, 0.5, 2.0, 4.0, 8.0]),
+        st.integers(-64, 64),
+    )
+    def check(w, h, seed, gain, bias):
+        import random
+
+        rng = random.Random(seed)
+        rows = [
+            [float(rng.randrange(0, 256)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        scaled = [[gain * v + bias for v in row] for row in rows]
+        assert mm._dhash64(w, h, rows) == mm._dhash64(w, h, scaled)
+
+    check()
