@@ -4676,3 +4676,136 @@ def embed_cosine_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast scorecard: score the classic same-weekday-last-
+# week baseline (f(d) = revenue(d-7)) against actual daily revenue, per
+# ISO weekday — the eval table a demand-forecasting pipeline starts
+# from (any model must beat this row). Error arithmetic stays in exact
+# integer CENTS (daily revenue is a DECIMAL(18,2) sum; |r - f| in cents
+# is an integer), so MAE and WAPE are integer-exact 6dp ratios; WAPE
+# (sum|err| / sum actual) replaces per-day MAPE to dodge zero-revenue
+# days. Scale: one orders scan -> per-day aggregate (O(days)); the
+# d-7 self-join and the 7-row weekday aggregate are bounded by the
+# calendar, not the corpus.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_forecast_eval",
+    sql="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1),
+    paired AS (
+      SELECT a.d, isodow(CAST(a.d AS TIMESTAMP)) AS dow,
+             a.cents AS act, f.cents AS fc
+      FROM daily a JOIN daily f ON f.d = a.d - INTERVAL 7 DAY),
+    g AS (
+      SELECT dow, count(*) AS n_days,
+             SUM(abs(act - fc)) AS abs_err, SUM(act) AS act_sum
+      FROM paired GROUP BY dow)
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(abs_err AS DOUBLE) / 100 AS mae_total,
+           CAST((2000000 * abs_err + act_sum) // (2 * act_sum) AS DOUBLE)
+               / 1000000 AS wape
+    FROM g
+    """,
+    doc="Seasonal-naive (same weekday last week) forecast scorecard per "
+    "ISO weekday: paired days, total absolute error, and WAPE — exact "
+    "integer-cents arithmetic throughout. One orders scan; everything "
+    "past the per-day aggregate is O(days).",
+)
+def orders_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    f_ = daily.select(
+        F.date_add(F.col("d"), 7).alias("d"), F.col("cents").alias("fc")
+    )
+    paired = daily.join(f_, "d").select(
+        # Spark dayofweek: 1=Sunday..7=Saturday; ISO wants 1=Monday..7=Sunday
+        (((F.dayofweek("d") + 5) % 7) + 1).alias("dow"),
+        F.col("cents").alias("act"),
+        "fc",
+    )
+    g = paired.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(F.col("act") - F.col("fc"))).alias("abs_err"),
+        F.sum("act").alias("act_sum"),
+    )
+    return g.select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        (F.col("abs_err").cast("double") / 100).alias("mae_total"),
+        (
+            F.expr("(2000000 * abs_err + act_sum) div (2 * act_sum)").cast(
+                "double"
+            )
+            / F.lit(1_000_000)
+        ).alias("wape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral diversity (Gini-Simpson) per user: 1 - sum_i p_i^2 over the
+# user's event-type distribution — the diversity diagnostic an abuse /
+# bot filter keys on (single-action accounts score 0, uniform behavior
+# scores (k-1)/k), and the ln()-free stand-in for Shannon entropy: the
+# score is a RATIONAL in integer counts ((N^2 - sum n_i^2) / N^2), so it
+# is cross-engine exact where entropy's log is a faithful-rounding
+# hazard (registry determinism rules). One (user, type) shuffle with
+# map-side combine, then a per-user aggregate; no windows, no joins.
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_MIN_EVENTS = 20
+
+
+@register(
+    "events_type_diversity",
+    sql=f"""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    u AS (
+      SELECT user_id, SUM(n) AS nn, SUM(n * n) AS ssq,
+             count(*) AS n_types
+      FROM c GROUP BY user_id)
+    SELECT user_id,
+           CAST(nn AS BIGINT) AS n_events,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST((2000000 * (nn * nn - ssq) + nn * nn) // (2 * nn * nn)
+                AS DOUBLE) / 1000000 AS diversity
+    FROM u WHERE nn >= {_DIVERSITY_MIN_EVENTS}
+    """,
+    doc="Gini-Simpson behavioral diversity per user (1 - sum p_i^2 over "
+    "event types; >= 20 events): the exact-rational, ln()-free entropy "
+    "stand-in for bot/abuse triage. One (user,type) shuffle + per-user "
+    "aggregate; integer-exact 6dp.",
+)
+def events_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = c.groupBy("user_id").agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.col("n") * F.col("n")).alias("ssq"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return u.filter(F.col("nn") >= _DIVERSITY_MIN_EVENTS).select(
+        "user_id",
+        F.col("nn").cast("bigint").alias("n_events"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        (
+            F.expr(
+                "(2000000 * (nn * nn - ssq) + nn * nn) div (2 * (nn * nn))"
+            ).cast("double")
+            / F.lit(1_000_000)
+        ).alias("diversity"),
+    )

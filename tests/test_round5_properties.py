@@ -594,3 +594,91 @@ def test_cosine_bands_sample_cap_binds(spark, tmp_path_factory):
     rows = embed_cosine_band_histogram(spark, sf).collect()
     assert sum(r.n_pairs for r in rows) == 400 * 399 // 2
     spark.catalog.clearCache()
+
+
+# --- orders_forecast_eval / events_type_diversity -------------------------------
+
+
+def test_forecast_eval_perfect_weekly_seasonality(spark, tmp_path_factory):
+    """Revenue that repeats exactly every 7 days makes the seasonal-naive
+    baseline perfect: abs error 0, WAPE exactly 0.0, on both engines.
+    And a corpus shorter than 8 days has no (d, d-7) pairs: empty."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_orders(sf, day_revenues):
+        base = dt.date(2024, 3, 4)  # a Monday
+        rows = [
+            (i + 1, base + dt.timedelta(days=d), rev)
+            for i, (d, rev) in enumerate(day_revenues)
+        ]
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_orderdate": pa.array([r[1] for r in rows], pa.date32()),
+                "o_totalprice": pa.array(
+                    [r[2] for r in rows], pa.decimal128(18, 2)
+                ),
+            }
+        )
+        pq.write_table(tbl, f"{sf}/orders.parquet")
+
+    from decimal import Decimal
+
+    sf = str(tmp_path_factory.mktemp("seas"))
+    # 21 days, revenue keyed only by weekday -> f(d) = r(d-7) exactly
+    write_orders(
+        sf,
+        [(d, Decimal(100 + 10 * (d % 7))) for d in range(21)],
+    )
+    assert not check_query(spark, "orders_forecast_eval", sf)
+
+    from dsacord_spark.plans.reports import orders_forecast_eval
+
+    rows = orders_forecast_eval(spark, sf).collect()
+    assert len(rows) == 7
+    assert all(r.wape == 0.0 and r.mae_total == 0.0 for r in rows)
+
+    sf2 = str(tmp_path_factory.mktemp("short"))
+    write_orders(sf2, [(d, Decimal(50)) for d in range(6)])
+    assert not check_query(spark, "orders_forecast_eval", sf2)
+    assert orders_forecast_eval(spark, sf2).count() == 0
+
+
+def test_type_diversity_exact_scores_and_min_support(spark, tmp_path_factory):
+    """Uniform 4-type behavior scores exactly 0.75 = (k-1)/k; a
+    single-type account scores exactly 0.0; a user below the 20-event
+    floor is excluded — on both engines."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []  # (user, type)
+    rows += [(1, f"t{i % 4}") for i in range(20)]   # uniform over 4 types
+    rows += [(2, "only")] * 25                      # single type
+    rows += [(3, f"t{i}") for i in range(5)]        # below min support
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array(
+                [base + dt.timedelta(seconds=i) for i in range(len(rows))],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    sf = str(tmp_path_factory.mktemp("div"))
+    pq.write_table(tbl, f"{sf}/events.parquet")
+    assert not check_query(spark, "events_type_diversity", sf)
+
+    from dsacord_spark.plans.reports import events_type_diversity
+
+    by = {r.user_id: r for r in events_type_diversity(spark, sf).collect()}
+    assert by[1].diversity == 0.75 and by[1].n_types == 4
+    assert by[2].diversity == 0.0 and by[2].n_types == 1
+    assert 3 not in by
