@@ -406,46 +406,24 @@ def simhash_pairs(
     with n_bands > max_hamming at least one chunk is identical (pigeonhole)
     -> recall is exactly 1 and the result equals the brute-force O(n^2)
     scan the oracle runs at small SF."""
-    assert n_bands > max_hamming, "pigeonhole recall needs n_bands > max_hamming"
     # persisted for the same reason as _shingle_index: the banded
     # self-join reads the signature frame on BOTH sides, and Spark does
     # no CSE across self-join branches — unpersisted, the 60-bit
-    # signature expression (the dominant cost) evaluates twice
+    # signature expression (the dominant cost) evaluates twice.
+    # Candidate generation + exact verify delegate to the generalized
+    # banded joiner below (one copy of the band-split / equi-join /
+    # bit_count / filter-before-distinct pipeline — review finding);
+    # shiftrightunsigned == shiftright for the nonnegative 60-bit
+    # signature, so the band values are bit-identical to the historical
+    # in-line formulation.
     sig = simhash_signatures(df, id_col, text_col).persist()
-    band_bits = SIMHASH_BITS // n_bands
-    mask = (1 << band_bits) - 1
-    chunks = [
-        F.struct(
-            F.lit(j).alias("band_idx"),
-            F.shiftright(F.col("simhash"), j * band_bits)
-            .bitwiseAND(F.lit(mask))
-            .alias("chunk"),
-        )
-        for j in range(n_bands)
-    ]
-    bands_df = sig.select(
-        "doc", "simhash", F.explode(F.array(*chunks)).alias("b")
-    ).select("doc", "simhash", "b.band_idx", "b.chunk")
-    a, b = bands_df.alias("a"), bands_df.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc") < F.col("b.doc")),
+        banded_hamming_pairs(
+            sig, "doc", "simhash", n_bands, max_hamming,
+            hash_bits=SIMHASH_BITS,
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        # filter BEFORE distinct: the banded join emits each qualifying
-        # pair up to n_bands times, so dropping far pairs first shrinks
-        # the distinct's shuffle input
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .withColumnRenamed("media_id_a", "doc_a")
+        .withColumnRenamed("media_id_b", "doc_b")
     )
 
 

@@ -4722,11 +4722,16 @@ def embed_cosine_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
+    # persisted: the d-7 self-join reads this aggregate on BOTH sides
+    # and Spark does no CSE across self-join branches — unpersisted,
+    # the corpus-linear orders scan runs twice (review finding; the
+    # events_daily_autocorr playbook). O(days) rows; released by the
+    # harness/bench at the family boundary like every catalog persist.
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("bigint")
         .alias("cents")
-    )
+    ).persist()
     f_ = daily.select(
         F.date_add(F.col("d"), 7).alias("d"), F.col("cents").alias("fc")
     )
@@ -4736,19 +4741,27 @@ def orders_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").alias("act"),
         "fc",
     )
+    # sums and the 2e6 rounding multiplier ride DECIMAL(38,0): Spark 4
+    # ANSI throws on int64 overflow past ~4.6e12 summed error cents
+    # (~$46B per weekday group — reachable at large SF) while DuckDB's
+    # HUGEINT silently succeeds; the div quotient itself is <= 2e6 so
+    # the bigint result is safe (review finding; the autocorr playbook)
     g = paired.groupBy("dow").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.sum(F.abs(F.col("act") - F.col("fc"))).alias("abs_err"),
-        F.sum("act").alias("act_sum"),
+        F.sum(
+            F.abs(F.col("act") - F.col("fc")).cast("decimal(38,0)")
+        ).alias("abs_err"),
+        F.sum(F.col("act").cast("decimal(38,0)")).alias("act_sum"),
     )
     return g.select(
         F.col("dow").cast("int").alias("dow"),
         F.col("n_days").cast("bigint").alias("n_days"),
         (F.col("abs_err").cast("double") / 100).alias("mae_total"),
         (
-            F.expr("(2000000 * abs_err + act_sum) div (2 * act_sum)").cast(
-                "double"
-            )
+            F.expr(
+                "(CAST(2000000 AS DECIMAL(38,0)) * abs_err + act_sum)"
+                " div (2 * act_sum)"
+            ).cast("double")
             / F.lit(1_000_000)
         ).alias("wape"),
     )
@@ -4793,9 +4806,14 @@ _DIVERSITY_MIN_EVENTS = 20
 def events_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    # squares and the 2e6 rounding multiplier ride DECIMAL(38,0): a user
+    # past ~2.14M events overflows the int64 formula under Spark 4 ANSI
+    # (exactly the bot-scale population this entry targets) while
+    # DuckDB's HUGEINT silently succeeds; the div quotient is <= 1e6 so
+    # the bigint result is safe (review finding)
     u = c.groupBy("user_id").agg(
-        F.sum("n").alias("nn"),
-        F.sum(F.col("n") * F.col("n")).alias("ssq"),
+        F.sum(F.col("n").cast("decimal(38,0)")).alias("nn"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("ssq"),
         F.count(F.lit(1)).alias("n_types"),
     )
     return u.filter(F.col("nn") >= _DIVERSITY_MIN_EVENTS).select(
@@ -4804,7 +4822,8 @@ def events_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_types").cast("bigint").alias("n_types"),
         (
             F.expr(
-                "(2000000 * (nn * nn - ssq) + nn * nn) div (2 * (nn * nn))"
+                "(CAST(2000000 AS DECIMAL(38,0)) * (nn * nn - ssq)"
+                " + nn * nn) div (2 * nn * nn)"
             ).cast("double")
             / F.lit(1_000_000)
         ).alias("diversity"),

@@ -565,9 +565,12 @@ def test_image_dhash_dataframe_roundtrip(spark):
 
 
 def test_wav_ehash_deterministic_and_sample_edit_small():
-    """Envelope hash is stable across decodes, and a one-sample edit
-    (the perturb_audio flip) moves it by at most 2 bits — or 0 when the
-    edited tail sample falls outside the 65-segment window."""
+    """Envelope hash is stable across decodes; a one-sample TAIL edit
+    (outside the 65-segment window for most lengths) moves it by at
+    most 2 bits, and the ACTUAL perturb_audio edit (first sample,
+    always in-window) is also bounded by 2 bits — pinning the planted
+    twins' recoverability at radius 3 directly against the shipped
+    perturbation."""
     wav = mm.make_wav_bytes(b"\x21" * 16, n_frames=260)
     h0 = mm._wav_ehash64(wav)
     assert h0 == mm._wav_ehash64(wav)
@@ -575,7 +578,14 @@ def test_wav_ehash_deterministic_and_sample_edit_small():
     edited[-1] ^= 0x40
     h1 = mm._wav_ehash64(bytes(edited))
     ham = bin((h0 ^ h1) & ((1 << 64) - 1)).count("1")
-    assert ham <= 2, f"one-sample edit moved {ham} bits"
+    assert ham <= 2, f"tail edit moved {ham} bits"
+    # the shipped first-sample edit (perturb_audio's byte math)
+    i = wav.find(b"data")
+    head = bytearray(wav)
+    head[i + 9] ^= 0x40
+    h2 = mm._wav_ehash64(bytes(head))
+    ham2 = bin((h0 ^ h2) & ((1 << 64) - 1)).count("1")
+    assert ham2 <= 2, f"first-sample edit moved {ham2} bits"
 
 
 def test_wav_ehash_unrelated_clips_far_apart():
@@ -617,9 +627,11 @@ def test_audio_ehash_dataframe_roundtrip(spark):
 
 
 def test_avi_vhash_deterministic_and_pixel_edit_small():
-    """Fingerprint is stable across decodes; the perturb_video edit
-    (flip 0x80 in the last frame's final pixel byte) moves it by at most
-    2 bits — or 0 when the last frame isn't among the 8 sampled."""
+    """Fingerprint is stable across decodes; a last-byte TAIL edit moves
+    it by at most 2 bits, and the ACTUAL perturb_video edit (first pixel
+    of the first frame chunk — frame 0 is always among the 8 sampled) is
+    also bounded by 2 bits, pinning the planted twins' recoverability at
+    radius 3 against the shipped perturbation."""
     avi = mm.make_avi_bytes(b"\x31" * 16, width=8, height=6, n_frames=8)
     h0 = mm._avi_vhash64(avi)
     assert h0 == mm._avi_vhash64(avi)
@@ -627,7 +639,14 @@ def test_avi_vhash_deterministic_and_pixel_edit_small():
     edited[-1] ^= 0x80
     h1 = mm._avi_vhash64(bytes(edited))
     ham = bin((h0 ^ h1) & ((1 << 64) - 1)).count("1")
-    assert ham <= 2, f"one-pixel edit moved {ham} bits"
+    assert ham <= 2, f"tail edit moved {ham} bits"
+    # the shipped first-frame edit (perturb_video's byte math)
+    i = avi.find(b"00db")
+    head = bytearray(avi)
+    head[i + 8] ^= 0x80
+    h2 = mm._avi_vhash64(bytes(head))
+    ham2 = bin((h0 ^ h2) & ((1 << 64) - 1)).count("1")
+    assert ham2 <= 2, f"first-frame edit moved {ham2} bits"
 
 
 def test_avi_vhash_unrelated_clips_far_apart():
