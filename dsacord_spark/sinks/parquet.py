@@ -393,13 +393,16 @@ def write_bucketed(
     `n_buckets` files per partition via DataFrameWriter.bucketBy +
     saveAsTable. Two tables bucketed the same way join WITHOUT any
     Exchange — the bucketed scan reports HashPartitioning(n_buckets), so
-    SortMergeJoin consumes both sides in place (and with sortBy the
-    per-bucket sort is pre-paid at write time too). This is the storage
-    layout that makes the TPC-H join chains exchange-free at 100 TB
-    (plans/composite.py documents the claim; tests/test_sink.py
-    demonstrates it mechanically on the physical plan). Bucket count is
-    a layout contract: co-locating joins requires equal n_buckets on
-    both tables, so changing it is a rewrite, not a config flip."""
+    SortMergeJoin consumes both sides in place. `sort_cols` pre-sorts
+    the bucket FILES at write time; note Spark still plans a defensive
+    Sort above the scan by default (a bucket split across several files
+    would need a merge) — the Sort is elided too only with ONE file per
+    bucket and spark.sql.legacy.bucketedTableScan.outputOrdering=true
+    (both behaviors plan-pinned in tests/test_sink.py). This is the
+    storage layout that makes the TPC-H join chains exchange-free at
+    100 TB (plans/composite.py documents the claim). Bucket count is a
+    layout contract: co-locating joins requires equal n_buckets on both
+    tables, so changing it is a rewrite, not a config flip."""
     w = (
         df.write.format("parquet")
         .mode(mode)

@@ -152,34 +152,51 @@ def test_bucketed_tables_join_without_exchange(spark):
     """write_bucketed layout contract, demonstrated mechanically: two
     tables bucketed by the join key into the same bucket count join via
     SortMergeJoin with ZERO Exchange in the physical plan (the bucketed
-    scans report HashPartitioning(n)), and sortBy removes the per-bucket
-    Sort too. This is the claim plans/composite.py makes for the TPC-H
-    join chains at 100 TB — here it is on the actual plan."""
+    scans report HashPartitioning(n)). With one file per bucket AND the
+    legacy bucketedTableScan.outputOrdering conf, the defensive Sort
+    above the scans is elided too — the join becomes fully local. This
+    is the claim plans/composite.py makes for the TPC-H join chains at
+    100 TB, pinned on the actual plan in both configurations."""
+    import re
+
     from dsacord_spark.sinks.parquet import write_bucketed
 
+    # coalesce(1): one file per bucket, the precondition for the
+    # sorted-scan ordering claim below
     orders = spark.range(0, 1000).selectExpr(
         "id AS o_orderkey", "id % 7 AS o_custkey"
-    )
+    ).coalesce(1)
     items = spark.range(0, 3000).selectExpr(
         "id % 1000 AS l_orderkey", "id AS l_qty"
-    )
+    ).coalesce(1)
     write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8,
                    sort_cols=["o_orderkey"])
     write_bucketed(items, "t_items_b", ["l_orderkey"], 8,
                     sort_cols=["l_orderkey"])
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    ord_key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        j = spark.table("t_orders_b").join(
-            spark.table("t_items_b"),
-            spark.table("t_orders_b")["o_orderkey"]
-            == spark.table("t_items_b")["l_orderkey"],
-        )
-        plan = j._jdf.queryExecution().executedPlan().toString()
+        def plan_of():
+            j = spark.table("t_orders_b").join(
+                spark.table("t_items_b"),
+                spark.table("t_orders_b")["o_orderkey"]
+                == spark.table("t_items_b")["l_orderkey"],
+            )
+            assert j.count() == 3000
+            return j._jdf.queryExecution().executedPlan().toString()
+
+        # default: co-located (no Exchange) but a defensive Sort remains
+        plan = plan_of()
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan, plan
-        assert j.count() == 3000
+        # opt-in sorted-bucket scan: the Sort is elided too
+        spark.conf.set(ord_key, "true")
+        plan2 = plan_of()
+        assert "Exchange" not in plan2, plan2
+        assert not re.search(r"\bSort\b", plan2), plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset(ord_key)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_items_b")
