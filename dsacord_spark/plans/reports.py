@@ -1753,6 +1753,13 @@ def orders_repeat_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _iso_dow(col) -> "F.Column":
+    """ISO day-of-week (1=Monday..7=Sunday) from Spark's dayofweek
+    (1=Sunday..7=Saturday) — the Spark twin of DuckDB's isodow(). One
+    definition shared by every weekday-keyed entry (heatmap, forecast
+    scorecard), so a mapping fix can never drift between them."""
+    return ((F.dayofweek(col) + 5) % 7) + 1
+
 @register(
     "events_weekhour_heatmap",
     sql="""
@@ -1771,8 +1778,7 @@ def orders_repeat_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_weekhour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
-        # Spark dayofweek: 1=Sunday..7=Saturday; ISO wants 1=Monday..7=Sunday
-        (((F.dayofweek("ts") + 5) % 7) + 1).alias("dow"),
+        _iso_dow("ts").alias("dow"),
         F.hour("ts").alias("hod"),
     )
     t = e.agg(F.count(F.lit(1)).alias("n"))
@@ -4711,8 +4717,10 @@ def embed_cosine_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(dow AS INT) AS dow,
            CAST(n_days AS BIGINT) AS n_days,
            CAST(abs_err AS DOUBLE) / 100 AS mae_total,
-           CAST((2000000 * abs_err + act_sum) // (2 * act_sum) AS DOUBLE)
-               / 1000000 AS wape
+           CASE WHEN act_sum = 0 THEN 0.0
+                ELSE CAST((2000000 * abs_err + act_sum) // (2 * act_sum)
+                          AS DOUBLE) / 1000000
+           END AS wape
     FROM g
     """,
     doc="Seasonal-naive (same weekday last week) forecast scorecard per "
@@ -4736,16 +4744,17 @@ def orders_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(F.col("d"), 7).alias("d"), F.col("cents").alias("fc")
     )
     paired = daily.join(f_, "d").select(
-        # Spark dayofweek: 1=Sunday..7=Saturday; ISO wants 1=Monday..7=Sunday
-        (((F.dayofweek("d") + 5) % 7) + 1).alias("dow"),
+        _iso_dow("d").alias("dow"),
         F.col("cents").alias("act"),
         "fc",
     )
     # sums and the 2e6 rounding multiplier ride DECIMAL(38,0): Spark 4
     # ANSI throws on int64 overflow past ~4.6e12 summed error cents
     # (~$46B per weekday group — reachable at large SF) while DuckDB's
-    # HUGEINT silently succeeds; the div quotient itself is <= 2e6 so
-    # the bigint result is safe (review finding; the autocorr playbook)
+    # HUGEINT silently succeeds. The div quotient is 2e6 * WAPE — NOT
+    # bounded by 2e6 (WAPE > 1 whenever errors exceed revenue) but
+    # int64-safe until WAPE ~ 9.2e12, far past any meaningful value
+    # (review finding; the autocorr playbook)
     g = paired.groupBy("dow").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum(
@@ -4757,13 +4766,18 @@ def orders_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dow").cast("int").alias("dow"),
         F.col("n_days").cast("bigint").alias("n_days"),
         (F.col("abs_err").cast("double") / 100).alias("mae_total"),
-        (
+        # act_sum = 0 (a weekday whose paired days all had zero revenue)
+        # would crash Spark ANSI div while DuckDB // returns NULL —
+        # report 0.0 on both engines instead (review finding)
+        F.when(F.col("act_sum") == 0, F.lit(0.0))
+        .otherwise(
             F.expr(
                 "(CAST(2000000 AS DECIMAL(38,0)) * abs_err + act_sum)"
                 " div (2 * act_sum)"
             ).cast("double")
             / F.lit(1_000_000)
-        ).alias("wape"),
+        )
+        .alias("wape"),
     )
 
 

@@ -646,6 +646,33 @@ def test_forecast_eval_perfect_weekly_seasonality(spark, tmp_path_factory):
     assert not check_query(spark, "orders_forecast_eval", sf2)
     assert orders_forecast_eval(spark, sf2).count() == 0
 
+    # non-degenerate: pin the ISO-dow mapping AND the rounding path
+    # (the all-zero seasonality fixture above can't catch a permuted
+    # dow or a broken WAPE formula — review finding). 14 days starting
+    # Monday 2024-03-04; only the second Monday deviates (150 vs 100):
+    # dow=1 gets wape = 50/150 = 0.333333 (half-up of 1/3), mae 50.0;
+    # every other weekday pairs exactly once at zero error.
+    sf3 = str(tmp_path_factory.mktemp("asym"))
+    write_orders(
+        sf3,
+        [(d, Decimal(150) if d == 7 else Decimal(100)) for d in range(14)],
+    )
+    assert not check_query(spark, "orders_forecast_eval", sf3)
+    by = {r.dow: r for r in orders_forecast_eval(spark, sf3).collect()}
+    assert by[1].wape == 0.333333 and by[1].mae_total == 50.0
+    assert all(by[d].wape == 0.0 and by[d].n_days == 1 for d in range(2, 8))
+
+    # zero-revenue weekday: Spark ANSI div would crash without the
+    # guard; both engines must report wape 0.0 (review finding)
+    sf4 = str(tmp_path_factory.mktemp("zero"))
+    write_orders(
+        sf4,
+        [(d, Decimal(0) if d % 7 == 2 else Decimal(80)) for d in range(14)],
+    )
+    assert not check_query(spark, "orders_forecast_eval", sf4)
+    by4 = {r.dow: r for r in orders_forecast_eval(spark, sf4).collect()}
+    assert by4[3].wape == 0.0  # Wednesday (dow 3) had zero revenue
+
 
 def test_type_diversity_exact_scores_and_min_support(spark, tmp_path_factory):
     """Uniform 4-type behavior scores exactly 0.75 = (k-1)/k; a
