@@ -560,54 +560,80 @@ def _propagate_min_labels(sym: DataFrame, max_iter: int) -> DataFrame:
     raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
 
 
-def banded_hamming_pairs(
-    hashed: DataFrame,
-    id_col: str,
+# Admission-scramble constants for the per-bucket cap: fold the hash
+# through a modular multiply (exact integer math, sign-stable) so a
+# capped band bucket admits a deterministic unbiased sample of its
+# hashes rather than "the lowest values" — the copresence playbook
+# (plans/reports.py events_user_copresence_topk). Local constants: the
+# joiner's consumers are rows-only entries, so no oracle lockstep needed.
+_BAND_SCRAMBLE_MOD1 = 1048573
+_BAND_SCRAMBLE_MULT = 2654435761
+_BAND_SCRAMBLE_MOD2 = 1000003
+
+
+def banded_hash_pairs(
+    uniq: DataFrame,
     hash_col: str,
-    n_bands: int = 4,
-    radius: int = 3,
-    hash_bits: int = 64,
+    n_bands: int,
+    radius: int,
+    hash_bits: int,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Banded-LSH near-dup pairs over an arbitrary `hash_bits`-bit hash
-    column — the 64-bit generalization of simhash_pairs' candidate
-    machinery, shared by the multimodal perceptual-hash dedup entries
-    (image dHash, audio envelope hash, video frame hash). Split the hash
-    into `n_bands` equal bands, equi-join rows sharing any band, verify
-    candidates with exact JVM-side bit_count(xor). With
-    radius <= n_bands - 1 the pigeonhole argument makes recall exactly 1
-    (every within-radius pair shares at least one clean band), so the
-    result EQUALS the brute-force O(n^2) scan. `hashed` should be
-    persisted by the caller when the hash is kernel-computed (the
-    self-join reads it on both sides and Spark does no CSE across
-    branches). Output: (media_id_a, media_id_b, hamming int)."""
+    """HASH-level banded-LSH pairs: `uniq` must carry one row per
+    DISTINCT hash value. Split each `hash_bits`-bit hash into `n_bands`
+    equal bands, equi-join hashes sharing any band, verify candidates
+    with exact JVM-side bit_count(xor), keep hamming <= radius. With
+    radius <= n_bands - 1 the pigeonhole argument makes recall exactly 1.
+    Output: (_ha, _hb, hamming) with _ha < _hb as signed longs — each
+    qualifying hash pair exactly once (filter before distinct; the
+    distinct runs over hash pairs, never member pairs).
+
+    `bucket_cap` (default None = off, exact recall) bounds a pathological
+    band bucket: each (band_no, band_val) bucket admits at most
+    `bucket_cap` hashes, in deterministic scrambled order, so a bucket
+    with U distinct hashes costs min(U, cap)^2/2 candidate pairs instead
+    of U^2/2. Pairs both of whose hashes are evicted from every shared
+    bucket are missed — a bounded-recall trade the multi-billion-item
+    regime needs when band values saturate."""
     assert n_bands > radius, "pigeonhole recall needs n_bands > radius"
+    assert hash_bits % n_bands == 0, "bands must tile the hash exactly"
     width = hash_bits // n_bands
     mask = (1 << width) - 1
-    bands = hashed.select(
-        F.col(id_col).alias("_id"),
-        F.col(hash_col).alias("_h"),
+    h = F.col(hash_col)
+    bands = uniq.select(
+        h.alias("_h"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(hash_col, width * i).bitwiseAND(
-                        F.lit(mask)
-                    )
+                    F.shiftrightunsigned(h, width * i).bitwiseAND(F.lit(mask))
                     for i in range(n_bands)
                 ]
             )
         ).alias("band_no", "band_val"),
     )
+    if bucket_cap is not None:
+        scramble = (
+            (F.col("_h") % _BAND_SCRAMBLE_MOD1) * _BAND_SCRAMBLE_MULT
+        ) % _BAND_SCRAMBLE_MOD2
+        adm = W.partitionBy("band_no", "band_val").orderBy(
+            scramble.asc(), F.col("_h").asc()
+        )
+        bands = (
+            bands.withColumn("_rn", F.row_number().over(adm))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a._id") < F.col("b._id")),
+            & (F.col("a._h") < F.col("b._h")),
         )
         .select(
-            F.col("a._id").alias("media_id_a"),
-            F.col("b._id").alias("media_id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
             F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
             .cast("int")
             .alias("hamming"),
@@ -615,7 +641,88 @@ def banded_hamming_pairs(
         # filter BEFORE distinct (the simhash_pairs rule): the banded
         # join emits each qualifying pair up to n_bands times, so
         # dropping far pairs first shrinks the distinct's shuffle input
-        # — and the distinct no longer carries the two 64-bit hashes
         .filter(F.col("hamming") <= radius)
         .distinct()
     )
+
+
+def banded_hamming_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bands: int = 4,
+    radius: int = 3,
+    hash_bits: int = 64,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Banded-LSH near-dup pairs over an arbitrary `hash_bits`-bit hash
+    column — the 64-bit generalization of simhash_pairs' candidate
+    machinery, shared by the multimodal perceptual-hash dedup entries
+    (image dHash, audio envelope hash, video frame hash). Returns the
+    same pair set as the brute-force O(n^2) scan whenever
+    radius <= n_bands - 1 and `bucket_cap` is off (pigeonhole recall).
+
+    DUPLICATE-SAFE (r5 verdict #1): identical hashes are grouped to one
+    representative BEFORE the banded self-join — exact-dup clusters (the
+    common case dedup exists for: K byte-identical media items) need no
+    Hamming work, so the banded join's input is the DISTINCT-hash set and
+    a K-identical cluster contributes 1 row, not K rows in one band
+    bucket (K^2/2 join rows before). The three stages:
+
+      1. within-group expansion: members sharing a hash pair up at
+         hamming 0 via a plain equi-join on the full hash — one shuffle,
+         no banding, no bit_count, output == inherent answer size;
+      2. banded_hash_pairs over distinct hashes (optionally capped per
+         band bucket — see that docstring);
+      3. cross-group expansion: each qualifying hash pair joins back to
+         its member lists on both sides.
+
+    The final result needs NO distinct: hash-level pairs are distinct
+    and expansion emits each member pair once; within-group (same hash)
+    and cross-group (different hashes) are disjoint by construction.
+    `hashed` should be persisted by the caller when the hash is
+    kernel-computed (stages 1-3 all read it and Spark does no CSE across
+    self-join branches). Output: (media_id_a, media_id_b, hamming int)
+    with media_id_a < media_id_b."""
+    members = hashed.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    # stage 1: exact-dup clusters — plain hash equi-join, hamming 0
+    ma, mb = members.alias("ma"), members.alias("mb")
+    same = ma.join(
+        mb,
+        (F.col("ma._h") == F.col("mb._h"))
+        & (F.col("ma._id") < F.col("mb._id")),
+    ).select(
+        F.col("ma._id").alias("media_id_a"),
+        F.col("mb._id").alias("media_id_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    # stage 2: banded LSH over DISTINCT hashes only
+    uniq = members.select("_h").distinct()
+    hpairs = banded_hash_pairs(
+        uniq, "_h", n_bands, radius, hash_bits, bucket_cap
+    )
+    # stage 3: expand hash pairs to member pairs (two equi-joins; the
+    # hash-pair side is the small near-dup evidence set). _ha < _hb does
+    # not order member ids, so re-order with least/greatest.
+    cross = (
+        hpairs.join(
+            members.select(
+                F.col("_id").alias("_id_a"), F.col("_h").alias("_ha")
+            ),
+            "_ha",
+        )
+        .join(
+            members.select(
+                F.col("_id").alias("_id_b"), F.col("_h").alias("_hb")
+            ),
+            "_hb",
+        )
+        .select(
+            F.least("_id_a", "_id_b").alias("media_id_a"),
+            F.greatest("_id_a", "_id_b").alias("media_id_b"),
+            F.col("hamming"),
+        )
+    )
+    return same.unionByName(cross)

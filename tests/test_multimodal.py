@@ -718,6 +718,139 @@ def test_banded_hamming_pairs_equals_brute_force(spark):
     assert got == exp
 
 
+def _brute_pairs(hashes: dict[int, int], radius: int) -> set:
+    exp = set()
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            if ham <= radius:
+                exp.add((a, b, ham))
+    return exp
+
+
+def _to_df(spark, hashes: dict[int, int]):
+    signed = {
+        k: v - (1 << 64) if v >= (1 << 63) else v for k, v in hashes.items()
+    }
+    return spark.createDataFrame(
+        [(k, v) for k, v in signed.items()], "media_id long, h long"
+    )
+
+
+def test_banded_pairs_duplicate_cluster_bounded(spark):
+    """r5 verdict #1: a cluster of K byte-identical items (the common
+    case dedup exists for) must NOT put K rows into one band bucket.
+    With exact-hash pre-grouping the banded join's input is the
+    DISTINCT-hash set, so the HASH-level pair stage is provably bounded:
+    1,000 identical hashes + 40 distinct ones yield <= C(41,2)
+    hash-level candidates (vs ~500k member-level before), while the
+    member-level expansion still returns every one of the
+    1000*999/2 exact-dup pairs plus the planted near pairs."""
+    import random
+
+    from dsacord_spark.operators.dedup import (
+        banded_hamming_pairs, banded_hash_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0xBEEF)
+    hashes = {i: rng.getrandbits(64) for i in range(1, 41)}
+    hot = rng.getrandbits(64)
+    for i in range(1000, 2000):  # the meme cluster: 1,000 identical items
+        hashes[i] = hot
+    hashes[41] = hot ^ (1 << 13)  # near-dup of the hot hash (hamming 1)
+    df = _to_df(spark, hashes).persist()
+    # HASH-level stage input == distinct hashes: 40 + hot + near = 42
+    uniq = df.select(F.col("h").alias("_h")).distinct()
+    assert uniq.count() == 42
+    hp = banded_hash_pairs(uniq, "_h", 4, 3, 64).count()
+    assert hp <= 42 * 41 // 2  # bounded by C(42,2), never K^2/2
+    got = {
+        (r.media_id_a, r.media_id_b, r.hamming)
+        for r in banded_hamming_pairs(df, "media_id", "h", 4, 3).collect()
+    }
+    df.unpersist()
+    exp = _brute_pairs(hashes, 3)
+    assert len([p for p in exp if p[2] == 0]) >= 1000 * 999 // 2
+    assert got == exp
+
+
+def test_banded_pairs_bucket_cap_bounds_candidates(spark):
+    """The per-bucket admission cap: 500 DISTINCT hashes sharing band 0
+    (same low 16 bits) form one hot band bucket. With bucket_cap=20 the
+    hash-level candidate count is bounded by the capped buckets'
+    admission (pairs among <= 20 admitted per bucket), not 500^2/2; the
+    admitted subset is deterministic, and uncapped recall stays exact."""
+    import random
+
+    from dsacord_spark.operators.dedup import banded_hash_pairs
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0xCAFE)
+    low16 = 0x5A5A
+    hashes = {}
+    for i in range(500):
+        hashes[i] = (rng.getrandbits(48) << 16) | low16
+    df = _to_df(spark, hashes)
+    uniq = df.select(F.col("h").alias("_h")).distinct()
+    # radius 63 disables the hamming filter: counts candidate pairs
+    capped = banded_hash_pairs(uniq, "_h", 64, 63, 64, bucket_cap=20)
+    n_capped = capped.count()
+    # 64 1-bit bands; the shared band admits 20 -> C(20,2) pairs from it;
+    # other bands are random bits (2 buckets each, cap binds at 20 per
+    # bucket) -> total far below the uncapped blow-up
+    assert n_capped <= 64 * 2 * (20 * 19 // 2)
+    # determinism: same admission sample on a re-run
+    assert capped.count() == n_capped
+    # and a small uncapped run is still exact (recall contract intact)
+    small = {k: hashes[k] for k in range(12)}
+    sdf = _to_df(spark, small)
+    from dsacord_spark.operators.dedup import banded_hamming_pairs
+
+    got = {
+        (r.media_id_a, r.media_id_b, r.hamming)
+        for r in banded_hamming_pairs(sdf, "media_id", "h", 4, 3).collect()
+    }
+    assert got == _brute_pairs(small, 3)
+
+
+def test_banded_pairs_band_shapes_recall_exact(spark):
+    """r5 verdict #4 — the band-width knob: recall stays EXACT at
+    radius <= n_bands - 1 for BOTH documented shapes, 4x16-bit bands at
+    radius 3 and 2x32-bit bands at radius 1 (the multi-billion-item
+    regime where 16-bit band values saturate). Seeded corpora with
+    planted edits at the radius boundary and just outside it."""
+    import random
+
+    from dsacord_spark.operators.dedup import banded_hamming_pairs
+
+    for shape_bands, shape_radius, seed in ((4, 3, 7), (2, 1, 11)):
+        rng = random.Random(seed)
+        hashes = {i: rng.getrandbits(64) for i in range(1, 31)}
+        nid = 100
+        for base in (1, 2, 3):
+            h = hashes[base]
+            for nbits in (shape_radius, shape_radius + 1):  # in / out
+                nid += 1
+                bits = rng.sample(range(64), nbits)
+                x = h
+                for b in bits:
+                    x ^= 1 << b
+                hashes[nid] = x
+        hashes[nid + 1] = hashes[4]  # one exact twin
+        df = _to_df(spark, hashes)
+        got = {
+            (r.media_id_a, r.media_id_b, r.hamming)
+            for r in banded_hamming_pairs(
+                df, "media_id", "h", shape_bands, shape_radius
+            ).collect()
+        }
+        exp = _brute_pairs(hashes, shape_radius)
+        assert got == exp, f"shape {shape_bands}x{64 // shape_bands}"
+        assert any(p[2] == shape_radius for p in exp)  # boundary hit
+
+
 def test_wav_ehash_truncated_data_chunk_returns_hash_not_crash():
     """A WAV whose data chunk is cut mid-sample (odd byte count) must
     yield a hash of the whole-sample prefix (or None), never raise —
