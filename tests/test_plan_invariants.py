@@ -203,6 +203,148 @@ def _unbounded_scan_paths(nodes, children, root: int) -> bool:
     return any(walk(c) for c in children[root])
 
 
+def _self_col2tab(sf_dir):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    col2tab: dict[str, set[str]] = {}
+    for p in glob.glob(sf_dir + "/*.parquet"):
+        tab = p.split("/")[-1].replace(".parquet", "")
+        for c in pq.read_schema(p).names:
+            col2tab.setdefault(c, set()).add(tab)
+    return col2tab
+
+
+_COLLIST = re.compile(r"\[([^\]]*)\]")
+
+
+def _rel_sig(name: str, col2tab) -> str | None:
+    """Identify the base relation a scan node reads: parquet scans by the
+    table whose schema contains the scanned columns (the toString
+    truncates the path, but the pruned column list survives), cached
+    frames by their base column-name set."""
+    if name.startswith(("FileScan", "Scan parquet")):
+        m = _COLLIST.search(name)
+        cols = [c.split("#")[0] for c in m.group(1).split(",")] if m else []
+        tabs: set[str] | None = None
+        for c in cols:
+            t = col2tab.get(c)
+            if t:
+                tabs = set(t) if tabs is None else tabs & t
+        return "tab:" + (sorted(tabs)[0] if tabs else "?")
+    if name.startswith("InMemoryTableScan"):
+        m = _COLLIST.search(name)
+        cols = (
+            sorted({c.split("#")[0] for c in m.group(1).split(",")})
+            if m
+            else []
+        )
+        return "cache:" + ",".join(cols)
+    return None
+
+
+_JOIN = re.compile(
+    r"^(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"
+    r"|BroadcastNestedLoopJoin|CartesianProduct)"
+)
+# STRONG cardinality bounds a plan can prove by itself: explicit limits,
+# a planner-certified-small broadcast side, a keyless (one-row)
+# aggregate, or a literal/range source. A KEYED aggregate is NOT here on
+# purpose: distinct/groupBy reduces but doesn't bound — the r5
+# hot-bucket finding lived exactly behind a distinct.
+_STRONG_BOUND = re.compile(
+    r"^(LocalLimit|GlobalLimit|TakeOrderedAndProject|CollectLimit"
+    r"|BroadcastExchange|ReusedExchange|LocalTableScan|Range\b)"
+    r"|^(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"
+)
+
+# --- invariant 5: self-joins must be bounded or declared -------------------
+#
+# The r5 verdict's manual audit caught an unbounded self-join shape (the
+# perceptual-hash joiner's duplicate-hash hot bucket) that no mechanical
+# invariant guarded. This gate turns that audit into CI: any join whose
+# BOTH subtrees reach the SAME base relation with no strong bound
+# (limit / broadcast / keyless agg) on the path is a raw-by-raw
+# self-join and MUST carry an entry here declaring why its output is
+# bounded. New entries with an undeclared self-join fail this test.
+_SELF_JOIN_BOUNDS = {
+    "dedup_minhash_calibration": (
+        "banded: candidate pairs come from a band-hash equi-join "
+        "(8 bands x md5 band hash) + distinct; the flagged SMJ only "
+        "joins that candidate evidence set back to per-doc shingle "
+        "rows for the exact-Jaccard verify (equi-join on doc id, "
+        "fan-out = shingles per candidate doc)"
+    ),
+    "events_anomaly_mad": (
+        "keyed-tiny: both sides are per-event-type aggregates "
+        "(median/MAD stats), key domain = #event_types; the stream "
+        "side equi-joins a broadcast-hinted per-type frame"
+    ),
+    "source_vocab_tv_distance": (
+        "bounded-dimension: per-(source,token) counts self-joined on "
+        "token with source_a < source_b; per-token multiplicity = "
+        "#sources (a small dimension), so fan-out per token is "
+        "#sources^2/2, linear in distinct tokens"
+    ),
+}
+
+
+def _subtree_sigs(nodes, children, i, col2tab, acc):
+    s = _rel_sig(nodes[i][1], col2tab)
+    if s:
+        acc.add(s)
+    for c in children[i]:
+        _subtree_sigs(nodes, children, c, col2tab, acc)
+    return acc
+
+
+def _unbounded_to(nodes, children, i, shared, col2tab) -> bool:
+    """True if some path from node i reaches a scan of a shared relation
+    with no strong bound on the way."""
+    name = nodes[i][1]
+    if _STRONG_BOUND.match(name):
+        return False
+    if _rel_sig(name, col2tab) in shared:
+        return True
+    return any(
+        _unbounded_to(nodes, children, c, shared, col2tab)
+        for c in children[i]
+    )
+
+
+def test_self_joins_are_bounded_or_declared(all_plans, sf_dir):
+    col2tab = _self_col2tab(sf_dir)
+    detected = set()
+    for qname, p in all_plans.items():
+        nodes, children = _tree(p["simple"])
+        for i, (_, nm) in enumerate(nodes):
+            if not _JOIN.match(nm):
+                continue
+            kids = children[i]
+            if len(kids) < 2:
+                continue
+            left = _subtree_sigs(nodes, children, kids[0], col2tab, set())
+            right = _subtree_sigs(nodes, children, kids[1], col2tab, set())
+            shared = left & right
+            if shared and all(
+                _unbounded_to(nodes, children, k, shared, col2tab)
+                for k in kids[:2]
+            ):
+                detected.add(qname)
+    undeclared = detected - set(_SELF_JOIN_BOUNDS)
+    assert not undeclared, (
+        f"undeclared raw-by-raw self-joins: {sorted(undeclared)} — bound "
+        "the join (broadcast / limit / banded+grouped / per-bucket cap) "
+        "or add a _SELF_JOIN_BOUNDS declaration explaining why its "
+        "output is bounded"
+    )
+    # stale declarations rot the registry's audit value: at the default
+    # test SF the detected set is deterministic, so require equality
+    stale = set(_SELF_JOIN_BOUNDS) - detected
+    assert not stale, f"stale _SELF_JOIN_BOUNDS declarations: {sorted(stale)}"
+
+
 def test_single_partition_funnels_are_bounded(all_plans):
     offenders = {}
     for qname, p in all_plans.items():
