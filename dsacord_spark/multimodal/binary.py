@@ -430,7 +430,17 @@ def _dhash64(w: int, h: int, rows: list[list[float]]) -> int:
     the cell to the right is strictly brighter. Near-identical images
     differ in a handful of bits (Hamming distance), unrelated images in
     ~32. Returned as a SIGNED 64-bit int (two's complement) so it
-    round-trips Spark's bigint without a float detour."""
+    round-trips Spark's bigint without a float detour.
+
+    Full-strength hashes need a decoded width >= 9 and height >= 8
+    (one pixel column per cell column). Below that, pigeonhole forces
+    adjacent cells onto identical pixel ranges — with w = 8 the c=0 vs
+    c=1 comparison bit is structurally 0 in every row — shrinking the
+    effective alphabet and mildly raising collision odds for tiny
+    images. No boundary formula can avoid this (9 cells cannot tile
+    fewer than 9 columns distinctly); it is deterministic, identical
+    across engines, and harmless for recall (collapse only ever maps
+    near-identical tiny images CLOSER together, never further apart)."""
     gw, gh = 9, 8
     cells: list[list[float]] = []
     for r in range(gh):

@@ -3274,7 +3274,8 @@ def _savings_sql() -> str:
            CAST(SUM(1 - kept) AS BIGINT) AS n_removed,
            CAST(SUM(CASE WHEN kept = 0 THEN n_chars ELSE 0 END) AS BIGINT)
              AS chars_removed,
-           round(CAST(SUM(1 - kept) AS DOUBLE) / count(*), 6) AS removal_rate
+           CAST((2000000 * SUM(1 - kept) + count(*)) // (2 * count(*))
+                AS DOUBLE) / 1000000 AS removal_rate
     FROM k GROUP BY source
     """
 
@@ -3299,16 +3300,26 @@ def corpus_dedup_savings_by_source(
         F.col("doc_id") == F.min("doc_id").over(W.partitionBy("fp")), 1
     ).otherwise(0)
     k = fp.select("source", "n_chars", kept.alias("kept"))
-    return k.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("kept").cast("bigint").alias("n_kept"),
-        F.sum(1 - F.col("kept")).cast("bigint").alias("n_removed"),
-        F.sum(F.when(F.col("kept") == 0, F.col("n_chars")).otherwise(0))
-        .cast("bigint")
-        .alias("chars_removed"),
-        F.round(
-            F.sum(1 - F.col("kept")).cast("double") / F.count(F.lit(1)), 6
-        ).alias("removal_rate"),
+    # removal_rate via the shared integer half-up 6dp formula: plain
+    # round() diverges between Spark (HALF_UP) and DuckDB (half-even
+    # on doubles) on dyadic ties like 1/128 = 0.0078125
+    return (
+        k.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.sum(1 - F.col("kept")).cast("bigint").alias("n_removed"),
+            F.sum(F.when(F.col("kept") == 0, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_removed"),
+        )
+        .withColumn(
+            "removal_rate",
+            F.expr("(2000000 * n_removed + n_docs) div (2 * n_docs)").cast(
+                "double"
+            )
+            / 1e6,
+        )
     )
 
 
@@ -3646,8 +3657,9 @@ def _shard_plan_sql() -> str:
            CAST(n_docs AS BIGINT) AS n_docs,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(n_chars AS BIGINT) AS n_chars,
-           round(CAST(n_docs * {_SHARD_N} AS DOUBLE)
-                 / SUM(n_docs) OVER (), 6) AS load_factor
+           CAST((2000000 * n_docs * {_SHARD_N} + SUM(n_docs) OVER ())
+                // (2 * SUM(n_docs) OVER ()) AS DOUBLE) / 1000000
+             AS load_factor
     FROM g
     """
 
@@ -3682,16 +3694,22 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = W.partitionBy(F.lit(0)).rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
-    return g.select(
-        F.col("shard").cast("int").alias("shard"),
-        "n_docs",
-        "n_tokens",
-        "n_chars",
-        F.round(
-            (F.col("n_docs") * _SHARD_N).cast("double")
-            / F.sum("n_docs").over(wall),
-            6,
-        ).alias("load_factor"),
+    return (
+        g.withColumn("_tot", F.sum("n_docs").over(wall))
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            # integer half-up 6dp (plain round() splits HALF_UP vs
+            # half-even on exact dyadic ties like 64/8192)
+            (
+                F.expr(
+                    f"(2000000 * n_docs * {_SHARD_N} + _tot) div (2 * _tot)"
+                ).cast("double")
+                / 1e6
+            ).alias("load_factor"),
+        )
     )
 
 
@@ -4841,4 +4859,259 @@ def events_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / F.lit(1_000_000)
         ).alias("diversity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-dup cluster-size histogram: how duplicate mass is distributed —
+# many small clusters (organic reposts) vs few huge ones (mirrored
+# dumps, viral memes). The shape that decides whether dedup needs the
+# hot-bucket defenses (operators/dedup.banded_hamming_pairs' exact-hash
+# pre-grouping) or a plain keep-canonical pass. Scale: one corpus scan,
+# then two strictly reducing shuffles (fp -> cluster size -> histogram
+# row per distinct size, O(log n) rows).
+# ---------------------------------------------------------------------------
+
+
+def _cluster_histogram_sql() -> str:
+    from dsacord_spark.plans.analysis import _FPRINT_SQL
+
+    return f"""
+    WITH fp AS (SELECT {_FPRINT_SQL} AS fp FROM documents),
+    cl AS (SELECT fp, count(*) AS sz FROM fp GROUP BY fp)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+    FROM cl GROUP BY sz
+    """
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    sql=_cluster_histogram_sql(),
+    doc="Histogram of exact-duplicate cluster sizes (normalized-text "
+    "fingerprint): clusters, docs, and removable docs per size — the "
+    "duplicate-mass shape report behind choosing dedup strategy. One "
+    "scan + two reducing shuffles; all-integer output.",
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    cl = (
+        d.select(doc_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return cl.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("sz") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        ((F.col("sz") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_removable"),
+    ).select(
+        F.col("sz").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "n_removable",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH band-bucket occupancy: per band, the histogram of bucket
+# sizes and the candidate-pair cost each size class contributes
+# (n_buckets * C(sz, 2)). THE pre-flight diagnostic for the quadratic
+# hot-bucket failure this round's banded-joiner rework fixed: a bucket
+# of K identical-signature docs costs K^2/2 candidate pairs, and this
+# report shows that number before the join runs. Band hashing is in
+# lockstep with dedup_minhash_lsh / dedup_minhash_calibration (same
+# md5 band-hash construction over the same 32-perm signatures).
+# Scale: signature shuffle (map-side partial mins), then strictly
+# reducing groupBys; no joins at all. cand_pairs is computed in exact
+# integer/decimal arithmetic and emitted as DOUBLE (exact below 2^53,
+# graceful — never erroring — beyond; the Gramian-entry precedent),
+# because a pathological bucket's pair count is exactly the number
+# this report exists to expose and must not overflow int64.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_bucket_load_sql(n_perm: int = 32, bands: int = 8) -> str:
+    from dsacord_spark.functions.hashing import _perm_constants, md5_long_sql
+    from dsacord_spark.plans.analysis import _ngr_cte, _perm_min_sql
+
+    rows = n_perm // bands
+    perms = _perm_constants(n_perm)
+    mins = ",\n             ".join(
+        _perm_min_sql(i, a, b) for i, (a, b) in enumerate(perms)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc, {j} AS band_idx, {h} AS band_hash FROM sig".format(
+            j=j,
+            h=md5_long_sql(
+                "concat_ws(',', "
+                + ", ".join(
+                    [str(j)] + [f"m{j * rows + r}" for r in range(rows)]
+                )
+                + ")"
+            ),
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH {_ngr_cte(3).strip()},
+    sig AS (SELECT doc, {mins} FROM ngr GROUP BY doc),
+    bands AS ({band_rows}),
+    bucket AS (
+      SELECT band_idx, band_hash, count(*) AS sz
+      FROM bands GROUP BY 1, 2)
+    SELECT CAST(band_idx AS INT) AS band_idx,
+           CAST(sz AS BIGINT) AS bucket_size,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * ((sz * (sz - 1)) // 2) AS DOUBLE) AS cand_pairs
+    FROM bucket GROUP BY band_idx, sz
+    """
+
+
+@register(
+    "dedup_minhash_bucket_load",
+    sql=_minhash_bucket_load_sql(32, 8),
+    doc="MinHash-LSH band-bucket occupancy histogram with per-size-class "
+    "candidate-pair cost (n_buckets * C(sz,2)) — the pre-flight "
+    "hot-bucket diagnostic for the LSH join. Band hashing in lockstep "
+    "with dedup_minhash_lsh; no joins, strictly reducing aggregates.",
+)
+def dedup_minhash_bucket_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.functions.hashing import md5_long
+    from dsacord_spark.operators.dedup import minhash_signatures
+
+    n_perm, bands = 32, 8
+    rows_per_band = n_perm // bands
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", 3, n_perm)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_idx"),
+            md5_long(
+                F.concat_ws(
+                    ",",
+                    F.lit(j),
+                    *[
+                        F.col(f"m{j * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for j in range(bands)
+    ]
+    bucket = (
+        sig.select("doc", F.explode(F.array(*band_structs)).alias("b"))
+        .select("doc", "b.band_idx", "b.band_hash")
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return bucket.groupBy("band_idx", "sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        (F.col("sz") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        F.expr(
+            "CAST(CAST(count(1) AS DECIMAL(38,0))"
+            " * ((CAST(sz AS DECIMAL(38,0)) * (sz - 1)) div 2) AS DOUBLE)"
+        ).alias("cand_pairs"),
+    ).select(
+        F.col("band_idx").cast("int").alias("band_idx"),
+        F.col("sz").cast("bigint").alias("bucket_size"),
+        "n_buckets",
+        "n_docs",
+        "cand_pairs",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-arrival burstiness per event_type: the Fano factor
+# (variance/mean) of per-minute arrival counts over the observed span,
+# zero-count minutes included — the capacity-planning number that
+# separates Poisson-ish traffic (fano ~ 1) from bursty spikes
+# (fano >> 1). Deliberately NOT events_burstiness_fano (per-USER, over
+# that user's ACTIVE hours only — bot triage): this one keys on
+# event_type at minute grain and counts the EMPTY minutes in the span,
+# which is the correct arrival-process treatment for sizing stream
+# capacity — a type firing 60k events in one minute of a quiet day is
+# maximally bursty here but looks Poisson if idle periods are dropped. All arithmetic exact: counts are integers, the span is
+# minutes between the minute-truncated min/max (UTC-pinned session, so
+# truncation matches DuckDB), and fano renders via the integer half-up
+# 6dp formula over fano = (n*S2 - S^2) / (n*S) with S = sum of counts,
+# S2 = sum of squared counts (zero minutes contribute nothing to
+# either, so active-minute sums suffice). Sums ride DECIMAL(38,0): n*S2
+# overflows int64 under Spark 4 ANSI at high-rate types (~2^63 at
+# ~1e5 minutes x 3e6-events-per-minute squared) while DuckDB's HUGEINT
+# silently succeeds (the diversity/WAPE playbook). Cauchy-Schwarz makes
+# the numerator non-negative. Scale: one (type, minute) shuffle with
+# map-side combine, then a per-type aggregate — O(types) output rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_arrival_burstiness",
+    sql="""
+    WITH m AS (
+      SELECT event_type,
+             date_trunc('minute', CAST(ts AS TIMESTAMP)) AS mn,
+             count(*) AS c
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT event_type, min(mn) AS mn0, max(mn) AS mn1,
+             count(*) AS active, SUM(c) AS sc, SUM(c * c) AS sc2,
+             MAX(c) AS peak
+      FROM m GROUP BY 1),
+    x AS (
+      SELECT event_type, active, sc, sc2, peak,
+             datediff('minute', mn0, mn1) + 1 AS n
+      FROM g)
+    SELECT event_type,
+           CAST(sc AS BIGINT) AS n_events,
+           CAST(active AS BIGINT) AS active_minutes,
+           CAST(n AS BIGINT) AS span_minutes,
+           CAST(peak AS BIGINT) AS peak_per_minute,
+           CAST((2000000 * (n * sc2 - sc * sc) + n * sc) // (2 * n * sc)
+                AS DOUBLE) / 1000000 AS fano
+    FROM x
+    """,
+    doc="Arrival burstiness per event_type: exact Fano factor "
+    "(variance/mean of per-minute counts over the observed span, empty "
+    "minutes included), active/span minutes and peak rate — Poisson "
+    "traffic scores ~1, bursty spikes >> 1. One (type, minute) shuffle "
+    "+ O(types) aggregate; DECIMAL-exact integer arithmetic.",
+)
+def events_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    m = e.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("mn")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    g = m.groupBy("event_type").agg(
+        F.min("mn").alias("mn0"),
+        F.max("mn").alias("mn1"),
+        F.count(F.lit(1)).alias("active"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sc"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sc2"),
+        F.max("c").alias("peak"),
+    )
+    x = g.withColumn(
+        "n",
+        F.expr("timestampdiff(MINUTE, mn0, mn1) + 1").cast("decimal(38,0)"),
+    )
+    return x.select(
+        "event_type",
+        F.col("sc").cast("bigint").alias("n_events"),
+        F.col("active").cast("bigint").alias("active_minutes"),
+        F.col("n").cast("bigint").alias("span_minutes"),
+        F.col("peak").cast("bigint").alias("peak_per_minute"),
+        (
+            F.expr(
+                "(CAST(2000000 AS DECIMAL(38,0)) * (n * sc2 - sc * sc)"
+                " + n * sc) div (2 * n * sc)"
+            ).cast("double")
+            / F.lit(1_000_000)
+        ).alias("fano"),
     )
