@@ -116,18 +116,26 @@ def _ingest_setup(sf_dir: str, cpus: int) -> dict:
 
     work = tempfile.mkdtemp(prefix="dsacord-ingest-bench-")
     landing = os.path.join(work, "landing")
-    rows_in = _build_ingest_fixture(landing, days, rows_per_csv)
-    # a tiny 1-day landing for the UNTIMED path warm-up: the old
-    # back-to-back min-of-3 implicitly measured a warm path (reps 2-3
-    # reused rep 1's spun-up Python workers + JIT'd operators); isolated
-    # interleaved reps must warm the same machinery explicitly or the
-    # min carries a systematic cold-start tax instead of noise
-    warm_landing = os.path.join(work, "warm_landing")
-    _build_ingest_fixture(warm_landing, 1, 300)
-    # flush fixture writeback before the first timed window: a pending
-    # multi-hundred-MB writeback colliding with the first timed read
-    # produced 200s+ outliers on an otherwise ~15s run
-    os.sync()
+    try:
+        rows_in = _build_ingest_fixture(landing, days, rows_per_csv)
+        # a tiny 1-day landing for the UNTIMED path warm-up: the old
+        # back-to-back min-of-3 implicitly measured a warm path (reps
+        # 2-3 reused rep 1's spun-up Python workers + JIT'd operators);
+        # isolated interleaved reps must warm the same machinery
+        # explicitly or the min carries a systematic cold-start tax
+        warm_landing = os.path.join(work, "warm_landing")
+        _build_ingest_fixture(warm_landing, 1, 300)
+        # flush fixture writeback before the first timed window: a
+        # pending multi-hundred-MB writeback colliding with the first
+        # timed read produced 200s+ outliers on an otherwise ~15s run
+        os.sync()
+    except BaseException:
+        # a half-built multi-hundred-MB fixture must not leak when the
+        # build dies (ENOSPC): finalize never runs if setup raises
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        raise
     return {
         "work": work,
         "landing": landing,
@@ -154,6 +162,7 @@ def _ingest_warm(spark, ctx: dict) -> None:
     write_decisions_parquet(
         dedup_batch(valid), ctx["out"] + "_warm", mode="overwrite"
     )
+    os.sync()  # rep 1 is timed immediately after; flush first
 
 
 def _ingest_rep(spark, ctx: dict) -> None:
@@ -181,6 +190,12 @@ def _ingest_rep(spark, ctx: dict) -> None:
     ctx["reps"].append(round(time.perf_counter() - t0, 4))
     ctx["rep_load_avg"].append(round(os.getloadavg()[0], 2))
     _reset_session_state(spark)
+    # flush this rep's parquet writeback OUTSIDE the timed window:
+    # reps 1 and 2 run right before timed catalog sections, and a
+    # pending multi-hundred-MB writeback would bill its flush to
+    # whichever queries follow (the same collision the setup sync
+    # guards against)
+    os.sync()
 
 
 def _ingest_finalize(ctx: dict) -> dict:

@@ -592,9 +592,10 @@ def banded_hash_pairs(
     band bucket: each (band_no, band_val) bucket admits at most
     `bucket_cap` hashes, in deterministic scrambled order, so a bucket
     with U distinct hashes costs min(U, cap)^2/2 candidate pairs instead
-    of U^2/2. Pairs both of whose hashes are evicted from every shared
-    bucket are missed — a bounded-recall trade the multi-billion-item
-    regime needs when band values saturate."""
+    of U^2/2. A pair is missed when EVERY band bucket the two hashes
+    share evicts at least one of them (a pair survives only via a shared
+    bucket that admits BOTH) — a bounded-recall trade the
+    multi-billion-item regime needs when band values saturate."""
     assert n_bands > radius, "pigeonhole recall needs n_bands > radius"
     assert hash_bits % n_bands == 0, "bands must tile the hash exactly"
     width = hash_bits // n_bands
@@ -677,9 +678,14 @@ def banded_hamming_pairs(
       3. cross-group expansion: each qualifying hash pair joins back to
          its member lists on both sides.
 
-    The final result needs NO distinct: hash-level pairs are distinct
-    and expansion emits each member pair once; within-group (same hash)
-    and cross-group (different hashes) are disjoint by construction.
+    PRECONDITION: `hashed` must carry one row per media id (unique ids;
+    every current caller computes one hash per item). The final result
+    then needs NO distinct: hash-level pairs are distinct and expansion
+    emits each member pair once; within-group (same hash) and
+    cross-group (different hashes) are disjoint by construction. A
+    duplicated input row would duplicate its output pairs — the
+    pre-grouping design trades the old terminal member-level distinct
+    (a shuffle of the full pair set) for this documented contract.
     `hashed` should be persisted by the caller when the hash is
     kernel-computed (stages 1-3 all read it and Spark does no CSE across
     self-join branches). Output: (media_id_a, media_id_b, hamming int)

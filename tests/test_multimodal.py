@@ -766,9 +766,20 @@ def test_banded_pairs_duplicate_cluster_bounded(spark):
     assert uniq.count() == 42
     hp = banded_hash_pairs(uniq, "_h", 4, 3, 64).count()
     assert hp <= 42 * 41 // 2  # bounded by C(42,2), never K^2/2
+    pairs = banded_hamming_pairs(df, "media_id", "h", 4, 3)
+    # PLAN pin (review finding: the hp-count assert above is satisfiable
+    # by any implementation handed pre-distinct hashes): the composed
+    # joiner itself must feed the banded join from a DISTINCT-hash
+    # aggregate — a revert to member-level banding has no
+    # HashAggregate(keys=[_h..], functions=[]) node at all
+    import re
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"HashAggregate\(keys=\[_h#\d+L?\], functions=\[\]", plan
+    ), "banded join is not fed from a distinct-hash aggregate"
     got = {
-        (r.media_id_a, r.media_id_b, r.hamming)
-        for r in banded_hamming_pairs(df, "media_id", "h", 4, 3).collect()
+        (r.media_id_a, r.media_id_b, r.hamming) for r in pairs.collect()
     }
     df.unpersist()
     exp = _brute_pairs(hashes, 3)

@@ -159,10 +159,13 @@ def test_no_nested_columns_in_catalog_outputs(all_plans):
 # SinglePartition exchange there must be at least one REDUCING node —
 # an Aggregate, a Limit/TakeOrdered, or a BroadcastExchange.
 
+# ReusedExchange only counts when it reuses a BroadcastExchange — a
+# reused SHUFFLE exchange reduces nothing (same rule as _STRONG_BOUND)
 _REDUCING = re.compile(
     r"^(HashAggregate|SortAggregate|ObjectHashAggregate|LocalLimit"
     r"|GlobalLimit|TakeOrderedAndProject|CollectLimit|BroadcastExchange"
-    r"|ReusedExchange|LocalTableScan|Range\b)"
+    r"|LocalTableScan|Range\b)"
+    r"|^ReusedExchange\b.*BroadcastExchange"
 )
 _SCAN = re.compile(r"^(BatchScan|FileScan|Scan parquet|InMemoryTableScan)")
 
@@ -223,25 +226,57 @@ def _rel_sig(name: str, col2tab) -> str | None:
     """Identify the base relation a scan node reads: parquet scans by the
     table whose schema contains the scanned columns (the toString
     truncates the path, but the pruned column list survives), cached
-    frames by their base column-name set."""
+    frames by their (pruned) column-name set. Cache sigs are compared
+    with subset semantics in _sigs_intersect — two projections of one
+    cached frame prune to different column lists, and exact-set
+    comparison would miss their self-join (review finding)."""
     if name.startswith(("FileScan", "Scan parquet")):
         m = _COLLIST.search(name)
-        cols = [c.split("#")[0] for c in m.group(1).split(",")] if m else []
+        cols = (
+            [c.split("#")[0].strip() for c in m.group(1).split(",")]
+            if m
+            else []
+        )
         tabs: set[str] | None = None
         for c in cols:
             t = col2tab.get(c)
             if t:
                 tabs = set(t) if tabs is None else tabs & t
-        return "tab:" + (sorted(tabs)[0] if tabs else "?")
+        if tabs:
+            return "tab:" + sorted(tabs)[0]
+        # unresolvable scans keep their column list: collapsing them to
+        # one shared "?" sig would report a join of two DIFFERENT
+        # unresolved tables as a self-join (review finding)
+        return "tab:?" + ",".join(sorted(cols))
     if name.startswith("InMemoryTableScan"):
         m = _COLLIST.search(name)
         cols = (
-            sorted({c.split("#")[0] for c in m.group(1).split(",")})
+            sorted({c.split("#")[0].strip() for c in m.group(1).split(",")})
             if m
             else []
         )
         return "cache:" + ",".join(cols)
     return None
+
+
+def _shared_sigs(left: set, right: set) -> set:
+    """Relations shared by both join sides: table sigs match exactly;
+    cache sigs also match CROSS-SIDE when one pruned column set contains
+    the other (two projections of the same cached frame prune to
+    different lists — exact-set matching would miss that self-join)."""
+    shared = set(left & right)
+    for ls in left:
+        if not ls.startswith("cache:"):
+            continue
+        lc = set(ls[6:].split(","))
+        for rs in right:
+            if not rs.startswith("cache:"):
+                continue
+            rc = set(rs[6:].split(","))
+            if lc and rc and (lc <= rc or rc <= lc):
+                shared.add(ls)
+                shared.add(rs)
+    return shared
 
 
 _JOIN = re.compile(
@@ -252,10 +287,19 @@ _JOIN = re.compile(
 # a planner-certified-small broadcast side, a keyless (one-row)
 # aggregate, or a literal/range source. A KEYED aggregate is NOT here on
 # purpose: distinct/groupBy reduces but doesn't bound — the r5
-# hot-bucket finding lived exactly behind a distinct.
+# hot-bucket finding lived exactly behind a distinct. ReusedExchange
+# counts ONLY when it reuses a BroadcastExchange (its toString carries
+# the referenced exchange on the same line): reusing a SHUFFLE exchange
+# is exactly what the planner does to a raw self-join's identical sides
+# and proves nothing about cardinality (review finding). Known residual
+# weakness, documented rather than fixable here: broadcast selection is
+# a size estimate at the TEST scale factor, so a side that broadcasts
+# at sf0.001 but shuffles at production scale auto-passes — the gate is
+# a strong screen, not a proof.
 _STRONG_BOUND = re.compile(
     r"^(LocalLimit|GlobalLimit|TakeOrderedAndProject|CollectLimit"
-    r"|BroadcastExchange|ReusedExchange|LocalTableScan|Range\b)"
+    r"|BroadcastExchange|LocalTableScan|Range\b)"
+    r"|^ReusedExchange\b.*BroadcastExchange"
     r"|^(HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"
 )
 
@@ -326,7 +370,7 @@ def test_self_joins_are_bounded_or_declared(all_plans, sf_dir):
                 continue
             left = _subtree_sigs(nodes, children, kids[0], col2tab, set())
             right = _subtree_sigs(nodes, children, kids[1], col2tab, set())
-            shared = left & right
+            shared = _shared_sigs(left, right)
             if shared and all(
                 _unbounded_to(nodes, children, k, shared, col2tab)
                 for k in kids[:2]
