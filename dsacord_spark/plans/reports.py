@@ -4863,62 +4863,6 @@ def events_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Exact-dup cluster-size histogram: how duplicate mass is distributed —
-# many small clusters (organic reposts) vs few huge ones (mirrored
-# dumps, viral memes). The shape that decides whether dedup needs the
-# hot-bucket defenses (operators/dedup.banded_hamming_pairs' exact-hash
-# pre-grouping) or a plain keep-canonical pass. Scale: one corpus scan,
-# then two strictly reducing shuffles (fp -> cluster size -> histogram
-# row per distinct size, O(log n) rows).
-# ---------------------------------------------------------------------------
-
-
-def _cluster_histogram_sql() -> str:
-    from dsacord_spark.plans.analysis import _FPRINT_SQL
-
-    return f"""
-    WITH fp AS (SELECT {_FPRINT_SQL} AS fp FROM documents),
-    cl AS (SELECT fp, count(*) AS sz FROM fp GROUP BY fp)
-    SELECT CAST(sz AS BIGINT) AS cluster_size,
-           CAST(count(*) AS BIGINT) AS n_clusters,
-           CAST(sz * count(*) AS BIGINT) AS n_docs,
-           CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
-    FROM cl GROUP BY sz
-    """
-
-
-@register(
-    "dedup_cluster_size_histogram",
-    sql=_cluster_histogram_sql(),
-    doc="Histogram of exact-duplicate cluster sizes (normalized-text "
-    "fingerprint): clusters, docs, and removable docs per size — the "
-    "duplicate-mass shape report behind choosing dedup strategy. One "
-    "scan + two reducing shuffles; all-integer output.",
-)
-def dedup_cluster_size_histogram(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    cl = (
-        d.select(doc_fingerprint("text").alias("fp"))
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("sz"))
-    )
-    return cl.groupBy("sz").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
-        (F.col("sz") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
-        ((F.col("sz") - 1) * F.count(F.lit(1)))
-        .cast("bigint")
-        .alias("n_removable"),
-    ).select(
-        F.col("sz").cast("bigint").alias("cluster_size"),
-        "n_clusters",
-        "n_docs",
-        "n_removable",
-    )
-
-
-# ---------------------------------------------------------------------------
 # MinHash-LSH band-bucket occupancy: per band, the histogram of bucket
 # sizes and the candidate-pair cost each size class contributes
 # (n_buckets * C(sz, 2)). THE pre-flight diagnostic for the quadratic
