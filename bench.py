@@ -211,7 +211,13 @@ def _ingest_finalize(ctx: dict) -> dict:
         "rows_written": ctx["rows_written"],
         "rows_per_s": round(ctx["rows_in"] / elapsed, 1),
         "baseline_rows_per_s": BASELINE_ROWS_PER_S,
-        "method": "interleaved min-of-3 (reps at bench start/mid/end)",
+        # label reflects how many reps actually completed: publishing a
+        # single surviving sample as "min-of-3" would smuggle back the
+        # one-load-window bias the interleaving removes
+        "method": (
+            f"interleaved min-of-{len(ctx['reps'])} "
+            "(reps at bench start/mid/end)"
+        ),
         "reps": ctx["reps"],
         "rep_load_avg_1m": ctx["rep_load_avg"],
     }

@@ -613,8 +613,15 @@ def banded_hash_pairs(
         ).alias("band_no", "band_val"),
     )
     if bucket_cap is not None:
+        # pmod, NOT %: Spark % keeps the dividend's sign, and uniform
+        # 64-bit hashes are ~half negative — a signed scramble would
+        # sort every MSB-set hash before every MSB-clear one and evict
+        # across the sign boundary systematically instead of sampling
+        # (review finding; the copresence playbook's user_id operand
+        # was non-negative so it never faced this)
         scramble = (
-            (F.col("_h") % _BAND_SCRAMBLE_MOD1) * _BAND_SCRAMBLE_MULT
+            F.pmod(F.col("_h"), F.lit(_BAND_SCRAMBLE_MOD1))
+            * _BAND_SCRAMBLE_MULT
         ) % _BAND_SCRAMBLE_MOD2
         adm = W.partitionBy("band_no", "band_val").orderBy(
             scramble.asc(), F.col("_h").asc()

@@ -4913,7 +4913,11 @@ def _minhash_bucket_load_sql(n_perm: int = 32, bands: int = 8) -> str:
            CAST(sz AS BIGINT) AS bucket_size,
            CAST(count(*) AS BIGINT) AS n_buckets,
            CAST(sz * count(*) AS BIGINT) AS n_docs,
-           CAST(count(*) * ((sz * (sz - 1)) // 2) AS DOUBLE) AS cand_pairs
+           -- HUGEINT promotion: sz comes from count(*) (BIGINT) and
+           -- sz*(sz-1) would ERROR past ~3e9 members without it, the
+           -- same hazard the Spark side dodges with DECIMAL(38,0) / 2
+           CAST(count(*) * (CAST(sz AS HUGEINT) * (sz - 1) // 2)
+                AS DOUBLE) AS cand_pairs
     FROM bucket GROUP BY band_idx, sz
     """
 
@@ -4959,9 +4963,14 @@ def dedup_minhash_bucket_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket.groupBy("band_idx", "sz").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
         (F.col("sz") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        # `/ 2`, NOT `div 2`: Spark's div always returns BIGINT, so the
+        # decimal halving would silently WRAP for a bucket past ~4.3e9
+        # members — the exact pathological regime this report exposes
+        # (review finding, live-verified). The product is always even,
+        # so decimal `/` is exact; DuckDB's HUGEINT `//` agrees.
         F.expr(
             "CAST(CAST(count(1) AS DECIMAL(38,0))"
-            " * ((CAST(sz AS DECIMAL(38,0)) * (sz - 1)) div 2) AS DOUBLE)"
+            " * (CAST(sz AS DECIMAL(38,0)) * (sz - 1) / 2) AS DOUBLE)"
         ).alias("cand_pairs"),
     ).select(
         F.col("band_idx").cast("int").alias("band_idx"),

@@ -227,7 +227,7 @@ def _rel_sig(name: str, col2tab) -> str | None:
     table whose schema contains the scanned columns (the toString
     truncates the path, but the pruned column list survives), cached
     frames by their (pruned) column-name set. Cache sigs are compared
-    with subset semantics in _sigs_intersect — two projections of one
+    with subset semantics in _shared_sigs — two projections of one
     cached frame prune to different column lists, and exact-set
     comparison would miss their self-join (review finding)."""
     if name.startswith(("FileScan", "Scan parquet")):
@@ -243,7 +243,12 @@ def _rel_sig(name: str, col2tab) -> str | None:
             if t:
                 tabs = set(t) if tabs is None else tabs & t
         if tabs:
-            return "tab:" + sorted(tabs)[0]
+            # sign with the FULL ambiguity set: picking one candidate
+            # would give two different ambiguously-resolved tables the
+            # same sig and flag their legitimate join as a self-join
+            # (review finding; latent — no column name is shared across
+            # the current tables)
+            return "tab:" + ",".join(sorted(tabs))
         # unresolvable scans keep their column list: collapsing them to
         # one shared "?" sig would report a join of two DIFFERENT
         # unresolved tables as a self-join (review finding)
