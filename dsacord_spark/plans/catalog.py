@@ -134,3 +134,30 @@ def oracle_sql() -> dict[str, str]:
 
 def specs() -> dict[str, QuerySpec]:
     return _ordered()
+
+
+def run_query(
+    spark: SparkSession, name: str, sf_dir: str
+) -> list:
+    """Leak-free single-entry runner for EXTERNAL callers: execute one
+    catalog entry to completion and release every cached block before
+    returning the collected rows.
+
+    A handful of entries persist intermediate frames their returned
+    (lazy) plan consumes — simhash signatures, kernel-computed media
+    hashes, the gap-fill hourly aggregate (PLANS.md "Known intentional
+    costs"). The in-repo harnesses (bench.py, oracle sweeps) release
+    those pinned blocks at family boundaries, but a caller holding only
+    the lazy DataFrame from queries()[name] would inherit them for the
+    session. This wrapper is the supported way to run one entry
+    standalone: materialize, then clearCache.
+
+    For bulk runs, prefer the queries() dict directly and call
+    spark.catalog.clearCache() at family boundaries like bench.py does
+    (clearing per-entry would evict frames that consecutive same-family
+    entries deliberately share)."""
+    spec = _ordered()[name]
+    try:
+        return spec.fn(spark, sf_dir).collect()
+    finally:
+        spark.catalog.clearCache()

@@ -50,3 +50,15 @@ def test_bench_has_loop_end_cleanup():
 
     src = (Path(__file__).resolve().parents[1] / "bench.py").read_text()
     assert src.count("spark.catalog.clearCache()") >= 2  # family + loop-end
+
+
+def test_run_query_releases_persisted_blocks(spark, sf_dir):
+    """catalog.run_query is the supported external single-entry API: it
+    must return rows AND leave zero persistent RDDs even for entries
+    that persist intermediates their plan consumes (dedup_simhash pins
+    the signature frame across its self-join)."""
+    from dsacord_spark.plans.catalog import run_query
+
+    rows = run_query(spark, "dedup_simhash", sf_dir)
+    assert isinstance(rows, list)
+    assert _n_persistent(spark) == 0
