@@ -136,6 +136,14 @@ def _ingest_setup(sf_dir: str, cpus: int) -> dict:
 
         shutil.rmtree(work, ignore_errors=True)
         raise
+    # the fixture lives for the WHOLE bench (reps are interleaved at
+    # start/mid/end), so a mid-bench abort — Ctrl-C during the catalog
+    # sweep, an uncaught py4j error — would leak it without a process-
+    # exit hook; the hook is idempotent with _ingest_finalize's rmtree
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     return {
         "work": work,
         "landing": landing,
@@ -224,6 +232,12 @@ def _ingest_finalize(ctx: dict) -> dict:
 
 
 def main() -> None:
+    # exit cleanly on SIGTERM (what `timeout`/driver kills send): the
+    # default handler terminates WITHOUT running atexit, which would
+    # leak the ingest fixture dir the atexit hook exists to remove
+    import signal
+
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # co-tenant load on this host swings timings up to 10x with no code
@@ -278,11 +292,21 @@ def main() -> None:
     ingest: dict = {}
     try:
         ingest_ctx = _ingest_setup(sf_dir, cpus)
-        _ingest_warm(spark, ingest_ctx)  # untimed path warm-up
-        _ingest_rep(spark, ingest_ctx)  # rep 1: bench start
     except Exception as exc:  # pragma: no cover
-        print(f"bench: ingest setup/rep1 failed: {exc}", file=sys.stderr)
+        print(f"bench: ingest setup failed: {exc}", file=sys.stderr)
         ingest = {"error": str(exc)}
+    if ingest_ctx is not None:
+        # warm-up failure must not also skip rep 1 (they used to share
+        # one try): reps would then measure the cold path the warm-up
+        # exists to remove, silently
+        try:
+            _ingest_warm(spark, ingest_ctx)  # untimed path warm-up
+        except Exception as exc:  # pragma: no cover
+            print(f"bench: ingest warm-up failed: {exc}", file=sys.stderr)
+        try:
+            _ingest_rep(spark, ingest_ctx)  # rep 1: bench start
+        except Exception as exc:  # pragma: no cover
+            print(f"bench: ingest rep1 failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     order = headline + rest

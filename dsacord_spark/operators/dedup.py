@@ -26,7 +26,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from dsacord_spark.functions.hashing import _perm_constants, md5_long, perm_hash
+from dsacord_spark.functions.hashing import (
+    SCRAMBLE_MOD1 as _BAND_SCRAMBLE_MOD1,
+    SCRAMBLE_MOD2 as _BAND_SCRAMBLE_MOD2,
+    SCRAMBLE_MULT as _BAND_SCRAMBLE_MULT,
+    _perm_constants,
+    md5_long,
+    perm_hash,
+)
 from dsacord_spark.functions.text import tokens, word_ngrams
 
 
@@ -560,15 +567,10 @@ def _propagate_min_labels(sym: DataFrame, max_iter: int) -> DataFrame:
     raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
 
 
-# Admission-scramble constants for the per-bucket cap: fold the hash
-# through a modular multiply (exact integer math, sign-stable) so a
-# capped band bucket admits a deterministic unbiased sample of its
-# hashes rather than "the lowest values" — the copresence playbook
-# (plans/reports.py events_user_copresence_topk). Local constants: the
-# joiner's consumers are rows-only entries, so no oracle lockstep needed.
-_BAND_SCRAMBLE_MOD1 = 1048573
-_BAND_SCRAMBLE_MULT = 2654435761
-_BAND_SCRAMBLE_MOD2 = 1000003
+# The per-bucket-cap admission scramble folds the hash through the
+# canonical modular-multiply triple imported from functions/hashing.py
+# (the copresence playbook, plans/reports.py events_user_copresence_topk;
+# one definition so the copies cannot drift — r6 review finding).
 
 
 def banded_hash_pairs(
@@ -595,7 +597,13 @@ def banded_hash_pairs(
     of U^2/2. A pair is missed when EVERY band bucket the two hashes
     share evicts at least one of them (a pair survives only via a shared
     bucket that admits BOTH) — a bounded-recall trade the
-    multi-billion-item regime needs when band values saturate."""
+    multi-billion-item regime needs when band values saturate. The
+    row_number admission itself does NOT funnel the hot bucket through
+    one task: Spark 4 plans the `_rn <= cap` filter as a PARTIAL
+    WindowGroupLimit before the exchange, so each map task forwards at
+    most cap rows per bucket and the final per-bucket task sees
+    cap x #map-partitions rows, not U (plan-pinned in
+    test_banded_pairs_bucket_cap_bounds_candidates)."""
     assert n_bands > radius, "pigeonhole recall needs n_bands > radius"
     assert hash_bits % n_bands == 0, "bands must tile the hash exactly"
     width = hash_bits // n_bands

@@ -152,12 +152,23 @@ def run_query(
     session. This wrapper is the supported way to run one entry
     standalone: materialize, then clearCache.
 
+    CAVEAT: the cleanup is session-wide — clearCache() also evicts any
+    frames the CALLER had cached for its own purposes (Spark offers no
+    way to enumerate only the blocks one query pinned). Re-persist
+    caller-side frames after this returns, or use the queries() dict
+    directly and manage caches yourself.
+
     For bulk runs, prefer the queries() dict directly and call
     spark.catalog.clearCache() at family boundaries like bench.py does
     (clearing per-entry would evict frames that consecutive same-family
     entries deliberately share)."""
-    spec = _ordered()[name]
+    reg = _ordered()
+    if name not in reg:
+        raise KeyError(
+            f"unknown catalog entry {name!r}; valid names: "
+            f"{', '.join(sorted(reg))}"
+        )
     try:
-        return spec.fn(spark, sf_dir).collect()
+        return reg[name].fn(spark, sf_dir).collect()
     finally:
         spark.catalog.clearCache()

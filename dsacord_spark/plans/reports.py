@@ -1332,10 +1332,15 @@ _COPRESENCE_CAP = 1024
 # one side alone would silently break Spark/oracle lockstep — r4 ADVICE).
 # Fold the id through a modular multiply: exact integer math, identical
 # on both engines, so the per-hour cap samples the bucket deterministically
-# instead of admitting the lowest ids.
-_SCRAMBLE_MOD1 = 1048573
-_SCRAMBLE_MULT = 2654435761
-_SCRAMBLE_MOD2 = 1000003
+# instead of admitting the lowest ids. The triple's canonical home is
+# functions/hashing.py (also used by the banded-joiner bucket cap);
+# importing keeps the copies drift-proof while the SQL interpolation
+# below keeps the oracle in lockstep.
+from dsacord_spark.functions.hashing import (  # noqa: E402
+    SCRAMBLE_MOD1 as _SCRAMBLE_MOD1,
+    SCRAMBLE_MOD2 as _SCRAMBLE_MOD2,
+    SCRAMBLE_MULT as _SCRAMBLE_MULT,
+)
 
 
 def _scramble(col):

@@ -807,6 +807,14 @@ def test_banded_pairs_bucket_cap_bounds_candidates(spark):
     uniq = df.select(F.col("h").alias("_h")).distinct()
     # radius 63 disables the hamming filter: counts candidate pairs
     capped = banded_hash_pairs(uniq, "_h", 64, 63, 64, bucket_cap=20)
+    # PLAN pin: the cap must compile to a PARTIAL WindowGroupLimit
+    # (map-side top-cap per bucket) — without it the hot bucket's U
+    # rows all funnel through one window task, the exact single-task
+    # skew the cap exists to survive (review finding)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, (
+        "bucket-cap admission lost its map-side partial group limit"
+    )
     n_capped = capped.count()
     # 64 1-bit bands; the shared band admits 20 -> C(20,2) pairs from it;
     # other bands are random bits (2 buckets each, cap binds at 20 per

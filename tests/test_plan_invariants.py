@@ -261,6 +261,14 @@ def _rel_sig(name: str, col2tab) -> str | None:
             else []
         )
         return "cache:" + ",".join(cols)
+    # a SHUFFLE ReusedExchange is a leaf that hides its subtree — and it
+    # exists precisely because this subtree is IDENTICAL to another one
+    # in the same plan (Spark's ReuseExchange rule), i.e. a self-join's
+    # twin side. Treat it as a shared-relation wildcard so the join it
+    # sits under cannot escape detection by being pruned to a sigless
+    # leaf (review finding; latent — no current plan reuses a shuffle).
+    if name.startswith("ReusedExchange") and "BroadcastExchange" not in name:
+        return "reuse:shuffle"
     return None
 
 
@@ -270,6 +278,15 @@ def _shared_sigs(left: set, right: set) -> set:
     the other (two projections of the same cached frame prune to
     different lists — exact-set matching would miss that self-join)."""
     shared = set(left & right)
+    # a shuffle-reuse leaf on EITHER side means that side duplicates a
+    # subtree elsewhere in the plan — conservatively treat EVERY
+    # relation of BOTH sides as shared (the reused subtree is the twin
+    # of something this join reads; declarations absorb any false
+    # positive). Adding only the marker would not do: the non-reuse
+    # side's own sigs must be in `shared` for its unbounded-path walk
+    # to register a hit.
+    if "reuse:shuffle" in left | right:
+        shared |= left | right
     for ls in left:
         if not ls.startswith("cache:"):
             continue
@@ -363,6 +380,14 @@ def _unbounded_to(nodes, children, i, shared, col2tab) -> bool:
 
 
 def test_self_joins_are_bounded_or_declared(all_plans, sf_dir):
+    # detection depends on broadcast-vs-shuffle planning, which is a
+    # SIZE ESTIMATE at the test SF: at an env-overridden larger SF
+    # (conftest's SPARK_GRAFT_SF_SMALL knob) legitimate entries flip
+    # from broadcast to SMJ and the equality asserts would fire on
+    # nothing regressing. The gate is a registration-time CI check —
+    # run it at the canonical SF only (review finding).
+    if sf_dir != "/root/testdata/sf0.001":
+        pytest.skip("self-join gate is calibrated at the canonical sf0.001")
     col2tab = _self_col2tab(sf_dir)
     detected = set()
     for qname, p in all_plans.items():
