@@ -913,3 +913,37 @@ def test_dhash_invariant_under_affine_luma_transforms():
         assert mm._dhash64(w, h, rows) == mm._dhash64(w, h, scaled)
 
     check()
+
+
+def test_bucket_cap_never_loses_exact_dup_pairs(spark):
+    """Contract: `bucket_cap` bounds only the NEAR-dup candidate stage.
+    Exact-duplicate pairs travel through the same-hash equi-join (stage
+    1), which never touches band buckets — so even a cap of 1 must
+    return every same-hash pair, while the capped result overall stays
+    a subset of the uncapped one."""
+    import random
+
+    from dsacord_spark.operators.dedup import banded_hamming_pairs
+
+    rng = random.Random(0xD00D)
+    hashes = {i: rng.getrandbits(64) for i in range(1, 30)}
+    hot = rng.getrandbits(64)
+    for i in range(100, 140):  # 40-member exact-dup cluster
+        hashes[i] = hot
+    hashes[30] = hot ^ (1 << 7)  # one near-dup of the cluster
+    df = _to_df(spark, hashes).persist()
+    uncapped = {
+        (r.media_id_a, r.media_id_b, r.hamming)
+        for r in banded_hamming_pairs(df, "media_id", "h", 4, 3).collect()
+    }
+    capped = {
+        (r.media_id_a, r.media_id_b, r.hamming)
+        for r in banded_hamming_pairs(
+            df, "media_id", "h", 4, 3, bucket_cap=1
+        ).collect()
+    }
+    df.unpersist()
+    exact = {p for p in uncapped if p[2] == 0}
+    assert len(exact) >= 40 * 39 // 2
+    assert exact <= capped  # cap cannot evict same-hash pairs
+    assert capped <= uncapped  # cap only ever removes pairs
