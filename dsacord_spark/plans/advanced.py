@@ -474,10 +474,16 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/dedup.banded_hamming_pairs (4 x 16-bit bands, radius 3 =
 # bands - 1, pigeonhole recall exactly 1 — the result EQUALS the
 # brute-force O(n^2) scan, the simhash_pairs contract; exact
-# bit_count(xor) verify filtered BEFORE distinct). At multi-billion-
-# image scale the 16-bit band value space saturates (hot buckets go
-# quadratic): widen to 2 x 32-bit bands (radius 1) or add a per-bucket
-# admission cap (the copresence playbook) — band count is the one knob.
+# bit_count(xor) verify filtered BEFORE distinct). Exact-dup clusters
+# (K byte-identical images) are pre-grouped to one representative
+# before the banded join (r6: the joiner's stage 1/2/3 split), so a
+# viral-meme cluster costs K-1 expansion rows, never a K^2/2 band
+# bucket. At multi-billion-image scale the 16-bit band value space
+# saturates for NEAR-dups too: both knobs are now real parameters of
+# banded_hamming_pairs — `hash_bits/n_bands/radius` for the
+# 2 x 32-bit/radius-1 shape (recall stays pigeonhole-exact,
+# property-pinned) and `bucket_cap` for per-bucket admission (bounded
+# recall, map-side WindowGroupLimit, exact-dup pairs never lost).
 # ---------------------------------------------------------------------------
 
 _PHASH_BANDS = 4  # 16-bit bands of the 64-bit hash
