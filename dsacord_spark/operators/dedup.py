@@ -292,6 +292,36 @@ def minhash_signatures(
     return ngr.groupBy("doc").agg(*aggs)
 
 
+def minhash_bands(sig: DataFrame, n_perm: int, bands: int) -> DataFrame:
+    """(doc, band_idx, band_hash) rows from a minhash_signatures frame:
+    each band hashes its `n_perm // bands` signature rows (md5, prefixed
+    with the band index so equal row-slices in different bands cannot
+    collide). THE one banding definition — minhash_lsh_pairs and the
+    reports-layer calibration / bucket-load entries all call it, and the
+    oracle SQL mirrors it via _minhash_band_rows_sql interpolation
+    (plans/reports.py); a second copy would silently break lockstep."""
+    rows_per_band = n_perm // bands
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_idx"),
+            md5_long(
+                F.concat_ws(
+                    ",",
+                    F.lit(j),
+                    *[
+                        F.col(f"m{j * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for j in range(bands)
+    ]
+    return sig.select(
+        F.col("doc"), F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc", "b.band_idx", "b.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -308,24 +338,8 @@ def minhash_lsh_pairs(
     -> filter >= threshold. With 32 perms / 8 bands / 4 rows the S-curve
     midpoint is ~0.59; candidates are verified exactly, so precision is 1
     and only recall depends on LSH parameters."""
-    rows_per_band = n_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n, n_perm)
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("band_idx"),
-            md5_long(
-                F.concat_ws(
-                    ",",
-                    F.lit(j),
-                    *[F.col(f"m{j * rows_per_band + r}") for r in range(rows_per_band)],
-                )
-            ).alias("band_hash"),
-        )
-        for j in range(bands)
-    ]
-    bands_df = sig.select(
-        F.col("doc"), F.explode(F.array(*band_structs)).alias("b")
-    ).select("doc", "b.band_idx", "b.band_hash")
+    bands_df = minhash_bands(sig, n_perm, bands)
 
     a, b = bands_df.alias("a"), bands_df.alias("b")
     cand = (

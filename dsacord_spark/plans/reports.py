@@ -1152,26 +1152,38 @@ def source_vocab_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_calibration_sql(n_perm: int = 32, bands: int = 8) -> str:
-    from dsacord_spark.functions.hashing import _perm_constants, md5_long_sql
-    from dsacord_spark.plans.analysis import _ngr_cte, _perm_min_sql
+def _minhash_band_rows_sql(n_perm: int, bands: int) -> str:
+    """SQL mirror of operators/dedup.minhash_bands over a `sig` CTE —
+    ONE definition shared by the calibration and bucket-load oracles
+    (band construction in lockstep with the Spark side by import, never
+    by copy)."""
+    from dsacord_spark.functions.hashing import md5_long_sql
 
     rows = n_perm // bands
-    perms = _perm_constants(n_perm)
-    mins = ",\n             ".join(
-        _perm_min_sql(i, a, b) for i, (a, b) in enumerate(perms)
-    )
-    band_rows = " UNION ALL ".join(
+    return " UNION ALL ".join(
         "SELECT doc, {j} AS band_idx, {h} AS band_hash FROM sig".format(
             j=j,
             h=md5_long_sql(
                 "concat_ws(',', "
-                + ", ".join([str(j)] + [f"m{j * rows + r}" for r in range(rows)])
+                + ", ".join(
+                    [str(j)] + [f"m{j * rows + r}" for r in range(rows)]
+                )
                 + ")"
             ),
         )
         for j in range(bands)
     )
+
+
+def _minhash_calibration_sql(n_perm: int = 32, bands: int = 8) -> str:
+    from dsacord_spark.functions.hashing import _perm_constants
+    from dsacord_spark.plans.analysis import _ngr_cte, _perm_min_sql
+
+    perms = _perm_constants(n_perm)
+    mins = ",\n             ".join(
+        _perm_min_sql(i, a, b) for i, (a, b) in enumerate(perms)
+    )
+    band_rows = _minhash_band_rows_sql(n_perm, bands)
     agree = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
         for i in range(n_perm)
@@ -1219,32 +1231,14 @@ def _minhash_calibration_sql(n_perm: int = 32, bands: int = 8) -> str:
     "estimator itself oracle-checkable.",
 )
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dsacord_spark.functions.hashing import md5_long
-    from dsacord_spark.operators.dedup import _shingle_index, minhash_signatures
+    from dsacord_spark.operators.dedup import (
+        _shingle_index, minhash_bands, minhash_signatures,
+    )
 
     n_perm, bands = 32, 8
-    rows_per_band = n_perm // bands
     d = table(spark, sf_dir, "documents")
     sig = minhash_signatures(d, "doc_id", "text", 3, n_perm)
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("band_idx"),
-            md5_long(
-                F.concat_ws(
-                    ",",
-                    F.lit(j),
-                    *[
-                        F.col(f"m{j * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_hash"),
-        )
-        for j in range(bands)
-    ]
-    bands_df = sig.select(
-        "doc", F.explode(F.array(*band_structs)).alias("b")
-    ).select("doc", "b.band_idx", "b.band_hash")
+    bands_df = minhash_bands(sig, n_perm, bands)
     a, b = bands_df.alias("a"), bands_df.alias("b")
     cand = (
         a.join(
@@ -4886,27 +4880,14 @@ def events_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_bucket_load_sql(n_perm: int = 32, bands: int = 8) -> str:
-    from dsacord_spark.functions.hashing import _perm_constants, md5_long_sql
+    from dsacord_spark.functions.hashing import _perm_constants
     from dsacord_spark.plans.analysis import _ngr_cte, _perm_min_sql
 
-    rows = n_perm // bands
     perms = _perm_constants(n_perm)
     mins = ",\n             ".join(
         _perm_min_sql(i, a, b) for i, (a, b) in enumerate(perms)
     )
-    band_rows = " UNION ALL ".join(
-        "SELECT doc, {j} AS band_idx, {h} AS band_hash FROM sig".format(
-            j=j,
-            h=md5_long_sql(
-                "concat_ws(',', "
-                + ", ".join(
-                    [str(j)] + [f"m{j * rows + r}" for r in range(rows)]
-                )
-                + ")"
-            ),
-        )
-        for j in range(bands)
-    )
+    band_rows = _minhash_band_rows_sql(n_perm, bands)
     return f"""
     WITH {_ngr_cte(3).strip()},
     sig AS (SELECT doc, {mins} FROM ngr GROUP BY doc),
@@ -4936,32 +4917,13 @@ def _minhash_bucket_load_sql(n_perm: int = 32, bands: int = 8) -> str:
     "with dedup_minhash_lsh; no joins, strictly reducing aggregates.",
 )
 def dedup_minhash_bucket_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dsacord_spark.functions.hashing import md5_long
-    from dsacord_spark.operators.dedup import minhash_signatures
+    from dsacord_spark.operators.dedup import minhash_bands, minhash_signatures
 
     n_perm, bands = 32, 8
-    rows_per_band = n_perm // bands
     d = table(spark, sf_dir, "documents")
     sig = minhash_signatures(d, "doc_id", "text", 3, n_perm)
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("band_idx"),
-            md5_long(
-                F.concat_ws(
-                    ",",
-                    F.lit(j),
-                    *[
-                        F.col(f"m{j * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_hash"),
-        )
-        for j in range(bands)
-    ]
     bucket = (
-        sig.select("doc", F.explode(F.array(*band_structs)).alias("b"))
-        .select("doc", "b.band_idx", "b.band_hash")
+        minhash_bands(sig, n_perm, bands)
         .groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("sz"))
     )
