@@ -330,6 +330,7 @@ def minhash_lsh_pairs(
     n_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact Jaccard verification.
 
@@ -337,9 +338,34 @@ def minhash_lsh_pairs(
     (candidate pairs) -> compute true n-gram Jaccard for candidates only
     -> filter >= threshold. With 32 perms / 8 bands / 4 rows the S-curve
     midpoint is ~0.59; candidates are verified exactly, so precision is 1
-    and only recall depends on LSH parameters."""
+    and only recall depends on LSH parameters.
+
+    `bucket_cap` (default None = off, exact LSH recall) bounds a
+    pathological (band_idx, band_hash) bucket the way banded_hash_pairs'
+    cap does: each bucket admits at most `bucket_cap` docs in
+    deterministic scrambled order (xxhash64 of the doc id folded through
+    the canonical scramble triple — pmod first, ids can hash negative),
+    so a boilerplate band shared by U docs costs min(U, cap)^2/2
+    candidates instead of U^2/2. Bounded-recall trade for the
+    multi-billion-doc regime; dedup_minhash_bucket_load is the
+    pre-flight report that says whether it's needed and at what value.
+    Production-path knob: the DuckDB oracle mirrors the uncapped join
+    only, so catalog entries keep the default."""
     sig = minhash_signatures(df, id_col, text_col, n, n_perm)
     bands_df = minhash_bands(sig, n_perm, bands)
+    if bucket_cap is not None:
+        scramble = (
+            F.pmod(F.xxhash64(F.col("doc")), F.lit(_BAND_SCRAMBLE_MOD1))
+            * _BAND_SCRAMBLE_MULT
+        ) % _BAND_SCRAMBLE_MOD2
+        adm = W.partitionBy("band_idx", "band_hash").orderBy(
+            scramble.asc(), F.col("doc").asc()
+        )
+        bands_df = (
+            bands_df.withColumn("_rn", F.row_number().over(adm))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
 
     a, b = bands_df.alias("a"), bands_df.alias("b")
     cand = (
@@ -419,6 +445,7 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
@@ -426,7 +453,9 @@ def simhash_pairs(
     chunks; any pair within max_hamming differs in <= max_hamming bits, so
     with n_bands > max_hamming at least one chunk is identical (pigeonhole)
     -> recall is exactly 1 and the result equals the brute-force O(n^2)
-    scan the oracle runs at small SF."""
+    scan the oracle runs at small SF. `bucket_cap` passes through to
+    banded_hash_pairs' per-band-bucket admission (bounded recall at
+    saturated band values — production knob, None for oracle parity)."""
     # persisted for the same reason as _shingle_index: the banded
     # self-join reads the signature frame on BOTH sides, and Spark does
     # no CSE across self-join branches — unpersisted, the 60-bit
@@ -441,32 +470,40 @@ def simhash_pairs(
     return (
         banded_hamming_pairs(
             sig, "doc", "simhash", n_bands, max_hamming,
-            hash_bits=SIMHASH_BITS,
+            hash_bits=SIMHASH_BITS, bucket_cap=bucket_cap,
         )
         .withColumnRenamed("media_id_a", "doc_a")
         .withColumnRenamed("media_id_b", "doc_b")
     )
 
 
-def duplicate_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+def duplicate_components(
+    pairs: DataFrame, max_iter: int = 30, algorithm: str = "auto"
+) -> DataFrame:
     """Connected components over an undirected duplicate-pair edge list
     (doc_a, doc_b) -> one row per node: (doc_id, cluster_id) where
     cluster_id is the smallest doc id in the node's component. This is the
     step that turns pairwise near-dup evidence into dedup decisions (keep
     one canonical doc per cluster).
 
-    Algorithm: min-label propagation to a fixpoint — each round every node
-    takes the min of its own label and its neighbors' labels (one shuffle
-    join + one partial-aggregated groupBy per round), converging in
-    O(component diameter) rounds. Near-dup components are dense and
-    shallow (they come from banded/bucketed candidate generation), so the
-    diameter is small in practice; `localCheckpoint` truncates the lineage
-    each round so the plan stays flat. At 100 TB the same loop runs with
-    the edge list bucketed by src; for adversarially long chain graphs
-    switch to the large-star/small-star algorithm (Kiveris et al.), which
-    converges in O(log n) rounds with the same join-shape per round.
-    Raises RuntimeError rather than returning a wrong answer if the
-    fixpoint is not reached within max_iter."""
+    Algorithm (`algorithm="auto"`, the default): min-label propagation to
+    a fixpoint — each round every node takes the min of its own label and
+    its neighbors' labels (one shuffle join + one partial-aggregated
+    groupBy per round), converging in O(component diameter) rounds.
+    Near-dup components are dense and shallow (they come from banded/
+    bucketed candidate generation), so the diameter is small in practice
+    and propagation is the cheapest loop (one join per round);
+    `localCheckpoint` truncates the lineage each round so the plan stays
+    flat. At 100 TB the same loop runs with the edge list bucketed by
+    src. When the diameter budget runs out anyway — an adversarial chain
+    graph where each doc is a near-dup of only the next — "auto" falls
+    back to large-star/small-star (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", 2014), which contracts components in
+    O(log n) rounds regardless of diameter, so a 1M-link chain costs ~20
+    rounds instead of an impossible 1M. `algorithm="star"` skips the
+    propagation attempt and runs large-star/small-star directly;
+    `algorithm="propagate"` keeps the historical raise-on-budget
+    behavior (RuntimeError rather than a wrong answer)."""
     # persist the DIRECTED edges before symmetrizing: union(e, swap(e))
     # evaluates its input twice, and the input here is the whole pair-
     # generation pipeline (measured ~2x the query without this persist)
@@ -503,9 +540,31 @@ def duplicate_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     loop_parts = max(1, min(int(prev_parts), n_edges // 500_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
-        return _propagate_min_labels(sym, max_iter)
+        return _distributed_components(sym, max_iter, algorithm)
     finally:
+        sym.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _distributed_components(
+    sym: DataFrame, max_iter: int, algorithm: str
+) -> DataFrame:
+    """Dispatch the distributed loop: propagation first under "auto"
+    (cheapest on the dense/shallow graphs banded candidates produce),
+    large-star/small-star on budget exhaustion or by request."""
+    if algorithm == "star":
+        return _large_small_star(sym)
+    try:
+        return _propagate_min_labels(sym, max_iter)
+    except RuntimeError:
+        if algorithm != "auto":
+            raise
+        # diameter exceeded the propagation budget: an adversarial
+        # chain-like graph. sym is still persisted (the propagation
+        # loop no longer unpersists — see its docstring), so the
+        # star loop restarts from the materialized edge list, not
+        # the whole pair-generation pipeline.
+        return _large_small_star(sym)
 
 
 def _driver_union_find(spark, sym: DataFrame) -> DataFrame:
@@ -544,6 +603,11 @@ def _driver_union_find(spark, sym: DataFrame) -> DataFrame:
 
 
 def _propagate_min_labels(sym: DataFrame, max_iter: int) -> DataFrame:
+    """O(diameter) min-label propagation; raises RuntimeError at the
+    round budget. Does NOT unpersist `sym` — duplicate_components owns
+    that lifetime (on budget exhaustion the star fallback re-reads the
+    still-materialized edge list instead of recomputing the pair
+    pipeline)."""
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -573,18 +637,155 @@ def _propagate_min_labels(sym: DataFrame, max_iter: int) -> DataFrame:
         changed = new.filter(F.col("lab") < F.col("old_lab")).limit(1).count()
         labels = new.drop("old_lab")
         if changed == 0:
-            sym.unpersist()
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
             )
-    sym.unpersist()
     raise RuntimeError(f"connected components did not converge in {max_iter} rounds")
+
+
+def _large_small_star(sym: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., MR-friendly CC): converges in O(log n)
+    rounds on ANY graph shape — the fallback duplicate_components uses
+    when min-label propagation's O(diameter) budget runs out on an
+    adversarial chain. Output contract is identical: one (doc_id,
+    cluster_id) row per node, cluster_id = component-min id.
+
+    Per round (all plain shuffle joins/aggregates, map-side combined):
+      large-star: every node u points its STRICTLY LARGER neighbors at
+        m = min(u, N(u)) — long tails collapse toward small labels;
+      small-star: with edges oriented (larger u, smaller v), every u
+        points its smaller neighbors AND ITSELF at its min neighbor.
+    The edge set monotonically contracts toward a forest of stars
+    centered on each component's minimum; the fixpoint test is edge-set
+    equality (cheap: both sides are distinct canonical-orientation
+    sets). max_iter=50 is a safety net, not a tuning knob — 2^50
+    nodes exceed any corpus; hitting it means a logic bug, so raise."""
+    edges = (
+        sym.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        # large-star over the symmetric neighbor view
+        nbrs = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            # (v, m): v > u >= m, so the canonical orientation is direct
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over the canonical (u > v) orientation
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(smins.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        n_new = small.count()
+        if n_new == n_edges and small.exceptAll(edges).limit(1).count() == 0:
+            edges = small
+            break
+        edges, n_edges = small, n_new
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_iter} rounds"
+        )
+    # fixpoint is a star forest: every edge is (member, component-min)
+    return edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).union(
+        edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .distinct()
+    )
 
 
 # The per-bucket-cap admission scramble folds the hash through the
 # canonical modular-multiply triple imported from functions/hashing.py
 # (the copresence playbook, plans/reports.py events_user_copresence_topk;
 # one definition so the copies cannot drift — r6 review finding).
+
+
+def _band_rows(
+    uniq: DataFrame, hash_col: str, n_bands: int, hash_bits: int
+) -> DataFrame:
+    """(_h, band_no, band_val) rows: each `hash_bits`-bit hash split into
+    `n_bands` equal bit-slices. THE one band-split definition for the
+    Hamming-banded family — banded_hash_pairs joins on it and
+    banded_bucket_load histograms it; a second copy would let the
+    diagnostic silently drift from the join it exists to predict (the
+    minhash_bands lockstep rule). shiftrightunsigned keeps the top band
+    of a NEGATIVE 64-bit hash from smearing sign bits across the mask."""
+    assert hash_bits % n_bands == 0, "bands must tile the hash exactly"
+    width = hash_bits // n_bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col)
+    return uniq.select(
+        h.alias("_h"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(h, width * i).bitwiseAND(F.lit(mask))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_no", "band_val"),
+    )
+
+
+def banded_bucket_load(
+    uniq: DataFrame, hash_col: str, n_bands: int, hash_bits: int
+) -> DataFrame:
+    """Band-bucket occupancy histogram for the Hamming-banded joiner —
+    the pre-flight diagnostic that tells an operator what `bucket_cap`
+    to set BEFORE running banded_hash_pairs: per (band_no, bucket-size
+    class), how many buckets exist and what candidate-pair cost
+    (n_buckets x C(sz,2)) the equi-join would pay for them. `uniq` is
+    the same one-row-per-DISTINCT-hash frame the joiner takes, and the
+    band split is the joiner's own (_band_rows), so the histogram
+    predicts exactly the join it profiles. Scale: two strictly-reducing
+    aggregates, no joins, O(size classes) output.
+
+    Columns: band_no int, bucket_size bigint, n_buckets bigint,
+    n_hashes bigint, cand_pairs double. cand_pairs rides DECIMAL(38,0)
+    with a true decimal `/ 2` (sz*(sz-1) is always even, so the halving
+    is exact; Spark's `div` would wrap past 2^63 — the
+    dedup_minhash_bucket_load hazard, live-verified r6)."""
+    bucket = _band_rows(uniq, hash_col, n_bands, hash_bits).groupBy(
+        "band_no", "band_val"
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    return bucket.groupBy("band_no", "sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        (F.col("sz") * F.count(F.lit(1))).cast("bigint").alias("n_hashes"),
+        F.expr(
+            "CAST(CAST(count(1) AS DECIMAL(38,0))"
+            " * (CAST(sz AS DECIMAL(38,0)) * (sz - 1) / 2) AS DOUBLE)"
+        ).alias("cand_pairs"),
+    ).select(
+        F.col("band_no").cast("int").alias("band_no"),
+        F.col("sz").cast("bigint").alias("bucket_size"),
+        "n_buckets",
+        "n_hashes",
+        "cand_pairs",
+    )
 
 
 def banded_hash_pairs(
@@ -619,21 +820,7 @@ def banded_hash_pairs(
     cap x #map-partitions rows, not U (plan-pinned in
     test_banded_pairs_bucket_cap_bounds_candidates)."""
     assert n_bands > radius, "pigeonhole recall needs n_bands > radius"
-    assert hash_bits % n_bands == 0, "bands must tile the hash exactly"
-    width = hash_bits // n_bands
-    mask = (1 << width) - 1
-    h = F.col(hash_col)
-    bands = uniq.select(
-        h.alias("_h"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(h, width * i).bitwiseAND(F.lit(mask))
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band_no", "band_val"),
-    )
+    bands = _band_rows(uniq, hash_col, n_bands, hash_bits)
     if bucket_cap is not None:
         # pmod, NOT %: Spark % keeps the dividend's sign, and uniform
         # 64-bit hashes are ~half negative — a signed scramble would
@@ -761,3 +948,67 @@ def banded_hamming_pairs(
         )
     )
     return same.unionByName(cross)
+
+
+def hash_cluster_assignments(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bands: int = 4,
+    radius: int = 3,
+    hash_bits: int = 64,
+    bucket_cap: int | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """CLUSTER-MODE output for fingerprint dedup: one row PER ITEM —
+    (media_id, cluster_id, canonical_id) — instead of the C(K,2)
+    member-pair list banded_hamming_pairs emits for a K-identical
+    cluster. At web scale this is the consumable product: a 10M-member
+    viral-meme cluster is 5x10^13 pair rows (unwritable) but 10M
+    assignment rows here. cluster_id is the component label and
+    canonical_id the member to keep; under the min-id canonical policy
+    both equal the smallest member id of the Hamming-<=radius component
+    (they coincide by construction but name different CONCEPTS — keep
+    both so a different canonical policy can diverge without a schema
+    change). Singletons label themselves. Output is exactly one row per
+    input id: O(n), never O(pairs).
+
+    Pipeline — no member-pair materialization anywhere:
+      1. DISTINCT hashes -> banded_hash_pairs: HASH-level near-dup
+         pairs (bounded by distinct-hash candidates, same knobs as the
+         pair path: n_bands/radius/hash_bits/bucket_cap);
+      2. duplicate_components over those HASH pairs (auto propagation
+         with the large-star/small-star fallback) — components of the
+         hash graph expand to exactly the member-level components,
+         because every hash node carries >= 1 member and equal-hash
+         members share a node;
+      3. map members to their hash's component label (left join; hashes
+         in no near-dup pair keep themselves as the label), then one
+         map-side-combined groupBy computes each component's min member
+         id and a keyed join stamps it back. The label table is one row
+         per cluster, so AQE broadcasts it when it fits; a viral
+         cluster's members never funnel through one window task.
+
+    Same precondition as banded_hamming_pairs: one row per item id,
+    `hashed` persisted by the caller when the hash is kernel-computed
+    (stages re-read it). Ref parity: the reference dedups exact rows via
+    upsert (/root/reference/utils.go:100-104); this is the near-dup
+    generalization a media corpus needs."""
+    members = hashed.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    )
+    uniq = members.select("_h").distinct()
+    hpairs = banded_hash_pairs(uniq, "_h", n_bands, radius, hash_bits, bucket_cap)
+    hcomp = duplicate_components(
+        hpairs.select(F.col("_ha").alias("doc_a"), F.col("_hb").alias("doc_b")),
+        max_iter,
+    ).select(F.col("doc_id").alias("_h"), F.col("cluster_id").alias("_hlab"))
+    withc = members.join(hcomp, "_h", "left").select(
+        "_id", F.coalesce(F.col("_hlab"), F.col("_h")).alias("_hlab")
+    )
+    canon = withc.groupBy("_hlab").agg(F.min("_id").alias("canonical_id"))
+    return withc.join(canon, "_hlab").select(
+        F.col("_id").alias("media_id"),
+        F.col("canonical_id").alias("cluster_id"),
+        "canonical_id",
+    )

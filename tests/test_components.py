@@ -75,6 +75,111 @@ def test_duplicate_components_takes_small_path(spark):
     assert got == EXPECTED
 
 
+def _chain_sym(spark, n: int):
+    """Symmetric edge frame for the 1-2-3-...-n chain — the adversarial
+    O(diameter) graph for label propagation."""
+    e = spark.range(1, n).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+
+def test_propagation_budget_fails_on_chain(spark):
+    """A 120-node chain has diameter 119: min-label propagation moves the
+    component minimum one hop per round, so the 30-round budget MUST
+    exhaust (failing loudly was the historical contract)."""
+    import pytest
+
+    sym = _chain_sym(spark, 120)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _propagate_min_labels(sym, max_iter=30)
+    sym.unpersist()
+
+
+def test_large_small_star_chain_in_log_rounds(spark):
+    """The r6-verdict ask, property-pinned: the SAME 120-node chain the
+    propagation budget cannot finish converges under large-star/
+    small-star within an O(log n) budget (12 rounds for n=120,
+    log2 = 6.9 — propagation would need 119) with the identical
+    component-min labeling."""
+    from dsacord_spark.operators.dedup import _large_small_star
+
+    sym = _chain_sym(spark, 120)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in _large_small_star(sym, max_iter=12).collect()
+    }
+    assert got == {i: 1 for i in range(1, 121)}
+    sym.unpersist()
+
+
+def test_auto_algorithm_falls_back_to_star(spark):
+    """_distributed_components under "auto": propagation exhausts its
+    budget on the chain, the star fallback still returns the exact
+    labeling; "propagate" preserves the raise-on-budget contract."""
+    import pytest
+
+    from dsacord_spark.operators.dedup import _distributed_components
+
+    sym = _chain_sym(spark, 120)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in _distributed_components(sym, 30, "auto").collect()
+    }
+    assert got == {i: 1 for i in range(1, 121)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _distributed_components(sym, 30, "propagate")
+    sym.unpersist()
+
+
+def test_star_matches_union_find_on_random_graphs(spark):
+    """Star contraction vs the exact driver union-find on seeded random
+    multigraphs (self-loops included — the star loop must drop them)."""
+    import random
+
+    from dsacord_spark.operators.dedup import _large_small_star
+
+    for seed in (1, 17, 99):
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randrange(150), rng.randrange(150)) for _ in range(120)
+        ]
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).filter(F.col("src") != F.col("dst")).persist()
+        uf = {
+            r["doc_id"]: r["cluster_id"]
+            for r in _driver_union_find(spark, sym).collect()
+        }
+        st = {
+            r["doc_id"]: r["cluster_id"]
+            for r in _large_small_star(sym).collect()
+        }
+        assert st == uf, f"seed {seed}"
+        sym.unpersist()
+
+
+def test_star_string_ids_preserved(spark):
+    """greatest/least order strings lexicographically — the star loop
+    must keep non-numeric id types intact like the other two paths."""
+    from dsacord_spark.operators.dedup import _large_small_star
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    out = _large_small_star(sym)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    sym.unpersist()
+
+
 def test_string_ids_preserved(spark):
     e = spark.createDataFrame(
         [("a", "b"), ("b", "c")], "doc_a string, doc_b string"
