@@ -300,6 +300,39 @@ class TestAviVideo:
 
         assert rows[0]["frame_md5"] == _h.md5(meta["frames"][0]).hexdigest()
 
+    def test_frame_and_resize_byte_goldens(self, spark):
+        """Byte-level pins for the kernels whose catalog entries moved to
+        scalar-projection value oracles (r7 — multimodal_frame_sample /
+        multimodal_resize): the driver now checks their int contract
+        against DuckDB, so the md5-of-actual-bytes signal the old
+        rows-only goldens carried is pinned HERE on fixed seeds."""
+        import hashlib as _h
+
+        avi = mm.make_avi_bytes(b"golden", width=8, height=6,
+                                n_frames=12, fps=10)
+        media = spark.createDataFrame(
+            [(1, bytearray(avi), "video")],
+            "media_id long, data binary, modality string",
+        )
+        got = sorted(
+            (r["frame_idx"], r["frame_ts_ms"], r["frame_md5"])
+            for r in mm.sample_frames(media).collect()
+        )
+        assert got == [
+            (0, 0, "5555f06ed0b5bf43aebf2b0d052e78c8"),
+            (1, 1000, "282879c00168c6c53f2df49d1a41e987"),
+        ]
+        bmp = mm.make_bmp_bytes(b"golden", 9, 9)
+        med2 = spark.createDataFrame(
+            [(1, bytearray(bmp), "image")],
+            "media_id long, data binary, modality string",
+        )
+        r = mm.resize_images(med2).collect()[0]
+        assert (r["width"], r["height"], r["n_bytes"]) == (32, 32, 3072)
+        assert _h.md5(bytes(r["data"])).hexdigest() == (
+            "280261b583b07b72fbe1cd71822f1576"
+        )
+
     def test_decode_video_real_metadata(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
         media = mm.synthesize_real_media(docs).filter("modality = 'video'")
@@ -811,8 +844,12 @@ def test_banded_pairs_bucket_cap_bounds_candidates(spark):
     # (map-side top-cap per bucket) — without it the hot bucket's U
     # rows all funnel through one window task, the exact single-task
     # skew the cap exists to survive (review finding)
+    import re
+
     plan = capped._jdf.queryExecution().executedPlan().toString()
-    assert "WindowGroupLimit" in plan and "Partial" in plan, (
+    # mode tied to the NODE (ADVICE r6): a Final-only WindowGroupLimit
+    # with 'Partial' elsewhere in the plan string must not pass
+    assert re.search(r"WindowGroupLimit.*Partial", plan), (
         "bucket-cap admission lost its map-side partial group limit"
     )
     n_capped = capped.count()

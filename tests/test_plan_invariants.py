@@ -36,6 +36,7 @@ _PYTHON_KERNEL_OK = {
     "multimodal_resize",
     "multimodal_binary_stats",
     "multimodal_phash_dedup",  # pixel decode + dHash kernel
+    "multimodal_phash_clusters",  # same dHash kernel, cluster-mode output
     "multimodal_audio_fingerprint_dedup",  # PCM decode + envelope hash
     "multimodal_video_fingerprint_dedup",  # AVI demux + frame hash
     "text_compression_ratio",  # zlib kernel
@@ -352,6 +353,22 @@ _SELF_JOIN_BOUNDS = {
         "token with source_a < source_b; per-token multiplicity = "
         "#sources (a small dimension), so fan-out per token is "
         "#sources^2/2, linear in distinct tokens"
+    ),
+    "dedup_simhash_clusters": (
+        "label-stamp: the flagged join matches each member row to its "
+        "cluster's one canonical row (a groupBy(cluster-label) MIN "
+        "aggregate — unique per key), so per-member fan-out is exactly "
+        "1 and output is one row per input doc (the O(n) cluster-mode "
+        "contract); the banded candidate stage above runs over "
+        "DISTINCT hashes (keyed aggregates deliberately don't "
+        "auto-pass, so the gate flags the shape by design)"
+    ),
+    "multimodal_phash_clusters": (
+        "label-stamp: same unique-per-key canonical join as "
+        "dedup_simhash_clusters over the dHash member table — one "
+        "output row per media id, never member pairs; the hash-level "
+        "candidate stage is the grouped banded joiner over DISTINCT "
+        "dHashes"
     ),
 }
 

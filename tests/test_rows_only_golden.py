@@ -1,7 +1,7 @@
 """Golden-value gates for the rows-only catalog entries (VERDICT r2 #5).
 
-Ten catalog entries can never hash-match a DuckDB oracle: the eight
-multimodal queries decode/hash binary media DuckDB can't parse, the
+These catalog entries can never hash-match a DuckDB oracle: the
+multimodal queries here decode/hash binary media DuckDB can't parse, the
 compression-ratio query needs zlib, and the streaming HLL query's
 estimates are engine-specific. Their driver check is rows-only — so
 THIS file is their value oracle: every entry's FULL result at sf0.001
@@ -46,16 +46,10 @@ GOLDEN = {
         "2061cbf63ed43db3148cb30659b7290f2c52da3baf724953f9a37fb0580329d4",
         "1000|'avi/bgr24'|6|121.889544|296|1744|10|8",
     ),
-    "multimodal_frame_sample": (
-        258,
-        "399130b4767316afc39124d0c9a4fd82e8b79e0d00b27a44ea696e5d70585b5a",
-        "0|'0203d70a254a8d749d3f0a5d47bb71e1'|0|230",
-    ),
-    "multimodal_resize": (
-        167,
-        "ea854026d1e81489165ee92ab540a18ca48fc8a57882cd95efdf486f9d544285",
-        "004c3f14bc43610e54fe4e4b392cc007|32|369|3072|32",
-    ),
+    # multimodal_frame_sample / multimodal_resize left this table in r7:
+    # their catalog entries now carry FULL structural value oracles over
+    # the scalar contract, and the byte-level md5 signal moved to
+    # tests/test_multimodal.py::test_frame_and_resize_byte_goldens
     "text_compression_ratio": (
         5,
         "99e9bc58385924b6d408ff9a348e70c16c8f264ab1cac2152efad96e95c1216a",
