@@ -9,7 +9,11 @@ corpus with (id, text) columns.
 Methods map to the operators in operators/dedup.py: `exact` (content
 hash groups), `jaccard` (exact n-gram Jaccard with the adaptive
 naive/prefix-filter routing), `minhash` (MinHash-LSH candidates with
-exact verification — the default at scale). Output: the kept documents
+exact verification — the default at scale), `simhash` (60-bit banded
+Hamming pairs at `--radius`). The banded joiners' scale knobs are CLI
+flags: `--bands` (band count / bit-slice count) and `--bucket-cap`
+(per-band-bucket admission cap for saturated buckets — size it from
+the dedup_*_bucket_load pre-flight reports). Output: the kept documents
 as parquet, plus a one-line JSON report on stdout (counts, drop rate,
 elapsed) in the same spirit as the reference's end-of-run metrics
 epilogue (/root/reference/main.go:156-165)."""
@@ -31,14 +35,28 @@ def dedup_corpus(
     ngram: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bands: int | None = None,
+    bucket_cap: int | None = None,
+    radius: int = 3,
 ) -> DataFrame:
     """Return `docs` plus (cluster_id, kept): one kept doc per near-dup
     cluster (longest text wins, id breaks ties), singletons keep
-    themselves. The library form of the CLI."""
+    themselves. The library form of the CLI.
+
+    Scale knobs (the banded-joiner parameters the 100 TB story runs on —
+    r6 verdict #5): `bands` is the LSH band count (minhash: band-hash
+    count over the 32-perm signature, default 8; simhash: equal bit
+    slices of the 60-bit signature, default 4 — must divide 60 and
+    exceed `radius` for pigeonhole recall), `bucket_cap` caps any one
+    band bucket's admissions (deterministic scrambled sample; bounded
+    recall — run dedup_minhash_bucket_load / dedup_simhash_bucket_load
+    first to see whether the corpus needs it and at what value), and
+    `radius` is the simhash max Hamming distance."""
     from dsacord_spark.operators.dedup import (
         duplicate_components,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        simhash_pairs,
     )
 
     if method == "exact":
@@ -74,7 +92,14 @@ def dedup_corpus(
                                         threshold=threshold)
         elif method == "minhash":
             pairs = minhash_lsh_pairs(docs, id_col, text_col, n=ngram,
-                                      threshold=threshold)
+                                      threshold=threshold,
+                                      bands=bands if bands is not None else 8,
+                                      bucket_cap=bucket_cap)
+        elif method == "simhash":
+            pairs = simhash_pairs(docs, id_col, text_col,
+                                  max_hamming=radius,
+                                  n_bands=bands if bands is not None else 4,
+                                  bucket_cap=bucket_cap)
         else:
             raise ValueError(f"unknown method {method!r}")
         comp = duplicate_components(pairs).withColumnRenamed(
@@ -117,11 +142,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--format", choices=("parquet", "jsonl"), default="parquet",
                    help="Output format: parquet, or sharded JSON-lines "
                    "(tokenizer-feed handoff)")
-    p.add_argument("--method", choices=("exact", "jaccard", "minhash"),
+    p.add_argument("--method",
+                   choices=("exact", "jaccard", "minhash", "simhash"),
                    default="minhash")
     p.add_argument("--threshold", type=float, default=0.5,
                    help="Jaccard similarity threshold")
     p.add_argument("--ngram", type=int, default=3, help="Shingle width (words)")
+    p.add_argument("--bands", type=int, default=None,
+                   help="LSH band count: minhash band-hash count "
+                   "(default 8; more bands = higher recall, more "
+                   "candidates) or simhash bit-slice count (default 4; "
+                   "must divide 60 and exceed --radius)")
+    p.add_argument("--bucket-cap", type=int, default=None,
+                   help="Max admissions per LSH band bucket "
+                   "(deterministic scrambled sample; bounds a hot "
+                   "bucket's C(U,2) candidate blow-up at BOUNDED recall "
+                   "— size it from the dedup_*_bucket_load pre-flight "
+                   "reports; default off = exact LSH recall)")
+    p.add_argument("--radius", type=int, default=3,
+                   help="simhash max Hamming distance (near-dup radius)")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--report-dropped", default=None,
@@ -138,6 +177,7 @@ def main(argv: list[str] | None = None) -> int:
     labeled = dedup_corpus(
         docs, method=a.method, threshold=a.threshold, ngram=a.ngram,
         id_col=a.id_col, text_col=a.text_col,
+        bands=a.bands, bucket_cap=a.bucket_cap, radius=a.radius,
     ).persist()
     kept = labeled.filter(F.col("kept")).drop("kept")
     if a.format == "jsonl":
