@@ -168,7 +168,26 @@ def run_query(
             f"unknown catalog entry {name!r}; valid names: "
             f"{', '.join(sorted(reg))}"
         )
+    # the blast radius is easy to miss (ADVICE r6): surface pre-existing
+    # caller caches loudly before the session-wide clearCache drops them
+    # (Spark offers no per-query block enumeration to scope the evict)
+    try:
+        pre_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+    except Exception:  # pragma: no cover - py4j internals may shift
+        pre_cached = 0
     try:
         return reg[name].fn(spark, sf_dir).collect()
     finally:
+        if pre_cached:
+            import warnings
+
+            warnings.warn(
+                f"run_query({name!r}) clears the session cache on exit: "
+                f"{pre_cached} pre-existing persisted RDD(s)/frame(s) "
+                "are being evicted too — re-persist caller-side frames "
+                "after this returns, or manage caches via queries() "
+                "directly",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         spark.catalog.clearCache()

@@ -62,3 +62,33 @@ def test_run_query_releases_persisted_blocks(spark, sf_dir):
     rows = run_query(spark, "dedup_simhash", sf_dir)
     assert isinstance(rows, list)
     assert _n_persistent(spark) == 0
+
+
+def test_run_query_warns_on_preexisting_caches(spark, sf_dir):
+    """ADVICE r6: run_query's session-wide clearCache silently evicted
+    caller caches — it must now WARN when pre-existing persisted frames
+    are about to be dropped, and stay silent on a clean session."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from dsacord_spark.plans.catalog import run_query
+
+    mine = spark.range(10).select(F.col("id")).persist()
+    mine.count()
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            run_query(spark, "sort_topk", sf_dir)
+        assert any(
+            "pre-existing persisted" in str(x.message) for x in w
+        ), [str(x.message) for x in w]
+        assert _n_persistent(spark) == 0  # caller cache evicted (documented)
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            run_query(spark, "sort_topk", sf_dir)
+        assert not any(
+            "pre-existing persisted" in str(x.message) for x in w2
+        )
+    finally:
+        mine.unpersist()
