@@ -354,17 +354,12 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, id_col, text_col, n, n_perm)
     bands_df = minhash_bands(sig, n_perm, bands)
     if bucket_cap is not None:
-        scramble = (
-            F.pmod(F.xxhash64(F.col("doc")), F.lit(_BAND_SCRAMBLE_MOD1))
-            * _BAND_SCRAMBLE_MULT
-        ) % _BAND_SCRAMBLE_MOD2
-        adm = W.partitionBy("band_idx", "band_hash").orderBy(
-            scramble.asc(), F.col("doc").asc()
-        )
-        bands_df = (
-            bands_df.withColumn("_rn", F.row_number().over(adm))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
+        # key = xxhash64(doc): doc ids are arbitrary-typed and possibly
+        # ordered; hashing first makes the admitted sample independent
+        # of id assignment (the shared helper pmod-folds the sign away)
+        bands_df = _capped_bucket_admission(
+            bands_df, ["band_idx", "band_hash"],
+            F.xxhash64(F.col("doc")), F.col("doc"), bucket_cap,
         )
 
     a, b = bands_df.alias("a"), bands_df.alias("b")
@@ -504,6 +499,13 @@ def duplicate_components(
     propagation attempt and runs large-star/small-star directly;
     `algorithm="propagate"` keeps the historical raise-on-budget
     behavior (RuntimeError rather than a wrong answer)."""
+    if algorithm not in ("auto", "propagate", "star"):
+        # fail at the call, not 30 rounds later: an unrecognized string
+        # would otherwise silently run the propagate path (r7 review)
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}; use 'auto', 'propagate' "
+            "or 'star'"
+        )
     # persist the DIRECTED edges before symmetrizing: union(e, swap(e))
     # evaluates its input twice, and the input here is the whole pair-
     # generation pipeline (measured ~2x the query without this persist)
@@ -661,6 +663,10 @@ def _large_small_star(sym: DataFrame, max_iter: int = 50) -> DataFrame:
     equality (cheap: both sides are distinct canonical-orientation
     sets). max_iter=50 is a safety net, not a tuning knob — 2^50
     nodes exceed any corpus; hitting it means a logic bug, so raise."""
+    # node set snapshot BEFORE dropping self-loops: a node whose only
+    # edge is (x, x) must still label itself, matching the propagate /
+    # union-find paths (r7 review finding)
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint()
     edges = (
         sym.filter(F.col("src") != F.col("dst"))
         .select(
@@ -709,12 +715,16 @@ def _large_small_star(sym: DataFrame, max_iter: int = 50) -> DataFrame:
         raise RuntimeError(
             f"large-star/small-star did not converge in {max_iter} rounds"
         )
-    # fixpoint is a star forest: every edge is (member, component-min)
-    return edges.select(
+    # fixpoint is a star forest: every edge is (member, component-min);
+    # the left join re-attaches nodes whose only edges were self-loops
+    labels = edges.select(
         F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
     ).union(
         edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
         .distinct()
+    )
+    return nodes.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
     )
 
 
@@ -722,6 +732,40 @@ def _large_small_star(sym: DataFrame, max_iter: int = 50) -> DataFrame:
 # canonical modular-multiply triple imported from functions/hashing.py
 # (the copresence playbook, plans/reports.py events_user_copresence_topk;
 # one definition so the copies cannot drift — r6 review finding).
+
+
+def _capped_bucket_admission(
+    bands_df: DataFrame,
+    bucket_cols: list[str],
+    key: Column,
+    tiebreak: Column,
+    cap: int,
+) -> DataFrame:
+    """Admit at most `cap` rows per bucket (the `bucket_cols` tuple) in
+    deterministic scrambled order — THE one admission definition, shared
+    by banded_hash_pairs (key = the hash itself) and minhash_lsh_pairs
+    (key = xxhash64 of the doc id); a second copy of the
+    scramble+window+filter pipeline would drift exactly the way the r6
+    band-construction copies did (r7 review finding).
+
+    `key` is folded with pmod FIRST: Spark % keeps the dividend's sign,
+    and uniform 64-bit keys are ~half negative — a signed scramble would
+    sort every MSB-set key before every MSB-clear one and evict across
+    the sign boundary systematically instead of sampling (r6 review).
+    The row_number admission does NOT funnel a hot bucket through one
+    task: Spark 4 plans the `_rn <= cap` filter as a PARTIAL
+    WindowGroupLimit before the exchange, so each map task forwards at
+    most cap rows per bucket (plan-pinned in tests/test_multimodal.py
+    and tests/test_round7_properties.py)."""
+    scramble = (
+        F.pmod(key, F.lit(_BAND_SCRAMBLE_MOD1)) * _BAND_SCRAMBLE_MULT
+    ) % _BAND_SCRAMBLE_MOD2
+    adm = W.partitionBy(*bucket_cols).orderBy(scramble.asc(), tiebreak.asc())
+    return (
+        bands_df.withColumn("_rn", F.row_number().over(adm))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
 
 
 def _band_rows(
@@ -734,7 +778,12 @@ def _band_rows(
     diagnostic silently drift from the join it exists to predict (the
     minhash_bands lockstep rule). shiftrightunsigned keeps the top band
     of a NEGATIVE 64-bit hash from smearing sign bits across the mask."""
-    assert hash_bits % n_bands == 0, "bands must tile the hash exactly"
+    if hash_bits % n_bands != 0:
+        # a real raise, not an assert: `python -O` strips asserts and a
+        # non-tiling split silently loses the top hash bits (r7 review)
+        raise ValueError(
+            f"n_bands={n_bands} must tile hash_bits={hash_bits} exactly"
+        )
     width = hash_bits // n_bands
     mask = (1 << width) - 1
     h = F.col(hash_col)
@@ -819,26 +868,18 @@ def banded_hash_pairs(
     most cap rows per bucket and the final per-bucket task sees
     cap x #map-partitions rows, not U (plan-pinned in
     test_banded_pairs_bucket_cap_bounds_candidates)."""
-    assert n_bands > radius, "pigeonhole recall needs n_bands > radius"
+    if n_bands <= radius:
+        # a real raise, not an assert (`python -O` would strip it and
+        # silently break the exact-recall contract — r7 review)
+        raise ValueError(
+            f"pigeonhole recall needs n_bands > radius "
+            f"(got n_bands={n_bands}, radius={radius})"
+        )
     bands = _band_rows(uniq, hash_col, n_bands, hash_bits)
     if bucket_cap is not None:
-        # pmod, NOT %: Spark % keeps the dividend's sign, and uniform
-        # 64-bit hashes are ~half negative — a signed scramble would
-        # sort every MSB-set hash before every MSB-clear one and evict
-        # across the sign boundary systematically instead of sampling
-        # (review finding; the copresence playbook's user_id operand
-        # was non-negative so it never faced this)
-        scramble = (
-            F.pmod(F.col("_h"), F.lit(_BAND_SCRAMBLE_MOD1))
-            * _BAND_SCRAMBLE_MULT
-        ) % _BAND_SCRAMBLE_MOD2
-        adm = W.partitionBy("band_no", "band_val").orderBy(
-            scramble.asc(), F.col("_h").asc()
-        )
-        bands = (
-            bands.withColumn("_rn", F.row_number().over(adm))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
+        bands = _capped_bucket_admission(
+            bands, ["band_no", "band_val"], F.col("_h"), F.col("_h"),
+            bucket_cap,
         )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -982,12 +1023,14 @@ def hash_cluster_assignments(
          hash graph expand to exactly the member-level components,
          because every hash node carries >= 1 member and equal-hash
          members share a node;
-      3. map members to their hash's component label (left join; hashes
-         in no near-dup pair keep themselves as the label), then one
-         map-side-combined groupBy computes each component's min member
-         id and a keyed join stamps it back. The label table is one row
-         per cluster, so AQE broadcasts it when it fits; a viral
-         cluster's members never funnel through one window task.
+      3. per-hash min member (one map-side-combined groupBy), component
+         labels and canonical ids computed entirely on HASH-sized
+         frames (hashes in no near-dup pair keep themselves as label),
+         then ONE join stamps the hash->canonical map onto the member
+         table — the only full-member shuffle in the pipeline; the map
+         is one row per distinct hash, so AQE broadcasts it when it
+         fits, and a viral cluster's members never funnel through one
+         window task.
 
     Same precondition as banded_hamming_pairs: one row per item id,
     `hashed` persisted by the caller when the hash is kernel-computed
@@ -997,17 +1040,29 @@ def hash_cluster_assignments(
     members = hashed.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
     )
-    uniq = members.select("_h").distinct()
+    # per-hash min member FIRST (map-side combined: the shuffle carries
+    # ~one partial per distinct hash per task, not n member rows); all
+    # label/canonical algebra then runs on hash-sized frames, and the
+    # full member table is shuffled exactly ONCE (the final stamp join).
+    # The earlier formulation aggregated and joined the (member, label)
+    # frame on both sides — Spark plans no ReusedExchange across those
+    # branches, so members paid three shuffles and the label join
+    # subtree evaluated twice (r7 review finding, plan-verified).
+    hmin = members.groupBy("_h").agg(F.min("_id").alias("_hm"))
+    uniq = hmin.select("_h")
     hpairs = banded_hash_pairs(uniq, "_h", n_bands, radius, hash_bits, bucket_cap)
     hcomp = duplicate_components(
         hpairs.select(F.col("_ha").alias("doc_a"), F.col("_hb").alias("doc_b")),
         max_iter,
     ).select(F.col("doc_id").alias("_h"), F.col("cluster_id").alias("_hlab"))
-    withc = members.join(hcomp, "_h", "left").select(
-        "_id", F.coalesce(F.col("_hlab"), F.col("_h")).alias("_hlab")
+    hlab = hmin.join(hcomp, "_h", "left").select(
+        "_h", "_hm", F.coalesce(F.col("_hlab"), F.col("_h")).alias("_hlab")
     )
-    canon = withc.groupBy("_hlab").agg(F.min("_id").alias("canonical_id"))
-    return withc.join(canon, "_hlab").select(
+    canon = hlab.groupBy("_hlab").agg(F.min("_hm").alias("canonical_id"))
+    hmap = hlab.select("_h", "_hlab").join(canon, "_hlab").select(
+        "_h", "canonical_id"
+    )
+    return members.join(hmap, "_h").select(
         F.col("_id").alias("media_id"),
         F.col("canonical_id").alias("cluster_id"),
         "canonical_id",

@@ -170,11 +170,19 @@ def run_query(
         )
     # the blast radius is easy to miss (ADVICE r6): surface pre-existing
     # caller caches loudly before the session-wide clearCache drops them
-    # (Spark offers no per-query block enumeration to scope the evict)
+    # (Spark offers no per-query block enumeration to scope the evict).
+    # Probe the SQL CacheManager, not getPersistentRDDs(): a DataFrame
+    # persist registers in the CacheManager at .persist() time, while
+    # its RDD only appears after the first action — the unmaterialized
+    # persist is exactly the silent-eviction case to warn about, and
+    # raw-RDD persists (which clearCache does NOT touch) would
+    # false-positive (r7 review finding).
     try:
-        pre_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+        pre_cached = not (
+            spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        )
     except Exception:  # pragma: no cover - py4j internals may shift
-        pre_cached = 0
+        pre_cached = False
     try:
         return reg[name].fn(spark, sf_dir).collect()
     finally:
@@ -183,10 +191,9 @@ def run_query(
 
             warnings.warn(
                 f"run_query({name!r}) clears the session cache on exit: "
-                f"{pre_cached} pre-existing persisted RDD(s)/frame(s) "
-                "are being evicted too — re-persist caller-side frames "
-                "after this returns, or manage caches via queries() "
-                "directly",
+                "pre-existing cached DataFrame(s) are being evicted too "
+                "— re-persist caller-side frames after this returns, or "
+                "manage caches via queries() directly",
                 RuntimeWarning,
                 stacklevel=2,
             )

@@ -29,6 +29,11 @@ def _n_persistent(spark) -> int:
 
 
 def test_sweep_leaves_no_pinned_rdds(spark, sf_dir):
+    # BASELINE-relative (r7): localCheckpoint RDDs from other tests in
+    # the shared session linger in getPersistentRDDs and clearCache
+    # does not touch them — the contract here is "this sweep adds no
+    # pinned blocks", not "the whole session is empty"
+    base = _n_persistent(spark)
     q = queries()
     ran = 0
     for name in _PERSISTING_ENTRIES:
@@ -38,10 +43,10 @@ def test_sweep_leaves_no_pinned_rdds(spark, sf_dir):
     assert ran, "persisting entries vanished from the catalog"
     # at least one of them must actually have pinned blocks (otherwise
     # this test is asserting a vacuous cleanup)
-    assert _n_persistent(spark) > 0
+    assert _n_persistent(spark) > base
     # bench.py's loop-end cleanup
     spark.catalog.clearCache()
-    assert _n_persistent(spark) == 0
+    assert _n_persistent(spark) <= base
 
 
 def test_bench_has_loop_end_cleanup():
@@ -59,9 +64,10 @@ def test_run_query_releases_persisted_blocks(spark, sf_dir):
     the signature frame across its self-join)."""
     from dsacord_spark.plans.catalog import run_query
 
+    base = _n_persistent(spark)  # baseline-relative: see first test
     rows = run_query(spark, "dedup_simhash", sf_dir)
     assert isinstance(rows, list)
-    assert _n_persistent(spark) == 0
+    assert _n_persistent(spark) <= base
 
 
 def test_run_query_warns_on_preexisting_caches(spark, sf_dir):
@@ -74,21 +80,24 @@ def test_run_query_warns_on_preexisting_caches(spark, sf_dir):
 
     from dsacord_spark.plans.catalog import run_query
 
+    # deliberately NO action after persist(): the unmaterialized persist
+    # is the silent-eviction case — the CacheManager knows it at
+    # .persist() time while getPersistentRDDs() would not (r7 review)
+    base = _n_persistent(spark)  # baseline-relative: see first test
     mine = spark.range(10).select(F.col("id")).persist()
-    mine.count()
     try:
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             run_query(spark, "sort_topk", sf_dir)
         assert any(
-            "pre-existing persisted" in str(x.message) for x in w
+            "pre-existing cached" in str(x.message) for x in w
         ), [str(x.message) for x in w]
-        assert _n_persistent(spark) == 0  # caller cache evicted (documented)
+        assert _n_persistent(spark) <= base  # caller cache evicted
         with warnings.catch_warnings(record=True) as w2:
             warnings.simplefilter("always")
             run_query(spark, "sort_topk", sf_dir)
         assert not any(
-            "pre-existing persisted" in str(x.message) for x in w2
+            "pre-existing cached" in str(x.message) for x in w2
         )
     finally:
         mine.unpersist()

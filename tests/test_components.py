@@ -61,6 +61,9 @@ def test_propagation_loop_matches_union_find(spark):
         for r in _propagate_min_labels(sym, max_iter=30).collect()
     }
     assert got == EXPECTED
+    # _propagate_min_labels no longer unpersists on success (the star
+    # fallback re-reads the materialized edges) — callers own the frame
+    sym.unpersist()
 
 
 def test_duplicate_components_takes_small_path(spark):
@@ -160,6 +163,32 @@ def test_star_matches_union_find_on_random_graphs(spark):
         }
         assert st == uf, f"seed {seed}"
         sym.unpersist()
+
+
+def test_star_keeps_self_loop_only_nodes(spark):
+    """A node whose only edge is (x, x) must still label itself under
+    the star path, matching propagate/union-find (r7 review finding)."""
+    from dsacord_spark.operators.dedup import _large_small_star
+
+    e = spark.createDataFrame(
+        [(1, 2), (7, 7)], "src long, dst long"
+    )
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in _large_small_star(sym).collect()}
+    assert got == {1: 1, 2: 1, 7: 7}
+    sym.unpersist()
+
+
+def test_unknown_algorithm_rejected(spark):
+    """A typo'd algorithm must fail at the call, not silently run the
+    propagate path (r7 review finding)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        duplicate_components(_edges(spark, PAIRS), algorithm="large-star")
 
 
 def test_star_string_ids_preserved(spark):

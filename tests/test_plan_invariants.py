@@ -355,16 +355,17 @@ _SELF_JOIN_BOUNDS = {
         "#sources^2/2, linear in distinct tokens"
     ),
     "dedup_simhash_clusters": (
-        "label-stamp: the flagged join matches each member row to its "
-        "cluster's one canonical row (a groupBy(cluster-label) MIN "
-        "aggregate — unique per key), so per-member fan-out is exactly "
-        "1 and output is one row per input doc (the O(n) cluster-mode "
-        "contract); the banded candidate stage above runs over "
-        "DISTINCT hashes (keyed aggregates deliberately don't "
-        "auto-pass, so the gate flags the shape by design)"
+        "label-stamp: the flagged join matches each member row to the "
+        "hash->canonical map (one row per DISTINCT hash — built from "
+        "per-hash MIN aggregates and hash-level components), so "
+        "per-member fan-out is exactly 1 and output is one row per "
+        "input doc (the O(n) cluster-mode contract; members are "
+        "shuffled exactly once, by hash). Keyed aggregates "
+        "deliberately don't auto-pass, so the gate flags the shape by "
+        "design"
     ),
     "multimodal_phash_clusters": (
-        "label-stamp: same unique-per-key canonical join as "
+        "label-stamp: same unique-per-hash map join as "
         "dedup_simhash_clusters over the dHash member table — one "
         "output row per media id, never member pairs; the hash-level "
         "candidate stage is the grouped banded joiner over DISTINCT "
