@@ -366,8 +366,13 @@ def _feature_str(col: str = "feature"):
     round-4 harness crashed canonicalizing list columns (sort_values on
     an object Series of lists — CORRECTNESS_r04 `unhashable type`
     tracebacks for the two entries that exposed raw arrays). Internal
-    callers keep the typed array from decode_images/decode_audio; only
-    the registered entries flatten it."""
+    callers keep the typed array from decode_images/decode_audio. As of
+    r7 no registered entry exposes a feature column (the meta entries
+    moved to scalar value-oracle contracts; feature vectors are pinned
+    byte-exact in pytest goldens) — this stays as THE canonical
+    flattener for any future list-column entry, referenced by the
+    no-nested-columns invariant's guidance
+    (tests/test_plan_invariants.py)."""
     body = F.concat_ws(
         ",", F.transform(F.col(col), lambda x: F.format_string("%.6f", x))
     )
@@ -376,11 +381,29 @@ def _feature_str(col: str = "feature"):
 
 @register(
     "multimodal_decode_meta",
-    sql=None,  # decode runs in Python kernels: rows-only driver check;
-    # pixel-exactness is pinned by tests/test_multimodal.py instead
-    doc="mapInPandas image decode over REAL generated BMPs "
-    "(synthesize_real_media): header metadata plus pixel-level "
-    "quadrant-luma features, no codec dependency.",
+    # FULL value oracle via scalar projection (r7, extending the r6 ask
+    # beyond resize/frame-sample): the pixel decode still runs in the
+    # kernel, but the driver-compared columns are the header contract —
+    # format/width/height derive structurally from md5(text) bytes
+    # (maker: png iff seed[2]%4==0; dims 8+seed[0]%9 x 8+seed[1]%9).
+    # n_bytes is NOT projected (PNG length depends on zlib output);
+    # the pixel-level quadrant-luma feature stays pinned byte-exact in
+    # tests/test_multimodal.py::test_decode_feature_goldens.
+    sql="""
+    SELECT doc_id AS media_id,
+           CASE WHEN CAST('0x' || substr(md5(text), 5, 2) AS BIGINT) % 4 = 0
+                THEN 'png' ELSE 'bmp' END AS format,
+           CAST(8 + CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 9
+                AS INT) AS width,
+           CAST(8 + CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) % 9
+                AS INT) AS height,
+           CAST(3 AS INT) AS n_channels
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    doc="mapInPandas image decode over REAL generated BMPs/PNGs "
+    "(synthesize_real_media): header metadata value-checked against the "
+    "structural oracle (format/dims are pure functions of the text "
+    "seed); pixel-level features pinned byte-exact in pytest.",
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dsacord_spark.multimodal.binary import (
@@ -389,16 +412,34 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     media = synthesize_real_media(d).filter(F.col("modality") == "image")
-    return decode_images(media).withColumn("feature", _feature_str())
+    return decode_images(media).select(
+        "media_id", "format", "width", "height", "n_channels"
+    )
 
 
 @register(
     "multimodal_audio_meta",
-    sql=None,  # wave decode runs in Python kernels: rows-only driver
-    # check; sample-exactness is pinned by tests/test_multimodal.py
-    doc="mapInPandas audio decode over REAL generated PCM WAVs "
-    "(stdlib wave): channels/rate/frames/duration plus an 8-segment "
-    "RMS envelope feature.",
+    # FULL value oracle via scalar projection (r7): the stdlib `wave`
+    # decode still runs; the compared columns are the WAV header
+    # contract — n_frames = 64 + md5(text)[0] at 8 kHz mono 16-bit, so
+    # n_bytes = 44 (canonical RIFF/fmt/data headers) + 2*n_frames and
+    # duration_ms = n_frames/8 exactly (0.125 is dyadic: the float
+    # multiply is exact and int() == integer division). The RMS
+    # envelope feature stays pinned byte-exact in pytest.
+    sql="""
+    WITH a AS (
+      SELECT doc_id AS media_id,
+             64 + CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) AS nf
+      FROM documents WHERE doc_id % 3 = 1)
+    SELECT media_id, CAST(44 + 2 * nf AS BIGINT) AS n_bytes,
+           'wav' AS format, CAST(1 AS INT) AS n_channels,
+           CAST(8000 AS INT) AS sample_rate, CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf // 8 AS BIGINT) AS duration_ms
+    FROM a
+    """,
+    doc="mapInPandas audio decode over REAL generated PCM WAVs (stdlib "
+    "wave): channels/rate/frames/duration/bytes value-checked against "
+    "the structural oracle; RMS envelope pinned byte-exact in pytest.",
 )
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dsacord_spark.multimodal.binary import (
@@ -407,16 +448,37 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     media = synthesize_real_media(d).filter(F.col("modality") == "audio")
-    return decode_audio(media).withColumn("feature", _feature_str())
+    return decode_audio(media).select(
+        "media_id", "n_bytes", "format", "n_channels", "sample_rate",
+        "n_frames", "duration_ms",
+    )
 
 
 @register(
     "multimodal_video_meta",
-    sql=None,  # AVI demux runs in Python kernels: rows-only driver
-    # check; container-exactness is pinned by tests/test_multimodal.py
+    # FULL value oracle via scalar projection (r7): the RIFF/AVI demux
+    # still runs; the compared columns are the container contract —
+    # 8x6 BGR24 at fps 10, n_frames = 6 + md5(text)[0] % 10, so
+    # n_bytes = 224 (RIFF + hdrl + movi framing, a constant of the
+    # writer layout) + 152 per frame ('00db' header 8 + stride 24 x
+    # height 6) and duration_ms = n_frames * 100. Mean luma over the
+    # actual frame pixels stays pinned byte-exact in pytest.
+    sql="""
+    WITH v AS (
+      SELECT doc_id AS media_id,
+             6 + (CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 10)
+               AS nf
+      FROM documents WHERE doc_id % 3 = 2)
+    SELECT media_id, CAST(224 + 152 * nf AS BIGINT) AS n_bytes,
+           'avi/bgr24' AS format, CAST(8 AS INT) AS width,
+           CAST(6 AS INT) AS height, CAST(nf AS INT) AS n_frames,
+           CAST(nf * 100 AS BIGINT) AS duration_ms
+    FROM v
+    """,
     doc="mapInPandas video decode over REAL generated RIFF/AVI "
-    "containers: dimensions/frame-count/duration from the header plus "
-    "mean luma over the actual BGR frame pixels.",
+    "containers: dimensions/frame-count/duration/bytes value-checked "
+    "against the structural oracle; mean frame luma pinned byte-exact "
+    "in pytest.",
 )
 def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dsacord_spark.multimodal.binary import (
@@ -425,7 +487,10 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     media = synthesize_real_media(d).filter(F.col("modality") == "video")
-    return decode_video(media)
+    return decode_video(media).select(
+        "media_id", "n_bytes", "format", "width", "height", "n_frames",
+        "duration_ms",
+    )
 
 
 @register(

@@ -333,6 +333,40 @@ class TestAviVideo:
             "280261b583b07b72fbe1cd71822f1576"
         )
 
+    def test_decode_feature_goldens(self):
+        """Byte-exact pins for the pixel/PCM/luma math whose catalog
+        entries moved to header-scalar value oracles (r7 —
+        multimodal_{decode,audio,video}_meta): quadrant-luma features
+        for both image tiers, the 8-segment RMS envelope, and the
+        mean frame luma stay pinned HERE on fixed seeds."""
+        import hashlib as _h
+
+        seed = _h.md5(b"golden").digest()
+        mb = mm._decode_one(mm.make_bmp_bytes(seed, 9, 9))
+        assert [round(x, 6) for x in mb["feature"]] == [
+            0.014157, 0.029704, 0.018712, -0.005189,
+            -0.014157, -0.029704, -0.018712, 0.005189,
+        ]
+        mp = mm._decode_one(mm.make_png_bytes(seed, 10, 11))
+        assert [round(x, 6) for x in mp["feature"]] == [
+            0.031175, 0.122525, 0.031559, -0.107941,
+            -0.031175, -0.122525, -0.031559, 0.107941,
+        ]
+        ma = mm._decode_audio_one(
+            mm.make_wav_bytes(seed, n_frames=100, sample_rate=8000)
+        )
+        assert [round(x, 6) for x in ma["feature"]] == [
+            0.635486, 0.359036, 0.544392, 0.479566,
+            0.526566, 0.60023, 0.550035, 0.568999,
+        ]
+        avi = mm.make_avi_bytes(seed, width=8, height=6, n_frames=12, fps=10)
+        meta = mm.parse_avi(avi)
+        lumas = [
+            mm._bgr_frame_luma(f, meta["width"], meta["height"])
+            for f in meta["frames"]
+        ]
+        assert round(sum(lumas) / len(lumas), 6) == 126.593839
+
     def test_decode_video_real_metadata(self, spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
         media = mm.synthesize_real_media(docs).filter("modality = 'video'")

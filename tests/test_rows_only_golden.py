@@ -26,26 +26,10 @@ from dsacord_spark.plans.catalog import queries
 
 # name -> (n_rows, sha256, two sample canonical lines for debuggability)
 GOLDEN = {
-    # feature vectors are driver-visible as 6dp STRINGS since round 5
-    # (the r4 harness could not canonicalize list cells — ADVICE item);
-    # the numeric values are bit-identical to the old array renders.
-    "multimodal_decode_meta": (
-        167,
-        "dbd902fe8796ba9c459adea63eb266f229d54bce580c0ede25f06ea3546e3740",
-        "'[-0.001294,0.022084,0.006142,0.020460,0.001294,-0.022084,"
-        "-0.006142,-0.020460]'|'bmp'|10|183|414|3|12",
-    ),
-    "multimodal_audio_meta": (
-        167,
-        "7ed8cad18895c77f684c1ce0d2d78364aee80dfa95cf0b94d4e283687acd5630",
-        "10|'[0.509033,0.380368,0.635350,0.510221,0.538622,0.659879,"
-        "0.648436,0.537107]'|'wav'|301|212|1|84|8000",
-    ),
-    "multimodal_video_meta": (
-        166,
-        "2061cbf63ed43db3148cb30659b7290f2c52da3baf724953f9a37fb0580329d4",
-        "1000|'avi/bgr24'|6|121.889544|296|1744|10|8",
-    ),
+    # multimodal_{decode,audio,video}_meta left this table in r7: their
+    # catalog entries now carry FULL structural value oracles over the
+    # header-scalar contract, and the pixel/PCM/luma byte-level signal
+    # moved to tests/test_multimodal.py::test_decode_feature_goldens
     # multimodal_frame_sample / multimodal_resize left this table in r7:
     # their catalog entries now carry FULL structural value oracles over
     # the scalar contract, and the byte-level md5 signal moved to
