@@ -80,11 +80,18 @@ def test_run_query_warns_on_preexisting_caches(spark, sf_dir):
 
     from dsacord_spark.plans.catalog import run_query
 
-    # deliberately NO action after persist(): the unmaterialized persist
-    # is the silent-eviction case — the CacheManager knows it at
-    # .persist() time while getPersistentRDDs() would not (r7 review)
+    # TWO caller caches: `mine` deliberately gets NO action (the
+    # unmaterialized persist is the silent-eviction case — the
+    # CacheManager knows it at .persist() time while
+    # getPersistentRDDs() would not, r7 review), while `mine2` IS
+    # materialized so the post-run check genuinely proves run_query
+    # evicted real caller-owned blocks (second r7 review pass: with
+    # only the unmaterialized frame the eviction assert was vacuous)
     base = _n_persistent(spark)  # baseline-relative: see first test
     mine = spark.range(10).select(F.col("id")).persist()
+    mine2 = spark.range(20).select(F.col("id")).persist()
+    mine2.count()
+    assert _n_persistent(spark) > base  # mine2's blocks are pinned
     try:
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
@@ -92,7 +99,7 @@ def test_run_query_warns_on_preexisting_caches(spark, sf_dir):
         assert any(
             "pre-existing cached" in str(x.message) for x in w
         ), [str(x.message) for x in w]
-        assert _n_persistent(spark) <= base  # caller cache evicted
+        assert _n_persistent(spark) <= base  # caller caches evicted
         with warnings.catch_warnings(record=True) as w2:
             warnings.simplefilter("always")
             run_query(spark, "sort_topk", sf_dir)
@@ -101,3 +108,4 @@ def test_run_query_warns_on_preexisting_caches(spark, sf_dir):
         )
     finally:
         mine.unpersist()
+        mine2.unpersist()
