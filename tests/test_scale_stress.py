@@ -175,3 +175,31 @@ def test_embed_redundancy_aggregate_is_dim_bounded(spark, sf_dir):
     # partition — nothing scales with the vector count
     assert max(aggs) <= pair_rows * max(parts, 8), (max(aggs), pair_rows)
     spark.catalog.clearCache()
+
+
+def test_duplicate_components_distributed_chain_auto_fallback(spark):
+    """END-TO-END pin of the adversarial path the unit tests reach only
+    through private helpers: a 210k-edge chain (past the 200k driver
+    union-find cap -> the DISTRIBUTED branch) whose diameter no 30-round
+    propagation can cover. duplicate_components(algorithm='auto') must
+    return the exact one-component labeling via the star fallback —
+    before r7 this input was a guaranteed RuntimeError at scale."""
+    from pyspark.sql import functions as F
+
+    from dsacord_spark.operators.dedup import duplicate_components
+
+    n = 210_001  # edges = n-1 > 200k cap; diameter = n-1 >> 30 rounds
+    pairs = (
+        spark.range(1, n)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    out = duplicate_components(pairs, max_iter=30, algorithm="auto")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.min("cluster_id").alias("lab"),
+        F.max("doc_id").alias("mx"),
+    ).collect()[0]
+    assert (agg["n"], agg["n_clusters"], agg["lab"], agg["mx"]) == (
+        n, 1, 1, n
+    )
