@@ -28,6 +28,15 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 
+def _pairs_to_comp(duplicate_components, pairs: DataFrame) -> DataFrame:
+    """Pair list -> (__comp_doc, __comp_cluster) via connected
+    components (the jaccard/minhash route; simhash goes straight to
+    cluster assignments without a member-pair list)."""
+    return duplicate_components(pairs).withColumnRenamed(
+        "cluster_id", "__comp_cluster"
+    ).withColumnRenamed("doc_id", "__comp_doc")
+
+
 def dedup_corpus(
     docs: DataFrame,
     method: str = "minhash",
@@ -51,12 +60,20 @@ def dedup_corpus(
     band bucket's admissions (deterministic scrambled sample; bounded
     recall — run dedup_minhash_bucket_load / dedup_simhash_bucket_load
     first to see whether the corpus needs it and at what value), and
-    `radius` is the simhash max Hamming distance."""
+    `radius` is the simhash max Hamming distance.
+
+    The simhash route persists the signature frame its lazy result
+    consumes (the banded stages re-read it; Spark does no CSE across
+    self-join branches) — library callers release it with unpersist /
+    clearCache once the result is materialized, like the catalog
+    entries; the CLI process exit releases it for `main()`."""
     from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS,
         duplicate_components,
+        hash_cluster_assignments,
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
-        simhash_pairs,
+        simhash_signatures,
     )
 
     if method == "exact":
@@ -90,21 +107,32 @@ def dedup_corpus(
         if method == "jaccard":
             pairs = ngram_jaccard_pairs(docs, id_col, text_col, n=ngram,
                                         threshold=threshold)
+            comp = _pairs_to_comp(duplicate_components, pairs)
         elif method == "minhash":
             pairs = minhash_lsh_pairs(docs, id_col, text_col, n=ngram,
                                       threshold=threshold,
                                       bands=bands if bands is not None else 8,
                                       bucket_cap=bucket_cap)
+            comp = _pairs_to_comp(duplicate_components, pairs)
         elif method == "simhash":
-            pairs = simhash_pairs(docs, id_col, text_col,
-                                  max_hamming=radius,
-                                  n_bands=bands if bands is not None else 4,
-                                  bucket_cap=bucket_cap)
+            # CLUSTER-MODE directly (r7): the pair-list detour
+            # (simhash_pairs -> duplicate_components) emits C(K,2)
+            # member pairs for a K-identical boilerplate cluster —
+            # exactly the blow-up hash_cluster_assignments exists to
+            # avoid. Assignments are O(n) end-to-end and the labels are
+            # identical (min member id of the Hamming component).
+            sig = simhash_signatures(docs, id_col, text_col).persist()
+            comp = hash_cluster_assignments(
+                sig, "doc", "simhash",
+                n_bands=bands if bands is not None else 4,
+                radius=radius, hash_bits=SIMHASH_BITS,
+                bucket_cap=bucket_cap,
+            ).select(
+                F.col("media_id").alias("__comp_doc"),
+                F.col("cluster_id").alias("__comp_cluster"),
+            )
         else:
             raise ValueError(f"unknown method {method!r}")
-        comp = duplicate_components(pairs).withColumnRenamed(
-            "cluster_id", "__comp_cluster"
-        ).withColumnRenamed("doc_id", "__comp_doc")
 
     # plain join: the clustered-doc table is unbounded on dup-heavy
     # corpora (the CLI's target), so no forced broadcast — AQE picks one

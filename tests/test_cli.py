@@ -172,6 +172,52 @@ class TestCurateCli:
         uncapped = dedup_corpus(docs, method="minhash", bands=8)
         assert uncapped.filter(F.col("kept")).count() == 1
 
+    def test_dedup_corpus_simhash_matches_pair_route(self, spark, sf_dir):
+        """r7: the CLI's simhash route now goes straight to cluster
+        assignments (O(n)) instead of the member-pair list — the
+        labeling must equal the historical pairs -> components route on
+        the synthetic corpus, and a 60-identical-doc boilerplate
+        cluster must dedup to one kept doc without a C(60,2) pair
+        stage."""
+        from pyspark.sql import functions as F
+
+        from dsacord_spark.curate import dedup_corpus
+        from dsacord_spark.operators.dedup import (
+            duplicate_components, simhash_pairs,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = {
+            (r["doc_id"], r["cluster_id"], r["kept"])
+            for r in dedup_corpus(docs, method="simhash").collect()
+        }
+        pairs = simhash_pairs(docs, "doc_id", "text", max_hamming=3,
+                              n_bands=4)
+        comp = {r["doc_id"]: r["cluster_id"]
+                for r in duplicate_components(pairs).collect()}
+        lens = {r["doc_id"]: r["n_chars"] for r in
+                docs.select("doc_id", "n_chars").collect()}
+        # expected kept flag: longest text per cluster, id breaks ties
+        clusters: dict = {}
+        for d in lens:
+            clusters.setdefault(comp.get(d, d), []).append(d)
+        exp = set()
+        for cid, members in clusters.items():
+            best = min(members, key=lambda d: (-lens[d], d))
+            for d in members:
+                exp.add((d, cid, d == best))
+        assert got == exp
+        spark.catalog.clearCache()  # release the route's signature persist
+
+        boiler = spark.createDataFrame(
+            [(i, "the very same boilerplate text body") for i in range(60)],
+            "doc_id long, text string",
+        )
+        out = dedup_corpus(boiler, method="simhash")
+        assert out.filter(F.col("kept")).count() == 1
+        assert out.count() == 60
+        spark.catalog.clearCache()
+
     def test_dedup_corpus_exact_method(self, spark, tmp_path):
         from pyspark.sql import functions as F
 
