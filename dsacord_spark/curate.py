@@ -37,6 +37,52 @@ def _pairs_to_comp(duplicate_components, pairs: DataFrame) -> DataFrame:
     ).withColumnRenamed("doc_id", "__comp_doc")
 
 
+def preflight_bucket_load(
+    docs: DataFrame,
+    method: str = "minhash",
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int | None = None,
+    radius: int = 3,
+) -> DataFrame:
+    """The pre-flight hot-bucket report as a CLI-reachable operator
+    (r6 verdict #5: the dedup_*_bucket_load diagnostics had no CLI
+    counterpart to act on): per (band, bucket-size class), how many LSH
+    buckets exist and what candidate-pair cost the dedup join would pay
+    — the numbers that say whether `--bucket-cap` is needed and at what
+    value, BEFORE burning the full join. minhash profiles the
+    (band_idx, band_hash) buckets of the 32-perm signature; simhash
+    profiles the banded joiner's own bit-slice split over DISTINCT
+    signatures. Cost: one corpus scan + two strictly-reducing
+    aggregates; no joins."""
+    from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS,
+        banded_bucket_load,
+        bucket_load_from_bands,
+        minhash_bands,
+        minhash_signatures,
+        simhash_signatures,
+    )
+
+    if method == "minhash":
+        sig = minhash_signatures(docs, id_col, text_col, n=ngram, n_perm=32)
+        return bucket_load_from_bands(
+            minhash_bands(sig, 32, bands if bands is not None else 8),
+            "band_idx", "band_hash",
+        )
+    if method == "simhash":
+        uniq = simhash_signatures(docs, id_col, text_col).select(
+            "simhash"
+        ).distinct()
+        return banded_bucket_load(
+            uniq, "simhash", bands if bands is not None else 4, SIMHASH_BITS
+        )
+    raise ValueError(
+        f"--preflight supports minhash/simhash, not {method!r}"
+    )
+
+
 def dedup_corpus(
     docs: DataFrame,
     method: str = "minhash",
@@ -189,6 +235,11 @@ def main(argv: list[str] | None = None) -> int:
                    "reports; default off = exact LSH recall)")
     p.add_argument("--radius", type=int, default=3,
                    help="simhash max Hamming distance (near-dup radius)")
+    p.add_argument("--preflight", action="store_true",
+                   help="Print the LSH band-bucket load histogram (the "
+                   "--bucket-cap sizing report: per size class, bucket "
+                   "count and candidate-pair cost) as JSON lines and "
+                   "exit WITHOUT deduping; minhash/simhash only")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--report-dropped", default=None,
@@ -202,6 +253,28 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="dsacord-curate", master=a.master)
     t0 = time.perf_counter()
     docs = spark.read.parquet(a.input)
+    if a.preflight:
+        rows = preflight_bucket_load(
+            docs, method=a.method, ngram=a.ngram,
+            id_col=a.id_col, text_col=a.text_col,
+            bands=a.bands, radius=a.radius,
+        ).orderBy(F.col("cand_pairs").desc(), "band_no", "bucket_size"
+                  ).collect()
+        for r in rows:
+            print(json.dumps({
+                "band_no": r["band_no"],
+                "bucket_size": r["bucket_size"],
+                "n_buckets": r["n_buckets"],
+                "cand_pairs": r["cand_pairs"],
+            }))
+        print(json.dumps({
+            "preflight": a.method,
+            "total_cand_pairs": sum(r["cand_pairs"] for r in rows),
+            "max_bucket_size": max((r["bucket_size"] for r in rows),
+                                   default=0),
+            "elapsed_s": round(time.perf_counter() - t0, 2),
+        }))
+        return 0
     labeled = dedup_corpus(
         docs, method=a.method, threshold=a.threshold, ngram=a.ngram,
         id_col=a.id_col, text_col=a.text_col,

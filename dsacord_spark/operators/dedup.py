@@ -818,8 +818,23 @@ def banded_bucket_load(
     with a true decimal `/ 2` (sz*(sz-1) is always even, so the halving
     is exact; Spark's `div` would wrap past 2^63 — the
     dedup_minhash_bucket_load hazard, live-verified r6)."""
-    bucket = _band_rows(uniq, hash_col, n_bands, hash_bits).groupBy(
-        "band_no", "band_val"
+    return bucket_load_from_bands(
+        _band_rows(uniq, hash_col, n_bands, hash_bits),
+        "band_no", "band_val",
+    )
+
+
+def bucket_load_from_bands(
+    bands: DataFrame, band_no_col: str, band_val_col: str
+) -> DataFrame:
+    """The size-class histogram half of banded_bucket_load, factored so
+    the curate CLI pre-flight can profile MINHASH band rows
+    ((band_idx, band_hash) from minhash_bands) with the same report
+    shape and the same DECIMAL-exact pair-cost arithmetic. One row per
+    (band, bucket-size class)."""
+    bucket = bands.groupBy(
+        F.col(band_no_col).alias("band_no"),
+        F.col(band_val_col).alias("band_val"),
     ).agg(F.count(F.lit(1)).alias("sz"))
     return bucket.groupBy("band_no", "sz").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),

@@ -172,6 +172,44 @@ class TestCurateCli:
         uncapped = dedup_corpus(docs, method="minhash", bands=8)
         assert uncapped.filter(F.col("kept")).count() == 1
 
+    def test_curate_preflight_reports_hot_bucket(self, spark, tmp_path):
+        """--preflight prints the band-bucket load histogram (the
+        --bucket-cap sizing report) and exits WITHOUT deduping: a
+        40-identical-doc boilerplate corpus must surface a size-40
+        bucket in every minhash band, a summary line with the exact
+        C(40,2)-per-band candidate cost, and no output directory."""
+        import contextlib
+        import io as _io
+        import json as _json
+
+        from dsacord_spark.curate import main as curate_main
+
+        src = str(tmp_path / "boiler.parquet")
+        spark.createDataFrame(
+            [(i, "the very same boilerplate text body") for i in range(40)],
+            "doc_id long, text string",
+        ).write.parquet(src)
+        out = str(tmp_path / "never-written")
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = curate_main([
+                "--input", src, "--output", out,
+                "--method", "minhash", "--preflight",
+                "--master", "local[4]",
+            ])
+        assert rc == 0
+        lines = [_json.loads(x) for x in buf.getvalue().strip().splitlines()]
+        summary = lines[-1]
+        assert summary["preflight"] == "minhash"
+        assert summary["max_bucket_size"] == 40
+        # identical docs share every band: 8 bands x C(40,2) each
+        assert summary["total_cand_pairs"] == 8 * 40 * 39 / 2
+        hot = [x for x in lines[:-1] if x["bucket_size"] == 40]
+        assert len(hot) == 8 and all(x["n_buckets"] == 1 for x in hot)
+        import os
+
+        assert not os.path.exists(out)  # preflight never dedups/writes
+
     def test_dedup_corpus_simhash_matches_pair_route(self, spark, sf_dir):
         """r7: the CLI's simhash route now goes straight to cluster
         assignments (O(n)) instead of the member-pair list — the
