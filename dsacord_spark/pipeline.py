@@ -59,7 +59,12 @@ def run_backfill(
         (r["dt"], r["url"])
         for r in url_table(spark, cfg.date_from, cfg.date_to, cfg.workers).collect()
     ]
-    staged = stage_range(urls, cfg.landing_dir, **({"opener": opener} if opener else {}))
+    staged = stage_range(
+        urls,
+        cfg.landing_dir,
+        workers=cfg.workers,
+        **({"opener": opener} if opener else {}),
+    )
     metrics = RunMetrics(day_errors=[e for _, e in staged if e])
 
     if not any(p for p, _ in staged):
@@ -75,9 +80,13 @@ def run_backfill(
         out = cfg.landing_dir.rstrip("/") + "/decisions"
 
         def sink(df: DataFrame) -> int:
-            n = df.count()
+            # write FIRST, then count the WRITTEN parquet: the count is a
+            # footer-metadata scan of the output, so the expensive
+            # binaryFile->zip->CSV->transform dataflow executes exactly
+            # once per run (counting `df` before writing would run it
+            # twice — the r7 verdict's double-compute defect)
             write_decisions_parquet(df, out, mode="overwrite")
-            return n
+            return spark.read.parquet(out).count()
 
     metrics.rows_written = sink(deduped)
     # the observation sits below the quarantine filter, so the sink's own

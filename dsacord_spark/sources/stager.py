@@ -97,6 +97,23 @@ def stage_day(url: str, dt: str, landing_dir: str, **kw) -> tuple[str, str | Non
     return out_path, None
 
 
-def stage_range(url_rows, landing_dir: str, **kw) -> list[tuple[str, str | None]]:
-    """Stage a list of (dt, url) rows; collects per-day results."""
-    return [stage_day(url, dt, landing_dir, **kw) for dt, url in url_rows]
+def stage_range(
+    url_rows, landing_dir: str, workers: int = 1, **kw
+) -> list[tuple[str, str | None]]:
+    """Stage a list of (dt, url) rows with up to `workers` concurrent
+    downloads (the reference's worker pool, main.go:114-135 — O1; the
+    README recommends ≤5). Downloads are I/O-bound and each day writes
+    to its own dt= directory via an atomic rename, so a thread pool is
+    safe; per-day error isolation (O3) is preserved because stage_day
+    returns failures instead of raising. Results come back in input
+    order regardless of completion order (Executor.map semantics), so
+    callers see the same deterministic list the serial loop produced."""
+    url_rows = list(url_rows)
+    if workers <= 1 or len(url_rows) <= 1:
+        return [stage_day(url, dt, landing_dir, **kw) for dt, url in url_rows]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(workers, len(url_rows))) as pool:
+        return list(
+            pool.map(lambda r: stage_day(r[1], r[0], landing_dir, **kw), url_rows)
+        )

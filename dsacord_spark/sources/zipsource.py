@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import csv
 import io
+import shutil
+import tempfile
 import zipfile
 from collections.abc import Iterator
 
@@ -45,20 +47,38 @@ EXTRACT_SCHEMA = (
 )
 
 
+# inner archives up to this size stay in memory; larger ones spill to a
+# task-local temp file (quirk Q7: the reference materializes every nested
+# archive fully in RAM, utils.go:131 — the README warns about it)
+INNER_SPOOL_BYTES = 64 << 20
+
+
 def _iter_csv_members(data: bytes, name: str) -> Iterator[tuple[str, bytes]]:
     """Yield (member_name, csv_bytes) from a ZIP, recursing one level into
-    nested .zip entries (utils.go:130-140)."""
+    nested .zip entries (utils.go:130-140). The nested archive is streamed
+    through a SpooledTemporaryFile instead of zf.read()'s full in-memory
+    copy, so an oversized inner zip spills to task-local disk rather than
+    holding executor memory (Q7 divergence; ZipFile only needs a seekable
+    file, which the spool provides in both its memory and disk states)."""
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
         for info in zf.infolist():
             if info.is_dir():
                 continue
             if info.filename.lower().endswith(".zip"):
-                inner = zf.read(info)  # one nested archive at a time
-                with zipfile.ZipFile(io.BytesIO(inner)) as izf:
-                    for iinfo in izf.infolist():
-                        if iinfo.is_dir() or iinfo.filename.lower().endswith(".zip"):
-                            continue  # reference recurses exactly one level
-                        yield f"{name}!{info.filename}!{iinfo.filename}", izf.read(iinfo)
+                with tempfile.SpooledTemporaryFile(
+                    max_size=INNER_SPOOL_BYTES
+                ) as spool:
+                    with zf.open(info) as src:
+                        shutil.copyfileobj(src, spool, 1 << 20)
+                    spool.seek(0)
+                    with zipfile.ZipFile(spool) as izf:
+                        for iinfo in izf.infolist():
+                            if iinfo.is_dir() or iinfo.filename.lower().endswith(".zip"):
+                                continue  # reference recurses exactly one level
+                            yield (
+                                f"{name}!{info.filename}!{iinfo.filename}",
+                                izf.read(iinfo),
+                            )
             else:
                 yield f"{name}!{info.filename}", zf.read(info)
 

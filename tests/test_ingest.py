@@ -483,3 +483,45 @@ def test_arrow_member_parse_matches_pandas_tiers():
         # get-closure semantics spot checks on the arrow table itself
         cols = t.to_pydict()
         assert all(v is not None for v in cols[c2]), name  # absent -> ''
+
+
+def test_nested_zip_larger_than_spool_spills_not_oom(monkeypatch):
+    """Q7 divergence, r7 verdict #3: an inner archive bigger than the
+    spool threshold must roll over to disk (never a full in-memory copy)
+    and still extract every member correctly."""
+    import tempfile
+
+    from dsacord_spark.sources import zipsource
+
+    rolled = []
+
+    class RecordingSpool(tempfile.SpooledTemporaryFile):
+        def rollover(self):
+            rolled.append(True)
+            super().rollover()
+
+    monkeypatch.setattr(zipsource, "INNER_SPOOL_BYTES", 1024)
+    monkeypatch.setattr(
+        zipsource.tempfile, "SpooledTemporaryFile", RecordingSpool
+    )
+
+    # inner zip ~> 200 KB stored (incompressible payload beats the 1 KiB spool)
+    import os as _os
+
+    big_csv = 'uuid,category\n"u-big","' + "x" * 100 + '"\n'
+    inner = io.BytesIO()
+    with zipfile.ZipFile(inner, "w") as zf:
+        zf.writestr("big.csv", big_csv)
+        zf.writestr("noise.bin", _os.urandom(200_000))  # incompressible bulk
+    outer = io.BytesIO()
+    with zipfile.ZipFile(outer, "w") as zf:
+        zf.writestr("inner.zip", inner.getvalue())
+
+    members = list(
+        zipsource._iter_csv_members(outer.getvalue(), "day.zip")
+    )
+    assert rolled, "inner archive above the spool cap must spill to disk"
+    names = [m for m, _ in members]
+    assert "day.zip!inner.zip!big.csv" in names
+    got = dict(members)["day.zip!inner.zip!big.csv"]
+    assert got == big_csv.encode()

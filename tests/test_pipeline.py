@@ -66,3 +66,40 @@ def test_run_backfill_end_to_end(spark, tmp_path):
         "day1-row",
         "day3-row",
     ]
+
+
+def test_default_sink_runs_extraction_exactly_once(spark, tmp_path, monkeypatch):
+    """r7 verdict #2: the default sink used to count the dataflow and then
+    write it — executing the binaryFile->zip->CSV->transform pipeline
+    twice. Pin single execution by counting every wire row the extraction
+    emits in a Spark accumulator: 2 days x 2 CSV rows = 4; a re-executed
+    dataflow would double it."""
+    from dsacord_spark.sources import zipsource
+
+    served = {"2025-01-01": _day_zip("d1"), "2025-01-02": _day_zip("d2")}
+
+    def opener(url):
+        for dt, data in served.items():
+            if dt in url:
+                return _Resp(data)
+        raise AssertionError(f"unexpected url {url}")
+
+    rows_emitted = spark.sparkContext.accumulator(0)
+    orig_extract = zipsource.extract_zip_arrow
+
+    def counting_extract(it):
+        for rb in orig_extract(it):
+            rows_emitted.add(rb.num_rows)
+            yield rb
+
+    monkeypatch.setattr(zipsource, "extract_zip_arrow", counting_extract)
+
+    cfg = Config(
+        date_from=date(2025, 1, 1),
+        date_to=date(2025, 1, 2),
+        landing_dir=str(tmp_path / "landing"),
+    )
+    metrics = run_backfill(spark, cfg, opener=opener)  # default sink
+    assert metrics.rows_written == 2        # one per day after dedup
+    assert rows_emitted.value == 4          # 2 wire rows/day, extracted ONCE
+    assert metrics.rows_quarantined == 0    # observe populated by the write

@@ -13,6 +13,7 @@ from dsacord_spark.sources.stager import (
     PermanentDownloadError,
     download_with_backoff,
     stage_day,
+    stage_range,
 )
 
 
@@ -92,3 +93,52 @@ def test_stage_day_isolates_errors_and_writes_atomically(tmp_path):
         policy=no_sleep_policy(),
     )
     assert path2 == "" and "forbidden" in err2  # error returned, not raised
+
+
+def test_stage_range_downloads_concurrently(tmp_path):
+    """O1 (main.go:114-135): with workers=N, N downloads are in flight at
+    once. The opener blocks each call on a 2-party barrier — only true
+    concurrency releases it; a serial loop would deadlock (caught by the
+    barrier timeout instead of hanging the suite)."""
+    import threading
+
+    barrier = threading.Barrier(2, action=None)
+    in_flight = []
+    lock = threading.Lock()
+
+    def blocking_opener(url):
+        with lock:
+            in_flight.append(url)
+        barrier.wait(timeout=30)  # raises BrokenBarrierError if serial
+        return FakeResponse(b"Z-" + url.encode())
+
+    rows = [("2025-01-01", "http://x/a.zip"), ("2025-01-02", "http://x/b.zip")]
+    results = stage_range(
+        rows, str(tmp_path), workers=2,
+        opener=blocking_opener, policy=no_sleep_policy(),
+    )
+    assert [err for _, err in results] == [None, None]
+    # results preserve input order regardless of completion order
+    assert "dt=2025-01-01" in results[0][0] and "dt=2025-01-02" in results[1][0]
+    assert open(results[0][0], "rb").read() == b"Z-http://x/a.zip"
+    assert len(in_flight) == 2
+
+
+def test_stage_range_isolates_per_day_errors_under_concurrency(tmp_path):
+    """O3 under O1: a 403 day fails in its worker thread and is returned
+    in place; the other days still download."""
+    def opener(url):
+        if "b.zip" in url:
+            raise urllib.error.HTTPError(url, 403, "forbidden", None, None)
+        return FakeResponse(b"OK")
+
+    rows = [
+        ("2025-01-01", "http://x/a.zip"),
+        ("2025-01-02", "http://x/b.zip"),
+        ("2025-01-03", "http://x/c.zip"),
+    ]
+    results = stage_range(
+        rows, str(tmp_path), workers=3, opener=opener, policy=no_sleep_policy(),
+    )
+    assert results[0][1] is None and results[2][1] is None
+    assert results[1][0] == "" and "forbidden" in results[1][1]
