@@ -44,7 +44,6 @@ def preflight_bucket_load(
     id_col: str = "doc_id",
     text_col: str = "text",
     bands: int | None = None,
-    radius: int = 3,
 ) -> DataFrame:
     """The pre-flight hot-bucket report as a CLI-reachable operator
     (r6 verdict #5: the dedup_*_bucket_load diagnostics had no CLI
@@ -54,8 +53,10 @@ def preflight_bucket_load(
     value, BEFORE burning the full join. minhash profiles the
     (band_idx, band_hash) buckets of the 32-perm signature; simhash
     profiles the banded joiner's own bit-slice split over DISTINCT
-    signatures. Cost: one corpus scan + two strictly-reducing
-    aggregates; no joins."""
+    signatures. The Hamming radius does NOT enter: bucket load is a
+    property of the banding alone (radius only gates the verify step),
+    so there is deliberately no radius parameter here. Cost: one corpus
+    scan + two strictly-reducing aggregates; no joins."""
     from dsacord_spark.operators.dedup import (
         SIMHASH_BITS,
         banded_bucket_load,
@@ -195,13 +196,25 @@ def dedup_corpus(
         )
         .drop("__comp_cluster", "__comp_doc")
     )
-    w = W.partitionBy("cluster_id").orderBy(
-        F.col("__len").desc(), F.col(id_col).asc()
+    # keep selection as a map-side-combined aggregate, NOT a
+    # row_number window: partitionBy("cluster_id") funnels every member
+    # of a cluster through one window task (sort + number 10M rows for a
+    # viral cluster), while min_by reduces to one row per cluster with
+    # partial aggregation before the shuffle, and the join back is
+    # AQE-skew-splittable / broadcastable (hash-sized-frame pattern,
+    # mirroring hash_cluster_assignments). Ordering matches the old
+    # window exactly: longest text wins, then smallest id (struct
+    # comparison is lexicographic; ids of any orderable type work).
+    keep = labeled.groupBy("cluster_id").agg(
+        F.min_by(
+            F.col(id_col),
+            F.struct((-F.col("__len")).alias("nl"), F.col(id_col).alias("id")),
+        ).alias("__keep_id")
     )
     return (
-        labeled.withColumn("__rn", F.row_number().over(w))
-        .withColumn("kept", F.col("__rn") == 1)
-        .drop("__rn", "__len")
+        labeled.join(keep, "cluster_id", "left")
+        .withColumn("kept", F.col(id_col) == F.col("__keep_id"))
+        .select(*docs.columns, "cluster_id", "kept")  # pre-join column order
     )
 
 
@@ -219,9 +232,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--method",
                    choices=("exact", "jaccard", "minhash", "simhash"),
                    default="minhash")
-    p.add_argument("--threshold", type=float, default=0.5,
-                   help="Jaccard similarity threshold")
-    p.add_argument("--ngram", type=int, default=3, help="Shingle width (words)")
+    p.add_argument("--threshold", type=float, default=None,
+                   help="Jaccard similarity threshold (default 0.5; "
+                   "jaccard/minhash only)")
+    p.add_argument("--ngram", type=int, default=None,
+                   help="Shingle width in words (default 3; "
+                   "jaccard/minhash only)")
     p.add_argument("--bands", type=int, default=None,
                    help="LSH band count: minhash band-hash count "
                    "(default 8; more bands = higher recall, more "
@@ -233,13 +249,16 @@ def main(argv: list[str] | None = None) -> int:
                    "bucket's C(U,2) candidate blow-up at BOUNDED recall "
                    "— size it from the dedup_*_bucket_load pre-flight "
                    "reports; default off = exact LSH recall)")
-    p.add_argument("--radius", type=int, default=3,
-                   help="simhash max Hamming distance (near-dup radius)")
+    p.add_argument("--radius", type=int, default=None,
+                   help="simhash max Hamming distance (default 3; "
+                   "simhash only)")
     p.add_argument("--preflight", action="store_true",
                    help="Print the LSH band-bucket load histogram (the "
                    "--bucket-cap sizing report: per size class, bucket "
                    "count and candidate-pair cost) as JSON lines and "
-                   "exit WITHOUT deduping; minhash/simhash only")
+                   "exit WITHOUT deduping; minhash/simhash only. Load "
+                   "is a property of the banding alone, so --radius/"
+                   "--threshold/--bucket-cap do not affect it")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--report-dropped", default=None,
@@ -248,6 +267,39 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None, help="Spark master override")
     a = p.parse_args(argv)
 
+    # flag-relevance guard (ADVICE r7): a knob explicitly set for a
+    # method (or mode) it cannot influence runs to completion silently —
+    # warn so a mistyped combination is visible. Defaults are None
+    # sentinels so "explicitly set" is detectable; resolved below.
+    relevant = {
+        "threshold": {"jaccard", "minhash"},
+        "ngram": {"jaccard", "minhash"},
+        "radius": {"simhash"},
+        "bands": {"minhash", "simhash"},
+        "bucket_cap": {"minhash", "simhash"},
+    }
+    if a.preflight:  # load depends on the banding alone
+        relevant = {"ngram": {"minhash"}, "bands": {"minhash", "simhash"}}
+    for flag, methods in sorted(relevant.items()):
+        if getattr(a, flag) is not None and a.method not in methods:
+            print(
+                f"warning: --{flag.replace('_', '-')} has no effect with "
+                f"--method {a.method}"
+                + (" --preflight" if a.preflight else ""),
+                file=sys.stderr,
+            )
+    for flag in ("threshold", "radius", "bucket_cap"):
+        if a.preflight and getattr(a, flag) is not None and flag not in relevant:
+            print(
+                f"warning: --{flag.replace('_', '-')} has no effect on "
+                "--preflight (bucket load is a property of the banding "
+                "alone)",
+                file=sys.stderr,
+            )
+    threshold = 0.5 if a.threshold is None else a.threshold
+    ngram = 3 if a.ngram is None else a.ngram
+    radius = 3 if a.radius is None else a.radius
+
     from dsacord_spark.session import get_spark
 
     spark = get_spark(app_name="dsacord-curate", master=a.master)
@@ -255,9 +307,9 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(a.input)
     if a.preflight:
         rows = preflight_bucket_load(
-            docs, method=a.method, ngram=a.ngram,
+            docs, method=a.method, ngram=ngram,
             id_col=a.id_col, text_col=a.text_col,
-            bands=a.bands, radius=a.radius,
+            bands=a.bands,
         ).orderBy(F.col("cand_pairs").desc(), "band_no", "bucket_size"
                   ).collect()
         for r in rows:
@@ -276,9 +328,9 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0
     labeled = dedup_corpus(
-        docs, method=a.method, threshold=a.threshold, ngram=a.ngram,
+        docs, method=a.method, threshold=threshold, ngram=ngram,
         id_col=a.id_col, text_col=a.text_col,
-        bands=a.bands, bucket_cap=a.bucket_cap, radius=a.radius,
+        bands=a.bands, bucket_cap=a.bucket_cap, radius=radius,
     ).persist()
     kept = labeled.filter(F.col("kept")).drop("kept")
     if a.format == "jsonl":

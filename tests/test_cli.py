@@ -295,3 +295,40 @@ class TestCurateJsonl:
         back = spark.read.json(out)
         assert back.count() == report["docs_kept"]
         assert "doc_id" in back.columns and "text" in back.columns
+
+
+def test_curate_warns_on_method_irrelevant_flags(capsys, monkeypatch, tmp_path):
+    """ADVICE r7: a knob explicitly set for a method it cannot influence
+    must warn (to stderr) instead of being silently ignored. Exercised
+    through argument handling only — the parquet read fails fast after
+    the warnings, which is all this test needs."""
+    from dsacord_spark.curate import main as curate_main
+
+    def run(args):
+        try:
+            curate_main(args)
+        except Exception:
+            pass  # missing input parquet — warnings already emitted
+        return capsys.readouterr().err
+
+    base = ["--input", str(tmp_path / "missing.parquet"),
+            "--output", str(tmp_path / "out"), "--master", "local[2]"]
+    err = run(base + ["--method", "minhash", "--radius", "2"])
+    assert "--radius has no effect with --method minhash" in err
+    err = run(base + ["--method", "simhash", "--threshold", "0.7",
+                      "--ngram", "5"])
+    assert "--threshold has no effect with --method simhash" in err
+    assert "--ngram has no effect with --method simhash" in err
+    err = run(base + ["--method", "exact", "--bands", "8",
+                      "--bucket-cap", "10"])
+    assert "--bands has no effect with --method exact" in err
+    assert "--bucket-cap has no effect with --method exact" in err
+    # preflight: load is banding-only — radius/threshold/bucket-cap warn
+    err = run(base + ["--method", "simhash", "--preflight", "--radius", "3",
+                      "--bucket-cap", "10"])
+    assert "--radius has no effect on --preflight" in err
+    assert "--bucket-cap has no effect on --preflight" in err
+    # relevant flags stay silent
+    err = run(base + ["--method", "minhash", "--threshold", "0.6",
+                      "--bands", "8", "--bucket-cap", "10", "--ngram", "4"])
+    assert "has no effect" not in err
