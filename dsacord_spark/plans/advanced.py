@@ -242,46 +242,93 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# approx_count_distinct is inherently engine-specific (HLL seeds differ) —
-# registered with no oracle: the driver records the weaker rows-only check.
+# approx_count_distinct's raw estimate is engine-specific (HLL seeds
+# differ), so the ESTIMATE can't be oracled — but the error CONTRACT can
+# (r7 verdict #5): emit the exact count (SQL-exact) plus a within-bound
+# boolean computed from the sketch; the DuckDB twin emits literal TRUE,
+# so a sketch drifting out of bound hash-mismatches. The raw estimate's
+# determinism is pinned in tests/test_catalog_oracle.py.
 @register(
     "agg_approx_distinct",
-    sql=None,
-    doc="approx_count_distinct (HLL) per status — rows-only check by design.",
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS est_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="approx_count_distinct (HLL, rsd=0.01) per status — structural "
+    "value oracle: exact count + 5pct error-contract boolean.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    # rsd=0.01 (vs the 0.05 default): the test gate asserts <=5% relative
+    # rsd=0.01 (vs the 0.05 default): the contract asserts <=5% relative
     # error, and rsd is a standard deviation, not a bound — at sf0.01 the
     # default sketch missed by 5.7% on one group. A 1% rsd keeps the gate
     # at ~5 sigma for ~87KB of sketch per group.
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
-        F.count_distinct("o_custkey").alias("exact_customers"),
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.01).alias("__approx"),
+            F.count_distinct("o_custkey").alias("exact_customers"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            (
+                F.abs(F.col("__approx") - F.col("exact_customers"))
+                <= 0.05 * F.col("exact_customers")
+            ).alias("est_within_5pct"),
+        )
     )
 
 
 @register(
     "agg_approx_percentiles",
-    sql=None,
-    doc="approx_percentile (t-digest-style sketch, accuracy 10000) next "
-    "to the exact percentile per status — rows-only check by design "
-    "(sketch internals are engine-specific); the rank-error gate lives "
-    "in tests/test_catalog_oracle.py. The sketch is the 100 TB path: "
-    "exact percentile sorts every group, the sketch is one mergeable "
-    "pass.",
+    # structural value oracle (r8, upgraded from rows-only): the sketch
+    # value is engine-specific, but its RANK-ERROR contract is not —
+    # approx_percentile(accuracy=10000) must land inside the exact
+    # [p-0.01, p+0.01] quantile band (rank error <= 1e-4*n, so a 0.01
+    # quantile band is ~100x slack). The oracle computes the exact
+    # percentiles and emits TRUE for the band booleans; Spark computes
+    # them from the real sketch. Raw sketch values pinned in pytest.
+    sql="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS exact_median,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
+           TRUE AS median_in_band, TRUE AS p90_in_band
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="approx_percentile (t-digest-style sketch, accuracy 10000) "
+    "checked against the exact percentile per status via a rank-band "
+    "contract. The sketch is the 100 TB path: exact percentile sorts "
+    "every group, the sketch is one mergeable pass.",
 )
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    agg = o.groupBy("o_orderstatus").agg(
         F.approx_percentile(
             "o_totalprice", F.lit(0.5), F.lit(10000)
-        ).alias("approx_median"),
+        ).alias("__approx_median"),
         F.approx_percentile(
             "o_totalprice", F.lit(0.9), F.lit(10000)
-        ).alias("approx_p90"),
+        ).alias("__approx_p90"),
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("exact_median"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("exact_p90"),
+        F.percentile("o_totalprice", F.lit(0.49)).alias("__lo50"),
+        F.percentile("o_totalprice", F.lit(0.51)).alias("__hi50"),
+        F.percentile("o_totalprice", F.lit(0.89)).alias("__lo90"),
+        F.percentile("o_totalprice", F.lit(0.91)).alias("__hi90"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_median",
+        "exact_p90",
+        F.col("__approx_median").between(
+            F.col("__lo50"), F.col("__hi50")
+        ).alias("median_in_band"),
+        F.col("__approx_p90").between(
+            F.col("__lo90"), F.col("__hi90")
+        ).alias("p90_in_band"),
     )
 
 

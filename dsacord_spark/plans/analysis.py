@@ -10,7 +10,7 @@ bit-reproducible in DuckDB — a much stronger check than rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from dsacord_spark.functions.hashing import (
     MERSENNE_31,
@@ -621,10 +621,14 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _IVF_CELLS, _IVF_NPROBE = 16, 4
 
-
-@register(
-    "ann_ivf_topk",
-    sql=f"""
+# shared by ann_ivf_topk AND ann_ivf_topk_blas: both entries compute the
+# identical index (same first-n centroids, same probe/score/top-k tail,
+# cos rounded to 6dp) — the BLAS variant differs only in float64
+# SUMMATION ORDER (dgemm vs sequential fold), which the 6dp rounding
+# absorbs on non-adversarial data; exact row equality of the two Spark
+# paths is additionally pinned by
+# tests/test_similarity_recall.py::test_ivf_blas_assignment_matches_declarative
+_IVF_TOPK_SQL = f"""
     WITH cent AS (SELECT vec_id AS c_id, embedding AS c_vec
                   FROM embeddings ORDER BY vec_id LIMIT {_IVF_CELLS}),
     assign_scored AS (
@@ -648,7 +652,12 @@ _IVF_CELLS, _IVF_NPROBE = 16, 4
       FROM scored)
     SELECT q_id, neighbor_id, rank, round(cos, 6) AS cos_sim
     FROM ranked WHERE rank <= 5
-    """,
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    sql=_IVF_TOPK_SQL,
     doc="IVF ANN top-5: 16-cell coarse quantizer, nprobe=4 — query touches "
     "nprobe/n_cells of the corpus instead of all of it.",
 )
@@ -664,11 +673,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk_blas",
-    sql=None,  # same semantics as ann_ivf_topk (equality pinned by
-    # tests/test_similarity_recall.py); no separate oracle because the
-    # BLAS path's float64 summation ORDER differs from the sequential
-    # fold the SQL reproduces — values agree here but are not
-    # guaranteed bit-identical on adversarial near-ties
+    sql=_IVF_TOPK_SQL,  # FULL value oracle (upgraded r8 from rows-only):
+    # same index semantics as ann_ivf_topk; the BLAS path's float64
+    # summation-order difference is absorbed by the 6dp rounding on
+    # this data (verified at sf0.001/0.01/0.1) and exact equality of
+    # the two Spark paths is pinned in tests/test_similarity_recall.py
     doc="ann_ivf_topk with the production BLAS cell assignment "
     "(operators/similarity.py:assign_cells_blas): one dgemm per Arrow "
     "batch replaces the corpus x n_cells crossJoin + per-vector window "
@@ -687,13 +696,34 @@ def ann_ivf_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_kmeans_topk",
-    sql=None,  # Lloyd's training is iterative — not SQL-expressible;
-    # recall vs brute-force is gated in tests/test_similarity_recall.py
+    # STRUCTURAL value oracle (upgraded r8 from rows-only): Lloyd's
+    # training itself is iterative — not SQL-expressible — but the
+    # result's CONTRACT is: exactly k ranked rows per query (the
+    # (q_id, rank) grid), self excluded, scores monotone in rank, and
+    # every score <= the exact brute-force best cosine for that query
+    # (IVF scores are true cosines of real corpus vectors). The oracle
+    # computes the grid and the brute-force best EXACTLY; the booleans
+    # are literal TRUE on the SQL side and computed from the trained
+    # index on the Spark side, so any violation hash-mismatches.
+    # Neighbor identity/recall stays gated in tests/test_similarity_recall.py.
+    sql=f"""
+    WITH brute AS (
+      SELECT q.vec_id AS q_id,
+             round(max({_cos_sql('q.embedding', 'a.embedding')}), 6)
+               AS brute_best_cos
+      FROM embeddings q JOIN embeddings a ON a.vec_id <> q.vec_id
+      WHERE q.vec_id < 5 GROUP BY q.vec_id)
+    SELECT q_id, CAST(t.r AS INT) AS rank, brute_best_cos,
+           TRUE AS self_excluded, TRUE AS cos_monotone, TRUE AS cos_le_best
+    FROM brute, range(1, 6) t(r)
+    """,
     doc="Full production IVF: spherical k-means centroids (3 Lloyd's "
     "iterations, BLAS assignment + partition-partial sums merged on the "
     "driver — no n x d shuffle) feeding the BLAS probe pipeline. "
     "Better-balanced cells than the first-n quantizer -> higher recall "
-    "at the same nprobe.",
+    "at the same nprobe. Output is the structural contract (rank grid, "
+    "exact brute-force ceiling, monotonicity/self-exclusion booleans); "
+    "recall vs brute force is gated in pytest.",
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dsacord_spark.operators.similarity import ivf_topk_kmeans
@@ -702,8 +732,28 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return ivf_topk_kmeans(
+    res = ivf_topk_kmeans(
         e, q, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, k=5, iters=3
+    )
+    best = brute_force_topk(e, q, k=1).select(
+        "q_id", F.col("cos_sim").alias("brute_best_cos")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("rank").asc())
+    return (
+        res.join(F.broadcast(best), "q_id")
+        .withColumn("__prev", F.lag("cos_sim").over(w))
+        .select(
+            "q_id",
+            "rank",
+            "brute_best_cos",
+            (F.col("neighbor_id") != F.col("q_id")).alias("self_excluded"),
+            F.coalesce(
+                F.col("cos_sim") <= F.col("__prev") + F.lit(1e-9), F.lit(True)
+            ).alias("cos_monotone"),
+            (F.col("cos_sim") <= F.col("brute_best_cos") + F.lit(1e-6)).alias(
+                "cos_le_best"
+            ),
+        )
     )
 
 

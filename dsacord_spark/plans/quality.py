@@ -640,11 +640,24 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_approx_distinct_hll",
-    sql=None,
+    # structural value oracle (r8, upgraded from rows-only): the merged
+    # HLL estimate is engine-specific, but the exact distinct count is
+    # SQL-exact and the sketch's error contract (<=5%: default
+    # lgConfigK=12 -> rsd ~1.6%, so 5% is ~3 sigma) is a boolean both
+    # engines can state — DuckDB as literal TRUE, Spark computed from
+    # the stream-merged sketch. Stream-merged == batch-global estimate
+    # parity stays pinned in pytest.
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS est_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
     doc="Distinct customers per order status on the real streaming path: "
     "per-micro-batch HLL sketches (hll_sketch_agg) merged with "
     "hll_union_agg — fixed-size mergeable state, no global distinct "
-    "shuffle. Rows-only; error gate and batch-parity pin in pytest.",
+    "shuffle. Structural value oracle: exact count + 5pct error-contract "
+    "boolean computed from the merged sketch.",
 )
 def stream_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dsacord_spark.streaming.pipeline import run_bounded_stream
@@ -665,10 +678,21 @@ def stream_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         reader_options={"maxFilesPerTrigger": "1"},
         batch_transform=batch_partial,
     )
-    return partials.groupBy("o_orderstatus").agg(
+    est = partials.groupBy("o_orderstatus").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk"))
         .cast("long")
-        .alias("approx_customers")
+        .alias("__approx")
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    return est.join(exact, "o_orderstatus").select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("__approx") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("est_within_5pct"),
     )
 
 

@@ -176,32 +176,53 @@ def test_driver_window_all_green_picks_oldest(monkeypatch):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    """agg_approx_distinct is rows-only by design (HLL seeds are
-    engine-specific) — this is its quality gate instead: the sketch
-    estimate must sit within 5% relative error of the exact distinct
-    count in every group (Spark's default rsd is 5%; the data is
-    deterministic, so this is a stable bound, not a flaky one)."""
+    """agg_approx_distinct's raw HLL estimate left the entry output in r8
+    (the entry now carries a structural value oracle: exact count +
+    within-bound boolean) — this gate pins the RAW estimate directly:
+    within 5% relative error of exact in every group, and deterministic
+    across two evaluations (fixed seeds, fixed data)."""
+    from pyspark.sql import functions as F
+
     from dsacord_spark.plans.catalog import queries
 
-    rows = queries()["agg_approx_distinct"](spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    est = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx"),
+        F.count_distinct("o_custkey").alias("exact"),
+    )
+    rows = est.collect()
     assert rows
     for r in rows:
-        err = abs(r["approx_customers"] - r["exact_customers"]) / r["exact_customers"]
-        assert err <= 0.05, (r["o_orderstatus"], r["approx_customers"], r["exact_customers"])
+        err = abs(r["approx"] - r["exact"]) / r["exact"]
+        assert err <= 0.05, (r["o_orderstatus"], r["approx"], r["exact"])
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, est.collect()))
+    # and the catalog entry's contract boolean agrees
+    for r in queries()["agg_approx_distinct"](spark, sf_dir).collect():
+        assert r["est_within_5pct"], r
 
 
 def test_approx_percentile_rank_error_bound(spark, sf_dir):
     """approx_percentile at accuracy=10000 must land within 1% RELATIVE
     value error of the exact percentile on every group (the sketch's
     guarantee is rank error 1/accuracy; on this data distribution that
-    maps well inside 1% of value)."""
+    maps well inside 1% of value). The raw sketch values left the entry
+    output in r8 (structural oracle: exact percentiles + rank-band
+    booleans), so compute them directly here."""
+    from pyspark.sql import functions as F
+
     from dsacord_spark.plans.catalog import specs
 
-    rows = specs()["agg_approx_percentiles"].fn(spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rows = o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("am"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("a9"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("em"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("e9"),
+    ).collect()
     assert rows
     for r in rows:
-        for approx, exact in (
-            (r["approx_median"], r["exact_median"]),
-            (r["approx_p90"], r["exact_p90"]),
-        ):
+        for approx, exact in ((r["am"], r["em"]), (r["a9"], r["e9"])):
             assert abs(approx - exact) / abs(exact) < 0.01, r
+    # and the catalog entry's rank-band contract booleans hold
+    for r in specs()["agg_approx_percentiles"].fn(spark, sf_dir).collect():
+        assert r["median_in_band"] and r["p90_in_band"], r

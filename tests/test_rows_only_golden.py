@@ -39,11 +39,14 @@ GOLDEN = {
         "99e9bc58385924b6d408ff9a348e70c16c8f264ab1cac2152efad96e95c1216a",
         "'de'|0.538813|0.406615|71",
     ),
-    "stream_approx_distinct_hll": (
-        3,
-        "302d8f9981cb663698d6b1e335483a765e320199603c0ea04aaea97e8cb068e6",
-        "143|'P'",
-    ),
+    # stream_approx_distinct_hll / agg_approx_distinct /
+    # agg_approx_percentiles left this table in r8: their catalog
+    # entries now carry structural value oracles (exact value +
+    # error-contract boolean), and the raw sketch estimates are pinned
+    # directly in tests/test_catalog_oracle.py and test_streaming.py
+    # (ann_ivf_topk_blas gained the full ann_ivf_topk SQL oracle and
+    # ann_ivf_kmeans_topk a rank-grid/brute-ceiling structural oracle
+    # in the same round)
     # every planted perturbed twin recovered (twin ids are negative:
     # -(media_id+1), collision-free at any corpus size), zero
     # false-positive pairs; the in-window edits land some twins at

@@ -476,11 +476,28 @@ def test_stream_hll_merge_matches_batch_and_exact(spark, sf_dir):
 
     from dsacord_spark.plans.catalog import specs
 
-    got = {
-        r["o_orderstatus"]: r["approx_customers"]
-        for r in specs()["stream_approx_distinct_hll"].fn(spark, sf_dir).collect()
-    }
+    from dsacord_spark.streaming.pipeline import run_bounded_stream
+
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    partials = run_bounded_stream(
+        spark,
+        o.select("o_orderstatus", "o_custkey").repartition(4),
+        lambda s: s,
+        reader_options={"maxFilesPerTrigger": "1"},
+        batch_transform=lambda b: b.groupBy("o_orderstatus").agg(
+            F.hll_sketch_agg("o_custkey").alias("sk")
+        ),
+    )
+    got = {
+        r["o_orderstatus"]: r["est"]
+        for r in partials.groupBy("o_orderstatus")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("est")
+        )
+        .collect()
+    }
     batch = {
         r["o_orderstatus"]: r["est"]
         for r in o.groupBy("o_orderstatus")
@@ -500,3 +517,8 @@ def test_stream_hll_merge_matches_batch_and_exact(spark, sf_dir):
     assert got == batch, (got, batch)
     for k, n in exact.items():
         assert abs(got[k] - n) / n <= 0.05, (k, got[k], n)
+    # the catalog entry's structural contract (r8): exact counts match
+    # and the within-bound boolean computed from the merged sketch holds
+    for r in specs()["stream_approx_distinct_hll"].fn(spark, sf_dir).collect():
+        assert r["est_within_5pct"], r
+        assert r["exact_customers"] == exact[r["o_orderstatus"]], r
