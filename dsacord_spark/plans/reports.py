@@ -5221,3 +5221,64 @@ def dedup_simhash_bucket_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = simhash_signatures(d, "doc_id", "text")
     uniq = sig.select("simhash").distinct()
     return banded_bucket_load(uniq, "simhash", 4, SIMHASH_BITS)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 addition (registered at the tail — the rotation contract).
+#
+# The curate CLI's complete dedup product, value-checked cross-engine:
+# dedup_corpus(method='simhash') = cluster-mode assignments (the
+# dedup_simhash_clusters labeling) PLUS the keep selection (longest
+# text wins, doc_id breaks ties — since r8 a map-side-combined min_by
+# aggregate, not a per-cluster window sort). This entry pins the
+# library/CLI path end-to-end: a regression in the banding, the
+# component labeling, OR the keep aggregate hash-mismatches.
+# ---------------------------------------------------------------------------
+
+
+def _curate_keep_sql() -> str:
+    # same signature/component CTEs as dedup_simhash_clusters (lockstep
+    # rule: one definition, interpolated), plus the keep ranking
+    from dsacord_spark.plans.analysis import _simhash_sig_ctes
+
+    return f"""
+    WITH RECURSIVE {_simhash_sig_ctes('documents').strip()},
+    pairs AS (
+      SELECT a.doc AS src, b.doc AS dst FROM sig a JOIN sig b ON a.doc < b.doc
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    edges AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    reach(node, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst),
+    comp AS (SELECT node, MIN(lab) AS cid FROM reach GROUP BY node),
+    lab AS (
+      SELECT s.doc AS doc_id, COALESCE(c.cid, s.doc) AS cluster_id
+      FROM sig s LEFT JOIN comp c ON c.node = s.doc),
+    ranked AS (
+      SELECT l.doc_id, l.cluster_id,
+             row_number() OVER (PARTITION BY l.cluster_id
+                 ORDER BY length(d.text) DESC, l.doc_id ASC) AS rn
+      FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
+    SELECT doc_id, cluster_id, rn = 1 AS kept FROM ranked
+    """
+
+
+@register(
+    "curate_keep_selection",
+    sql=_curate_keep_sql(),
+    doc="The curate CLI's full dedup product (dedup_corpus, "
+    "method=simhash): per document its Hamming-component cluster_id "
+    "and the kept flag — longest text per cluster wins, doc_id breaks "
+    "ties. Spark computes the keep with a map-side-combined min_by "
+    "aggregate joined back (no per-cluster window sort — the r8 skew "
+    "fix); the oracle brute-forces pairs, labels components with a "
+    "recursive CTE, and ranks with a window — provably equal output.",
+)
+def curate_keep_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.curate import dedup_corpus
+
+    d = table(spark, sf_dir, "documents")
+    return dedup_corpus(d, method="simhash").select(
+        "doc_id", "cluster_id", "kept"
+    )

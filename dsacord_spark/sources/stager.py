@@ -117,3 +117,39 @@ def stage_range(
         return list(
             pool.map(lambda r: stage_day(r[1], r[0], landing_dir, **kw), url_rows)
         )
+
+
+def stage_range_distributed(
+    url_df, landing_dir: str, opener=None, policy: BackoffPolicy | None = None
+) -> list[tuple[str, str | None]]:
+    """Cluster-side staging: each Spark task downloads its partition of
+    the URL table straight into the (shared/DFS) landing dir — the
+    multi-node formulation of the reference's worker pool (O1,
+    main.go:114-135). `stage_range`'s thread pool saturates one node's
+    NIC; on a 1000-executor cluster a 10-year backfill wants the
+    downloads where the tasks are, so concurrency = the URL table's
+    partition count (url_table(workers=N) sets it) times task slots.
+
+    Error isolation (O3) is unchanged — stage_day returns failures —
+    and the per-day atomic rename makes re-runs idempotent. Requires
+    `landing_dir` to be visible to executors (true for DFS paths and
+    for local paths in local mode). The injectable opener/policy must
+    be picklable (module-level fakes in tests; default urllib in
+    production). Results: one (path|'', error|None) per day, collected
+    to the driver — day-count-sized, never data-sized."""
+    kw = {}
+    if opener is not None:
+        kw["opener"] = opener
+    if policy is not None:
+        kw["policy"] = policy
+
+    def _stage_partition(rows):
+        for r in rows:
+            yield stage_day(r["url"], r["dt"], landing_dir, **kw)
+
+    return [
+        (p, e)
+        for p, e in url_df.select("dt", "url").rdd.mapPartitions(
+            _stage_partition
+        ).collect()
+    ]

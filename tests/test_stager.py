@@ -142,3 +142,41 @@ def test_stage_range_isolates_per_day_errors_under_concurrency(tmp_path):
     )
     assert results[0][1] is None and results[2][1] is None
     assert results[1][0] == "" and "forbidden" in results[1][1]
+
+
+def test_stage_range_distributed_tasks_download_and_isolate(spark, tmp_path):
+    """O1 at cluster scale: the URL-table partitions download inside
+    Spark tasks (mapPartitions), results come back day-count-sized with
+    per-day error isolation intact. The fake opener is defined inside
+    the test so cloudpickle ships it by value to the workers."""
+
+    class _R(io.BytesIO):
+        status = 200
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def opener(url):
+        if "2025-01-02" in url:
+            raise urllib.error.HTTPError(url, 403, "forbidden", None, None)
+        return _R(url.rsplit("/", 1)[-1].encode())
+
+    from dsacord_spark.sources.stager import stage_range_distributed
+    from dsacord_spark.sources.urlgen import url_table
+    from datetime import date
+
+    urls = url_table(spark, date(2025, 1, 1), date(2025, 1, 3), workers=3)
+    results = stage_range_distributed(
+        urls, str(tmp_path), opener=opener, policy=no_sleep_policy(1)
+    )
+    assert len(results) == 3
+    by_err = [e for _, e in results]
+    assert sum(e is not None for e in by_err) == 1
+    assert any(e and "forbidden" in e for e in by_err)
+    ok_paths = [p for p, e in results if e is None]
+    assert len(ok_paths) == 2
+    for p in ok_paths:
+        assert open(p, "rb").read() == p.rsplit("/", 1)[-1].encode()
