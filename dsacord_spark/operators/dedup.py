@@ -1088,3 +1088,95 @@ def hash_cluster_assignments(
         F.col("canonical_id").alias("cluster_id"),
         "canonical_id",
     )
+
+
+def incremental_hamming_matches(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bands: int = 4,
+    radius: int = 3,
+    hash_bits: int = 64,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL dedup probe: match a NEW batch against an EXISTING
+    corpus index without re-banding the corpus against itself — the
+    daily-ingest shape (today's crawl vs the accumulated lake). For each
+    batch item: does any index item sit within Hamming `radius`, and if
+    so which (smallest index id) at what best distance.
+
+    Scale design — every heavy frame is HASH-sized, mirroring
+    hash_cluster_assignments:
+      1. per-index-hash MIN member id (one corpus pass, map-side
+         combined; at production scale this tiny (hash, min_id) table —
+         and its band rows — would be PERSISTED with the lake and only
+         APPENDED to, so a daily probe never rescans the corpus);
+      2. band the DISTINCT batch hashes and the DISTINCT index hashes
+         with the joiner's own split (_band_rows — the lockstep rule)
+         and equi-join batch x index band rows: candidates are bounded
+         by shared-band hash pairs, never |batch| x |index|; identical
+         hashes share every band, so hamming-0 matches need no separate
+         stage; `bucket_cap` admission applies per side if a band value
+         saturates;
+      3. verify with exact bit_count(xor) <= radius, reduce per batch
+         hash (min hamming, min index-member id) — still hash-sized;
+      4. ONE member-level join stamps every batch row (left: misses
+         keep is_dup = false).
+
+    Output: one row per batch item — (id_col, is_dup boolean,
+    match_id nullable, best_hamming nullable int). Deterministic:
+    match_id = MIN index id over all within-radius matches,
+    best_hamming = MIN hamming (independent aggregates)."""
+    b_members = batch.select(
+        F.col(id_col).alias("_bid"), F.col(hash_col).alias("_bh")
+    )
+    i_members = index.select(
+        F.col(id_col).alias("_iid"), F.col(hash_col).alias("_ih")
+    )
+    # 1. hash-sized index summary
+    idx_min = i_members.groupBy("_ih").agg(F.min("_iid").alias("_i_min"))
+    # 2. banded batch x index candidate hash pairs
+    bb = _band_rows(b_members.select(F.col("_bh").alias("_h")).distinct(),
+                    "_h", n_bands, hash_bits)
+    ib = _band_rows(idx_min.select(F.col("_ih").alias("_h")),
+                    "_h", n_bands, hash_bits)
+    if bucket_cap is not None:
+        bb = _capped_bucket_admission(
+            bb, ["band_no", "band_val"], F.col("_h"), F.col("_h"), bucket_cap
+        )
+        ib = _capped_bucket_admission(
+            ib, ["band_no", "band_val"], F.col("_h"), F.col("_h"), bucket_cap
+        )
+    cand = (
+        bb.select(F.col("_h").alias("_bh"), "band_no", "band_val")
+        .join(
+            ib.select(F.col("_h").alias("_ih"), "band_no", "band_val"),
+            ["band_no", "band_val"],
+        )
+        .select("_bh", "_ih")
+        .distinct()
+    )
+    # 3. exact verify + hash-level reduce
+    verified = cand.withColumn(
+        "_ham",
+        F.bit_count(F.col("_bh").bitwiseXOR(F.col("_ih"))).cast("int"),
+    ).filter(F.col("_ham") <= radius)
+    best_per_hash = (
+        verified.join(idx_min, "_ih")
+        .groupBy("_bh")
+        .agg(
+            F.min("_ham").alias("best_hamming"),
+            F.min("_i_min").alias("match_id"),
+        )
+    )
+    # 4. one member stamp
+    return (
+        b_members.join(best_per_hash, "_bh", "left")
+        .select(
+            F.col("_bid").alias(id_col),
+            F.col("match_id").isNotNull().alias("is_dup"),
+            "match_id",
+            "best_hamming",
+        )
+    )

@@ -5282,3 +5282,64 @@ def curate_keep_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(d, method="simhash").select(
         "doc_id", "cluster_id", "kept"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup probe: today's batch vs the accumulated corpus —
+# the daily-ingest question ("which new docs duplicate something we
+# already hold?") answered WITHOUT re-banding the corpus against
+# itself. Batch = doc_id % 10 == 0, index = the rest (deterministic,
+# both engines). All heavy frames hash-sized (see
+# operators/dedup.incremental_hamming_matches); at production scale the
+# per-hash index summary persists with the lake and is append-only.
+# ---------------------------------------------------------------------------
+
+
+def _incremental_probe_sql() -> str:
+    from dsacord_spark.plans.analysis import _simhash_sig_ctes
+
+    return f"""
+    WITH {_simhash_sig_ctes('documents').strip()},
+    bat AS (SELECT s.doc, s.simhash FROM sig s WHERE s.doc % 10 = 0),
+    idx AS (SELECT s.doc, s.simhash FROM sig s WHERE s.doc % 10 <> 0),
+    m AS (
+      SELECT b.doc AS bdoc,
+             MIN(bit_count(xor(b.simhash, i.simhash))) AS best_h,
+             MIN(i.doc) AS mid
+      FROM bat b JOIN idx i
+        ON bit_count(xor(b.simhash, i.simhash)) <= 3
+      GROUP BY b.doc)
+    SELECT b.doc AS doc_id,
+           m.bdoc IS NOT NULL AS is_dup,
+           m.mid AS match_id,
+           CAST(m.best_h AS INT) AS best_hamming
+    FROM bat b LEFT JOIN m ON m.bdoc = b.doc
+    """
+
+
+@register(
+    "dedup_incremental_probe",
+    sql=_incremental_probe_sql(),
+    doc="Incremental near-dup probe: each NEW-batch doc (doc_id % 10 = "
+    "0) matched against the existing corpus index (the rest) at SimHash "
+    "Hamming <= 3 — (doc_id, is_dup, min matching index id, best "
+    "hamming). Spark: banded batch x index join over DISTINCT hashes "
+    "with a per-hash index summary (hash-sized frames, one member "
+    "stamp); oracle: brute-force batch x index. The daily-ingest shape: "
+    "probe cost tracks the batch, never the corpus.",
+)
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS, incremental_hamming_matches, simhash_signatures,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    # simhash_signatures emits (doc, simhash); persisted because the
+    # batch/index splits and the distinct-hash band sides all re-read it
+    sig = simhash_signatures(d, "doc_id", "text").persist()
+    batch = sig.filter(F.col("doc") % 10 == 0)
+    index = sig.filter(F.col("doc") % 10 != 0)
+    return incremental_hamming_matches(
+        index, batch, "doc", "simhash",
+        n_bands=4, radius=3, hash_bits=SIMHASH_BITS,
+    ).withColumnRenamed("doc", "doc_id")

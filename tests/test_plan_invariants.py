@@ -371,6 +371,22 @@ _SELF_JOIN_BOUNDS = {
         "candidate stage is the grouped banded joiner over DISTINCT "
         "dHashes"
     ),
+    "curate_keep_selection": (
+        "label-stamp x2 (r8): dedup_corpus joins each member to (a) the "
+        "hash->cluster map (one row per DISTINCT hash, from "
+        "hash_cluster_assignments) and (b) the cluster->keep map (one "
+        "row per cluster, from the map-side-combined min_by aggregate) "
+        "— per-member fan-out exactly 1 in both, output one row per "
+        "doc; the candidate stage is the grouped banded joiner over "
+        "DISTINCT simhashes"
+    ),
+    "dedup_incremental_probe": (
+        "banded+grouped (r8): batch x index candidates come from a "
+        "band equi-join over DISTINCT hashes per side (bounded by "
+        "shared-band hash pairs, never |batch| x |index|), reduced to "
+        "one row per batch hash BEFORE the single member stamp join "
+        "(per-member fan-out exactly 1; output one row per batch doc)"
+    ),
 }
 
 

@@ -1,0 +1,153 @@
+"""Round-8 additions, property-pinned: the incremental Hamming probe's
+equivalence with brute force (planted hashes), its bucket-cap admission,
+and the curate keep-selection aggregate's equivalence with the window
+formulation it replaced (ties included)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+
+def test_incremental_probe_matches_bruteforce_planted(spark):
+    """Hand-planted 64-bit hashes at known distances: the banded probe
+    must return exactly the brute-force answer (pigeonhole: radius 3 <
+    4 bands), including hamming-0 (identical hash) matches, min-id
+    tie-breaks, and misses."""
+    from dsacord_spark.operators.dedup import incremental_hamming_matches
+
+    # index: ids 10/11 share hash 0b0 (min id 10); id 12 at 0xF0;
+    # id 13 far away
+    index = spark.createDataFrame(
+        [(10, 0x00), (11, 0x00), (12, 0xF0), (13, 0x7777777777777777)],
+        "id long, h long",
+    )
+    # batch: 1 == exact dup of hash 0 -> match 10, hamming 0
+    #        2 == hamming 1 from 0    -> match 10, hamming 1
+    #        3 == 0xD0: hamming 1 from 0xF0 AND hamming 3 from 0x00 —
+    #             the aggregates are independent: best_hamming = 1 (via
+    #             0xF0) while match_id = 10 (min id over ALL matches)
+    #        4 == miss (far from everything)
+    batch = spark.createDataFrame(
+        [(1, 0x00), (2, 0x01), (3, 0xD0), (4, 0x0F0F0F0F0F0F0F0F)],
+        "id long, h long",
+    )
+    got = {
+        r["id"]: (r["is_dup"], r["match_id"], r["best_hamming"])
+        for r in incremental_hamming_matches(
+            index, batch, "id", "h", n_bands=4, radius=3, hash_bits=64
+        ).collect()
+    }
+    assert got == {
+        1: (True, 10, 0),
+        2: (True, 10, 1),
+        3: (True, 10, 1),
+        4: (False, None, None),
+    }
+
+
+def test_incremental_probe_bruteforce_equivalence_on_corpus(spark, sf_dir):
+    """On the real documents corpus: banded probe == brute-force
+    crossJoin verify (exact recall with radius < n_bands, no cap)."""
+    from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS,
+        incremental_hamming_matches,
+        simhash_signatures,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = simhash_signatures(d, "doc_id", "text").persist()
+    try:
+        batch = sig.filter(F.col("doc") % 10 == 0)
+        index = sig.filter(F.col("doc") % 10 != 0)
+        got = sorted(
+            map(
+                tuple,
+                incremental_hamming_matches(
+                    index, batch, "doc", "simhash",
+                    n_bands=4, radius=3, hash_bits=SIMHASH_BITS,
+                ).collect(),
+            )
+        )
+        b, i = batch.alias("b"), index.alias("i")
+        ham = F.bit_count(
+            F.col("b.simhash").bitwiseXOR(F.col("i.simhash"))
+        ).cast("int")
+        brute = (
+            b.crossJoin(i)
+            .select(F.col("b.doc").alias("doc"), F.col("i.doc").alias("idoc"),
+                    ham.alias("hm"))
+            .filter(F.col("hm") <= 3)
+            .groupBy("doc")
+            .agg(F.min("idoc").alias("match_id"),
+                 F.min("hm").alias("best_hamming"))
+        )
+        want = sorted(
+            map(
+                tuple,
+                batch.select("doc")
+                .join(brute, "doc", "left")
+                .select(
+                    "doc",
+                    F.col("match_id").isNotNull().alias("is_dup"),
+                    "match_id",
+                    "best_hamming",
+                )
+                .collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+    finally:
+        sig.unpersist()
+
+
+def test_incremental_probe_bucket_cap_bounds_not_breaks(spark):
+    """A generous bucket_cap (bigger than any bucket) must not change
+    the planted answer — the admission path is reachable without
+    distorting results where it shouldn't bind."""
+    from dsacord_spark.operators.dedup import incremental_hamming_matches
+
+    index = spark.createDataFrame([(10, 0x00), (12, 0xF0)], "id long, h long")
+    batch = spark.createDataFrame([(1, 0x01), (2, 0xFFFF)], "id long, h long")
+    got = {
+        r["id"]: (r["is_dup"], r["match_id"])
+        for r in incremental_hamming_matches(
+            index, batch, "id", "h", n_bands=4, radius=3, hash_bits=64,
+            bucket_cap=100,
+        ).collect()
+    }
+    assert got == {1: (True, 10), 2: (False, None)}
+
+
+def test_curate_keep_aggregate_matches_window_formulation(spark):
+    """The r8 min_by keep selection == the row_number window it
+    replaced, on a corpus with the awkward cases: multi-member clusters,
+    LENGTH TIES (id must break them), and singletons."""
+    from dsacord_spark.curate import dedup_corpus
+
+    rows = [
+        # cluster of identical texts (exact -> same cluster), length tie
+        (1, "same text here"),
+        (2, "same text here"),
+        (3, "same text here"),
+        # another cluster, distinct lengths
+        (4, "bbbb " * 10),
+        (5, "bbbb " * 10),
+        # singleton
+        (9, "unique snowflake"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labeled = dedup_corpus(docs, method="exact")
+    # window formulation (the pre-r8 semantics), computed independently
+    w = W.partitionBy("cluster_id").orderBy(
+        F.length("text").desc(), F.col("doc_id").asc()
+    )
+    want = {
+        r["doc_id"]: r["kept_w"]
+        for r in labeled.withColumn(
+            "kept_w", F.row_number().over(w) == 1
+        ).collect()
+    }
+    got = {r["doc_id"]: r["kept"] for r in labeled.collect()}
+    assert got == want
+    assert got[1] and not got[2] and not got[3]  # tie -> min id wins
+    assert got[9]  # singleton keeps itself
