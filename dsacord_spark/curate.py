@@ -13,10 +13,16 @@ exact verification — the default at scale), `simhash` (60-bit banded
 Hamming pairs at `--radius`). The banded joiners' scale knobs are CLI
 flags: `--bands` (band count / bit-slice count) and `--bucket-cap`
 (per-band-bucket admission cap for saturated buckets — size it from
-the dedup_*_bucket_load pre-flight reports). Output: the kept documents
-as parquet, plus a one-line JSON report on stdout (counts, drop rate,
-elapsed) in the same spirit as the reference's end-of-run metrics
-epilogue (/root/reference/main.go:156-165)."""
+the dedup_*_bucket_load pre-flight reports). `--index CORPUS.parquet`
+(r8, simhash only) switches to INCREMENTAL mode: the input is treated
+as a new batch — self-deduped AND probed against the existing corpus
+via banded hash buckets (the corpus is never re-banded against
+itself; see operators/dedup.incremental_hamming_matches). Output: the
+kept documents as parquet, plus a one-line JSON report on stdout
+(counts, drop rate, elapsed; incremental mode splits the drop count
+into dropped_within_batch / dropped_vs_index) in the same spirit as
+the reference's end-of-run metrics epilogue
+(/root/reference/main.go:156-165)."""
 
 from __future__ import annotations
 
@@ -218,6 +224,63 @@ def dedup_corpus(
     )
 
 
+def dedup_incremental(
+    docs: DataFrame,
+    index_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int | None = None,
+    bucket_cap: int | None = None,
+    radius: int = 3,
+) -> DataFrame:
+    """Daily-ingest dedup: label `docs` (the NEW batch) both against
+    itself (simhash cluster-mode, longest-text keep) and against an
+    EXISTING corpus `index_docs` (banded incremental probe — see
+    operators/dedup.incremental_hamming_matches; the corpus is never
+    banded against itself). Returns `docs` + (cluster_id, kept,
+    index_match_id): kept = within-batch canonical AND no index match
+    within the Hamming radius. Simhash only — the probe is a Hamming
+    operator.
+
+    Cost notes: the batch signature is evaluated by both the self-dedup
+    and the probe (the batch is the SMALL side by definition in
+    incremental mode, so this bounded recompute beats threading private
+    state through dedup_corpus); the probe's signature frames are
+    persisted here and released by the caller / process exit, like
+    dedup_corpus's internal persist. At production scale the index
+    signature table would be precomputed with the lake — swap
+    `simhash_signatures(index_docs, ...)` for that table."""
+    from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS,
+        incremental_hamming_matches,
+        simhash_signatures,
+    )
+
+    labeled = dedup_corpus(
+        docs, method="simhash", id_col=id_col, text_col=text_col,
+        bands=bands, bucket_cap=bucket_cap, radius=radius,
+    )
+    batch_sig = simhash_signatures(docs, id_col, text_col).persist()
+    index_sig = simhash_signatures(index_docs, id_col, text_col).persist()
+    probe = incremental_hamming_matches(
+        index_sig, batch_sig, "doc", "simhash",
+        n_bands=bands if bands is not None else 4,
+        radius=radius, hash_bits=SIMHASH_BITS, bucket_cap=bucket_cap,
+    ).select(
+        F.col("doc").alias("__p_doc"),
+        F.col("is_dup").alias("__idx_dup"),
+        F.col("match_id").alias("index_match_id"),
+    )
+    return (
+        labeled.join(probe, labeled[id_col] == F.col("__p_doc"), "left")
+        .withColumn(
+            "kept",
+            F.col("kept") & ~F.coalesce(F.col("__idx_dup"), F.lit(False)),
+        )
+        .drop("__p_doc", "__idx_dup")
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="dsacord-spark-curate",
@@ -259,6 +322,12 @@ def main(argv: list[str] | None = None) -> int:
                    "exit WITHOUT deduping; minhash/simhash only. Load "
                    "is a property of the banding alone, so --radius/"
                    "--threshold/--bucket-cap do not affect it")
+    p.add_argument("--index", default=None, metavar="PARQUET",
+                   help="Existing-corpus parquet: incremental mode "
+                   "(simhash only) — batch docs are deduped within the "
+                   "batch AND dropped when any index doc sits within "
+                   "--radius; the index is probed via banded hash "
+                   "buckets, never re-deduped against itself")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--report-dropped", default=None,
@@ -299,6 +368,9 @@ def main(argv: list[str] | None = None) -> int:
     threshold = 0.5 if a.threshold is None else a.threshold
     ngram = 3 if a.ngram is None else a.ngram
     radius = 3 if a.radius is None else a.radius
+    if a.index is not None and (a.method != "simhash" or a.preflight):
+        p.error("--index (incremental mode) requires --method simhash "
+                "and is not compatible with --preflight")
 
     from dsacord_spark.session import get_spark
 
@@ -327,12 +399,21 @@ def main(argv: list[str] | None = None) -> int:
             "elapsed_s": round(time.perf_counter() - t0, 2),
         }))
         return 0
-    labeled = dedup_corpus(
-        docs, method=a.method, threshold=threshold, ngram=ngram,
-        id_col=a.id_col, text_col=a.text_col,
-        bands=a.bands, bucket_cap=a.bucket_cap, radius=radius,
-    ).persist()
-    kept = labeled.filter(F.col("kept")).drop("kept")
+    if a.index is not None:
+        labeled = dedup_incremental(
+            docs, spark.read.parquet(a.index),
+            id_col=a.id_col, text_col=a.text_col,
+            bands=a.bands, bucket_cap=a.bucket_cap, radius=radius,
+        ).persist()
+    else:
+        labeled = dedup_corpus(
+            docs, method=a.method, threshold=threshold, ngram=ngram,
+            id_col=a.id_col, text_col=a.text_col,
+            bands=a.bands, bucket_cap=a.bucket_cap, radius=radius,
+        ).persist()
+    kept = labeled.filter(F.col("kept")).drop(
+        "kept", *(["index_match_id"] if a.index is not None else [])
+    )
     if a.format == "jsonl":
         from dsacord_spark.sinks.text_export import export_jsonl
 
@@ -341,24 +422,36 @@ def main(argv: list[str] | None = None) -> int:
         kept.write.mode("overwrite").parquet(a.output)
     n_total = labeled.count()
     n_kept = kept.count()
+    report = {
+        "method": a.method,
+        "docs_in": n_total,
+        "docs_kept": n_kept,
+        "docs_dropped": n_total - n_kept,
+        "drop_rate": round(1 - n_kept / max(1, n_total), 6),
+        "elapsed_s": round(time.perf_counter() - t0, 2),
+        "output": a.output,
+    }
+    if a.index is not None:
+        # every index-matched doc is dropped (kept requires no match),
+        # so the two reasons partition the dropped set exactly
+        n_idx = labeled.filter(F.col("index_match_id").isNotNull()).count()
+        report["dropped_vs_index"] = n_idx
+        report["dropped_within_batch"] = (n_total - n_kept) - n_idx
     if a.report_dropped:
-        labeled.filter(~F.col("kept")).select(
-            F.col(a.id_col), "cluster_id"
-        ).write.mode("overwrite").parquet(a.report_dropped)
+        dropped = labeled.filter(~F.col("kept"))
+        cols = [F.col(a.id_col), F.col("cluster_id")]
+        if a.index is not None:
+            # reason: an index match always drops the doc; otherwise it
+            # lost its within-batch cluster's keep selection
+            cols.append(
+                F.when(F.col("index_match_id").isNotNull(),
+                       F.lit("index_match"))
+                .otherwise(F.lit("within_batch")).alias("reason")
+            )
+            cols.append(F.col("index_match_id"))
+        dropped.select(*cols).write.mode("overwrite").parquet(a.report_dropped)
     labeled.unpersist()
-    print(
-        json.dumps(
-            {
-                "method": a.method,
-                "docs_in": n_total,
-                "docs_kept": n_kept,
-                "docs_dropped": n_total - n_kept,
-                "drop_rate": round(1 - n_kept / max(1, n_total), 6),
-                "elapsed_s": round(time.perf_counter() - t0, 2),
-                "output": a.output,
-            }
-        )
-    )
+    print(json.dumps(report))
     return 0
 
 

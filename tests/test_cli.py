@@ -332,3 +332,72 @@ def test_curate_warns_on_method_irrelevant_flags(capsys, monkeypatch, tmp_path):
     err = run(base + ["--method", "minhash", "--threshold", "0.6",
                       "--bands", "8", "--bucket-cap", "10", "--ngram", "4"])
     assert "has no effect" not in err
+
+
+def test_curate_incremental_index_mode(spark, tmp_path, capsys):
+    """--index (r8): batch docs are deduped within the batch AND dropped
+    on an index match; the report splits the two reasons and the
+    dropped audit trail carries (reason, index_match_id)."""
+    import json as _json
+
+    from dsacord_spark.curate import main as curate_main
+
+    index_rows = [
+        (100, "the quick brown fox jumps over the lazy dog " * 3),
+        (101, "completely unrelated corpus text about spark engines " * 3),
+    ]
+    batch_rows = [
+        # exact copy of index doc 100 -> index_match
+        (1, index_rows[0][1]),
+        # twins (identical DISTINCT-token set -> identical simhash;
+        # doc 3 longer, so it wins the keep) and unseen by the index
+        (2, "fresh new content never indexed before alpha beta " * 3),
+        (3, "fresh new content never indexed before alpha beta " * 3
+            + " alpha beta beta"),
+        # genuinely new singleton
+        (4, "a genuinely novel document with its own words entirely " * 3),
+    ]
+    spark.createDataFrame(index_rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "index")
+    )
+    spark.createDataFrame(batch_rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "batch")
+    )
+    rc = curate_main([
+        "--input", str(tmp_path / "batch"),
+        "--index", str(tmp_path / "index"),
+        "--output", str(tmp_path / "kept"),
+        "--method", "simhash",
+        "--report-dropped", str(tmp_path / "dropped"),
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["docs_in"] == 4
+    assert report["dropped_vs_index"] == 1          # doc 1
+    assert report["dropped_within_batch"] == 1      # doc 2 loses to 3
+    assert report["docs_kept"] == 2                 # docs 3 and 4
+    kept_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "kept")).collect()
+    )
+    assert kept_ids == [3, 4]
+    dropped = {
+        r["doc_id"]: (r["reason"], r["index_match_id"])
+        for r in spark.read.parquet(str(tmp_path / "dropped")).collect()
+    }
+    assert dropped[1] == ("index_match", 100)
+    assert dropped[2] == ("within_batch", None)
+
+
+def test_curate_index_requires_simhash(tmp_path, capsys):
+    import pytest as _pytest
+
+    from dsacord_spark.curate import main as curate_main
+
+    with _pytest.raises(SystemExit):
+        curate_main([
+            "--input", str(tmp_path / "b"), "--index", str(tmp_path / "i"),
+            "--output", str(tmp_path / "o"), "--method", "minhash",
+        ])
+    assert "requires --method simhash" in capsys.readouterr().err
