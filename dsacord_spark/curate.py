@@ -189,7 +189,12 @@ def dedup_corpus(
 
     # plain join: the clustered-doc table is unbounded on dup-heavy
     # corpora (the CLI's target), so no forced broadcast — AQE picks one
-    # when it actually fits
+    # when it actually fits. PERSISTED: the keep aggregate below and the
+    # join-back both read this member-level frame, and Spark plans no
+    # ReusedExchange across self-join branches (the r7
+    # hash_cluster_assignments lesson) — without the persist the docs
+    # scan + component stamp join would execute twice per action
+    # (released like the sig persist: clearCache / process exit).
     labeled = (
         docs.withColumn("__len", F.length(F.col(text_col)))
         .join(
@@ -201,6 +206,7 @@ def dedup_corpus(
             "cluster_id", F.coalesce(F.col("__comp_cluster"), F.col(id_col))
         )
         .drop("__comp_cluster", "__comp_doc")
+        .persist()
     )
     # keep selection as a map-side-combined aggregate, NOT a
     # row_number window: partitionBy("cluster_id") funnels every member
@@ -242,14 +248,17 @@ def dedup_incremental(
     within the Hamming radius. Simhash only — the probe is a Hamming
     operator.
 
-    Cost notes: the batch signature is evaluated by both the self-dedup
-    and the probe (the batch is the SMALL side by definition in
-    incremental mode, so this bounded recompute beats threading private
-    state through dedup_corpus); the probe's signature frames are
-    persisted here and released by the caller / process exit, like
-    dedup_corpus's internal persist. At production scale the index
-    signature table would be precomputed with the lake — swap
-    `simhash_signatures(index_docs, ...)` for that table."""
+    Cost notes: the batch signature frame here is plan-identical to the
+    one dedup_corpus persists internally, so Spark's CacheManager
+    serves the probe's reads from that same cache entry (no second
+    persist, no recompute); the index signature is persisted here
+    because the probe reads it on two branches. Both persists are
+    released by clearCache / process exit (the CLI path), like every
+    internal persist in this module — a long-lived session running
+    daily batches should spark.catalog.clearCache() between batches.
+    At production scale the index signature table would be precomputed
+    with the lake — swap `simhash_signatures(index_docs, ...)` for
+    that table."""
     from dsacord_spark.operators.dedup import (
         SIMHASH_BITS,
         incremental_hamming_matches,
@@ -260,7 +269,9 @@ def dedup_incremental(
         docs, method="simhash", id_col=id_col, text_col=text_col,
         bands=bands, bucket_cap=bucket_cap, radius=radius,
     )
-    batch_sig = simhash_signatures(docs, id_col, text_col).persist()
+    # NOT persisted: plan-identical to dedup_corpus's internal persist,
+    # so the CacheManager already serves these reads from that entry
+    batch_sig = simhash_signatures(docs, id_col, text_col)
     index_sig = simhash_signatures(index_docs, id_col, text_col).persist()
     probe = incremental_hamming_matches(
         index_sig, batch_sig, "doc", "simhash",

@@ -1128,6 +1128,14 @@ def incremental_hamming_matches(
     match_id nullable, best_hamming nullable int). Deterministic:
     match_id = MIN index id over all within-radius matches,
     best_hamming = MIN hamming (independent aggregates)."""
+    if n_bands <= radius:
+        # same real raise as banded_hash_pairs: without it an invalid
+        # combination silently returns false negatives (a batch/index
+        # pair differing by one bit per band shares no band) — r8 review
+        raise ValueError(
+            f"pigeonhole recall needs n_bands > radius "
+            f"(got n_bands={n_bands}, radius={radius})"
+        )
     b_members = batch.select(
         F.col(id_col).alias("_bid"), F.col(hash_col).alias("_bh")
     )

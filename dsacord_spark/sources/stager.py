@@ -21,9 +21,11 @@ injectable for tests (no network in CI).
 from __future__ import annotations
 
 import os
+import threading
 import time
 import urllib.error
 import urllib.request
+import uuid
 from dataclasses import dataclass
 
 
@@ -90,7 +92,12 @@ def stage_day(url: str, dt: str, landing_dir: str, **kw) -> tuple[str, str | Non
         data = download_with_backoff(url, **kw)
     except Exception as exc:
         return "", f"{dt}: {exc}"
-    tmp = out_path + ".tmp"
+    # attempt-unique temp name: under distributed staging, speculative
+    # or zombie task attempts for the same day may run concurrently, and
+    # a shared fixed '.tmp' would interleave writes into one corrupt
+    # file (r8 review). Unique temps mean each attempt publishes its own
+    # complete bytes; os.replace stays atomic and last-publish wins.
+    tmp = f"{out_path}.tmp.{os.getpid()}.{threading.get_ident()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, out_path)  # atomic publish: readers never see partials

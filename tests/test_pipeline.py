@@ -103,3 +103,21 @@ def test_default_sink_runs_extraction_exactly_once(spark, tmp_path, monkeypatch)
     assert metrics.rows_written == 2        # one per day after dedup
     assert rows_emitted.value == 4          # 2 wire rows/day, extracted ONCE
     assert metrics.rows_quarantined == 0    # observe populated by the write
+
+
+def test_default_sink_handles_all_quarantined_empty_write(spark, tmp_path):
+    """r8 review: a run whose every row is quarantined (empty uuid)
+    writes an empty lake — rows_written must be 0, not an
+    AnalysisException from reading back a data-less parquet dir."""
+    metrics = run_backfill(
+        spark,
+        Config(
+            date_from=date(2025, 1, 1),
+            date_to=date(2025, 1, 1),
+            landing_dir=str(tmp_path / "landing"),
+        ),
+        opener=lambda url: _Resp(_day_zip("")),  # empty uuid -> quarantined
+    )
+    assert metrics.rows_written == 0
+    assert metrics.rows_quarantined == 2  # the dup pair, both quarantined
+    assert metrics.day_errors == []

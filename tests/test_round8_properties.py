@@ -151,3 +151,33 @@ def test_curate_keep_aggregate_matches_window_formulation(spark):
     assert got == want
     assert got[1] and not got[2] and not got[3]  # tie -> min id wins
     assert got[9]  # singleton keeps itself
+
+
+def test_incremental_probe_pigeonhole_guard(spark):
+    """n_bands <= radius must raise, not silently lose recall."""
+    import pytest
+
+    from dsacord_spark.operators.dedup import incremental_hamming_matches
+
+    idx = spark.createDataFrame([(1, 0)], "id long, h long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        incremental_hamming_matches(
+            idx, idx, "id", "h", n_bands=4, radius=4, hash_bits=64
+        )
+
+
+def test_curate_keep_selection_labels_tokenless_docs(spark, tmp_path):
+    """A doc whose text tokenizes to nothing has no simhash signature,
+    but dedup_corpus (and the curate_keep_selection oracle) must still
+    label it a kept singleton (r8 review)."""
+    from dsacord_spark.curate import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "real words here"), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["kept"])
+        for r in dedup_corpus(docs, method="simhash").collect()
+    }
+    assert got == {1: (1, True), 2: (2, True), 3: (3, True)}
