@@ -5346,3 +5346,43 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         index, batch, "doc", "simhash",
         n_bands=4, radius=3, hash_bits=SIMHASH_BITS,
     ).withColumnRenamed("doc", "doc_id")
+
+
+@register(
+    "stream_incremental_dedup",
+    sql=_incremental_probe_sql(),  # per-doc probes are independent, so
+    # the union of per-micro-batch probe outputs == the batch probe —
+    # the SAME oracle value-checks the real streaming path
+    doc="dedup_incremental_probe on the real streaming path: the new "
+    "batch arrives in micro-batches (maxFilesPerTrigger=1) and each is "
+    "probed inside foreachBatch against the STATIC per-hash index "
+    "summary — the production backfill-vs-lake shape (index computed "
+    "once, probe cost per micro-batch tracks that batch). Output and "
+    "oracle identical to the batch entry because per-doc matches are "
+    "independent of batching.",
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS, incremental_hamming_matches, simhash_signatures,
+    )
+    from dsacord_spark.streaming.pipeline import run_bounded_stream
+
+    d = table(spark, sf_dir, "documents")
+    sig = simhash_signatures(d, "doc_id", "text").persist()
+    batch = sig.filter(F.col("doc") % 10 == 0).repartition(4)
+    index_sig = sig.filter(F.col("doc") % 10 != 0)
+
+    def probe(b: DataFrame) -> DataFrame:
+        return incremental_hamming_matches(
+            index_sig, b, "doc", "simhash",
+            n_bands=4, radius=3, hash_bits=SIMHASH_BITS,
+        )
+
+    out = run_bounded_stream(
+        spark,
+        batch.select("doc", "simhash"),
+        lambda s: s,
+        reader_options={"maxFilesPerTrigger": "1"},
+        batch_transform=probe,
+    )
+    return out.withColumnRenamed("doc", "doc_id")

@@ -181,3 +181,34 @@ def test_curate_keep_selection_labels_tokenless_docs(spark, tmp_path):
         for r in dedup_corpus(docs, method="simhash").collect()
     }
     assert got == {1: (1, True), 2: (2, True), 3: (3, True)}
+
+
+def test_stream_incremental_dedup_matches_batch_entry(spark, sf_dir, monkeypatch):
+    """The streamed probe must (a) actually run in >1 micro-batch and
+    (b) return exactly the batch entry's rows — per-doc matches are
+    independent of batching."""
+    from dsacord_spark.plans.catalog import queries
+    from dsacord_spark.streaming import pipeline as sp
+
+    calls = []
+    orig = sp.run_bounded_stream
+
+    def counting(spark_, df, transform, **kw):
+        bt = kw.get("batch_transform")
+
+        def wrapped(b):
+            calls.append(1)
+            return bt(b)
+
+        kw["batch_transform"] = wrapped
+        return orig(spark_, df, transform, **kw)
+
+    monkeypatch.setattr(sp, "run_bounded_stream", counting)
+    got = sorted(
+        map(tuple, queries()["stream_incremental_dedup"](spark, sf_dir).collect())
+    )
+    want = sorted(
+        map(tuple, queries()["dedup_incremental_probe"](spark, sf_dir).collect())
+    )
+    assert got == want and len(got) > 0
+    assert len(calls) >= 2, f"expected >=2 micro-batches, saw {len(calls)}"
