@@ -212,3 +212,62 @@ def test_stream_incremental_dedup_matches_batch_entry(spark, sf_dir, monkeypatch
     )
     assert got == want and len(got) > 0
     assert len(calls) >= 2, f"expected >=2 micro-batches, saw {len(calls)}"
+
+
+def test_incremental_probe_hypothesis_random_hashes(spark):
+    """Generative pin: for random 64-bit hash sets, the banded probe
+    equals the O(|B| x |I|) brute force (pigeonhole exact recall at
+    radius 3 < 4 bands). Few examples — each spins Spark jobs — but
+    the generator covers duplicate hashes, shared batch/index values,
+    and near-miss distances the planted fixture can't enumerate."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from dsacord_spark.operators.dedup import incremental_hamming_matches
+
+    h64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    # bias toward collisions/near-misses: mix a tiny base pool with
+    # single-bit flips of it
+    base = st.shared(st.lists(h64, min_size=2, max_size=4), key="pool")
+    def _flip_signed64(x, bit):
+        v = (x ^ (1 << bit)) & ((1 << 64) - 1)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    near = st.builds(
+        lambda pool, i, bit: _flip_signed64(pool[i % len(pool)], bit),
+        base, st.integers(0, 3), st.integers(0, 63),
+    )
+    val = st.one_of(near, h64)
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(val, min_size=1, max_size=6),
+        st.lists(val, min_size=1, max_size=6),
+    )
+    def run(batch_hs, index_hs):
+        batch = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(batch_hs)], "id long, h long"
+        )
+        index = spark.createDataFrame(
+            [(100 + i, h) for i, h in enumerate(index_hs)], "id long, h long"
+        )
+        got = {
+            r["id"]: (r["is_dup"], r["match_id"], r["best_hamming"])
+            for r in incremental_hamming_matches(
+                index, batch, "id", "h", n_bands=4, radius=3, hash_bits=64
+            ).collect()
+        }
+        want = {}
+        for bi, bh in enumerate(batch_hs):
+            ms = [
+                (100 + ii, bin((bh ^ ih) & ((1 << 64) - 1)).count("1"))
+                for ii, ih in enumerate(index_hs)
+            ]
+            ms = [(i, d) for i, d in ms if d <= 3]
+            want[bi] = (
+                (True, min(i for i, _ in ms), min(d for _, d in ms))
+                if ms else (False, None, None)
+            )
+        assert got == want
+
+    run()
