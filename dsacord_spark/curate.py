@@ -233,20 +233,24 @@ def dedup_corpus(
 def dedup_incremental(
     docs: DataFrame,
     index_docs: DataFrame,
+    method: str = "simhash",
     id_col: str = "doc_id",
     text_col: str = "text",
     bands: int | None = None,
     bucket_cap: int | None = None,
     radius: int = 3,
+    threshold: float = 0.5,
+    ngram: int = 3,
 ) -> DataFrame:
     """Daily-ingest dedup: label `docs` (the NEW batch) both against
-    itself (simhash cluster-mode, longest-text keep) and against an
-    EXISTING corpus `index_docs` (banded incremental probe — see
-    operators/dedup.incremental_hamming_matches; the corpus is never
-    banded against itself). Returns `docs` + (cluster_id, kept,
-    index_match_id): kept = within-batch canonical AND no index match
-    within the Hamming radius. Simhash only — the probe is a Hamming
-    operator.
+    itself (cluster-mode / LSH dedup, longest-text keep) and against an
+    EXISTING corpus `index_docs` (banded incremental probe — the corpus
+    is never banded against itself). Returns `docs` + (cluster_id,
+    kept, index_match_id): kept = within-batch canonical AND no index
+    match. `method` picks the semantics: 'simhash' probes at Hamming <=
+    `radius` (operators/dedup.incremental_hamming_matches); 'minhash'
+    probes at n-gram Jaccard >= `threshold`
+    (incremental_minhash_matches).
 
     Cost notes: the batch signature frame here is plan-identical to the
     one dedup_corpus persists internally, so Spark's CacheManager
@@ -262,23 +266,37 @@ def dedup_incremental(
     from dsacord_spark.operators.dedup import (
         SIMHASH_BITS,
         incremental_hamming_matches,
+        incremental_minhash_matches,
         simhash_signatures,
     )
 
+    if method not in ("simhash", "minhash"):
+        raise ValueError(
+            f"incremental mode supports simhash/minhash, not {method!r}"
+        )
     labeled = dedup_corpus(
-        docs, method="simhash", id_col=id_col, text_col=text_col,
+        docs, method=method, id_col=id_col, text_col=text_col,
         bands=bands, bucket_cap=bucket_cap, radius=radius,
+        threshold=threshold, ngram=ngram,
     )
-    # NOT persisted: plan-identical to dedup_corpus's internal persist,
-    # so the CacheManager already serves these reads from that entry
-    batch_sig = simhash_signatures(docs, id_col, text_col)
-    index_sig = simhash_signatures(index_docs, id_col, text_col).persist()
-    probe = incremental_hamming_matches(
-        index_sig, batch_sig, "doc", "simhash",
-        n_bands=bands if bands is not None else 4,
-        radius=radius, hash_bits=SIMHASH_BITS, bucket_cap=bucket_cap,
-    ).select(
-        F.col("doc").alias("__p_doc"),
+    if method == "simhash":
+        # NOT persisted: plan-identical to dedup_corpus's internal
+        # persist, so the CacheManager already serves these reads
+        batch_sig = simhash_signatures(docs, id_col, text_col)
+        index_sig = simhash_signatures(index_docs, id_col, text_col).persist()
+        probe = incremental_hamming_matches(
+            index_sig, batch_sig, "doc", "simhash",
+            n_bands=bands if bands is not None else 4,
+            radius=radius, hash_bits=SIMHASH_BITS, bucket_cap=bucket_cap,
+        ).withColumnRenamed("doc", id_col)
+    else:
+        probe = incremental_minhash_matches(
+            index_docs, docs, id_col, text_col, n=ngram,
+            bands=bands if bands is not None else 8,
+            threshold=threshold, bucket_cap=bucket_cap,
+        ).drop("best_jaccard")
+    probe = probe.select(
+        F.col(id_col).alias("__p_doc"),
         F.col("is_dup").alias("__idx_dup"),
         F.col("match_id").alias("index_match_id"),
     )
@@ -335,10 +353,11 @@ def main(argv: list[str] | None = None) -> int:
                    "--threshold/--bucket-cap do not affect it")
     p.add_argument("--index", default=None, metavar="PARQUET",
                    help="Existing-corpus parquet: incremental mode "
-                   "(simhash only) — batch docs are deduped within the "
-                   "batch AND dropped when any index doc sits within "
-                   "--radius; the index is probed via banded hash "
-                   "buckets, never re-deduped against itself")
+                   "(simhash/minhash) — batch docs are deduped within "
+                   "the batch AND dropped when any index doc matches "
+                   "(Hamming <= --radius, or Jaccard >= --threshold); "
+                   "the index is probed via banded buckets, never "
+                   "re-deduped against itself")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--report-dropped", default=None,
@@ -379,9 +398,11 @@ def main(argv: list[str] | None = None) -> int:
     threshold = 0.5 if a.threshold is None else a.threshold
     ngram = 3 if a.ngram is None else a.ngram
     radius = 3 if a.radius is None else a.radius
-    if a.index is not None and (a.method != "simhash" or a.preflight):
+    if a.index is not None and (
+        a.method not in ("simhash", "minhash") or a.preflight
+    ):
         p.error("--index (incremental mode) requires --method simhash "
-                "and is not compatible with --preflight")
+                "or minhash and is not compatible with --preflight")
 
     from dsacord_spark.session import get_spark
 
@@ -412,9 +433,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if a.index is not None:
         labeled = dedup_incremental(
-            docs, spark.read.parquet(a.index),
+            docs, spark.read.parquet(a.index), method=a.method,
             id_col=a.id_col, text_col=a.text_col,
             bands=a.bands, bucket_cap=a.bucket_cap, radius=radius,
+            threshold=threshold, ngram=ngram,
         ).persist()
     else:
         labeled = dedup_corpus(

@@ -1188,3 +1188,100 @@ def incremental_hamming_matches(
             "best_hamming",
         )
     )
+
+
+def incremental_minhash_matches(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup probe, Jaccard edition: match a NEW batch of
+    documents against an EXISTING corpus at n-gram Jaccard >= threshold
+    without re-banding the corpus against itself — the MinHash twin of
+    incremental_hamming_matches (daily crawl vs accumulated lake, fuzzy
+    text semantics instead of a fixed Hamming radius).
+
+    Pipeline (same hash-sized discipline as the Hamming probe):
+      1. MinHash signatures per side (the signature builder's internal
+         shingle index persists; the verify stage's plan-identical
+         re-derivation is served from that same cache entry);
+      2. band each side with minhash_bands (THE one banding definition)
+         and equi-join batch x index band rows — candidates bounded by
+         shared band buckets, never |batch| x |index|; `bucket_cap`
+         admission per side for saturated buckets;
+      3. exact Jaccard verify on candidates only (shingle-hash
+         intersection over the two shingle indexes — LSH precision is 1,
+         only recall depends on band parameters);
+      4. reduce per batch doc (min matching index id, max Jaccard,
+         independent aggregates) and stamp every batch row.
+
+    Output: one row per batch doc — (id_col, is_dup boolean,
+    match_id nullable, best_jaccard nullable double rounded 6dp)."""
+    b_sig = minhash_signatures(batch, id_col, text_col, n, n_perm)
+    i_sig = minhash_signatures(index, id_col, text_col, n, n_perm)
+    bb = minhash_bands(b_sig, n_perm, bands)
+    ib = minhash_bands(i_sig, n_perm, bands)
+    if bucket_cap is not None:
+        bb = _capped_bucket_admission(
+            bb, ["band_idx", "band_hash"],
+            F.xxhash64(F.col("doc")), F.col("doc"), bucket_cap,
+        )
+        ib = _capped_bucket_admission(
+            ib, ["band_idx", "band_hash"],
+            F.xxhash64(F.col("doc")), F.col("doc"), bucket_cap,
+        )
+    cand = (
+        bb.select(F.col("doc").alias("bdoc"), "band_idx", "band_hash")
+        .join(
+            ib.select(F.col("doc").alias("idoc"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .select("bdoc", "idoc")
+        .distinct()
+    )
+    bngr = _shingle_index(batch, id_col, text_col, n)
+    ingr = _shingle_index(index, id_col, text_col, n)
+    b_sz = bngr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_b"))
+    i_sz = ingr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_i"))
+    inter = (
+        cand.join(
+            bngr.select(F.col("doc").alias("bdoc"), F.col("hg").alias("hg_b")),
+            "bdoc",
+        )
+        .join(
+            ingr.select(F.col("doc").alias("idoc2"), F.col("hg").alias("hg_i")),
+            (F.col("idoc") == F.col("idoc2")) & (F.col("hg_b") == F.col("hg_i")),
+        )
+        .groupBy("bdoc", "idoc")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(b_sz.select(F.col("doc").alias("bdoc"), "sz_b"), "bdoc")
+        .join(i_sz.select(F.col("doc").alias("idoc"), "sz_i"), "idoc")
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.col("sz_b") + F.col("sz_i") - F.col("inter")),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+    best = jac.groupBy("bdoc").agg(
+        F.min("idoc").alias("match_id"),
+        F.round(F.max("jac"), 6).alias("best_jaccard"),
+    )
+    return (
+        batch.select(F.col(id_col).alias("bdoc"))
+        .join(best, "bdoc", "left")
+        .select(
+            F.col("bdoc").alias(id_col),
+            F.col("match_id").isNotNull().alias("is_dup"),
+            "match_id",
+            "best_jaccard",
+        )
+    )

@@ -5386,3 +5386,78 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_transform=probe,
     )
     return out.withColumnRenamed("doc", "doc_id")
+
+
+def _incremental_minhash_sql(
+    n_perm: int = 32, bands: int = 8, threshold: float = 0.5
+) -> str:
+    # signature/band construction interpolated from the shared
+    # definitions (_ngr_cte / _perm_min_sql / _minhash_band_rows_sql —
+    # the minhash lockstep rule), so the oracle reproduces the LSH
+    # candidates exactly: banded recall is probabilistic, and a
+    # brute-force oracle would "find" pairs the banding legitimately
+    # misses (same contract as dedup_minhash_lsh)
+    from dsacord_spark.functions.hashing import _perm_constants
+    from dsacord_spark.plans.analysis import _ngr_cte, _perm_min_sql
+
+    mins = ",\n             ".join(
+        _perm_min_sql(i, a, b)
+        for i, (a, b) in enumerate(_perm_constants(n_perm))
+    )
+    band_rows = _minhash_band_rows_sql(n_perm, bands)
+    return f"""
+    WITH {_ngr_cte(3).strip()},
+    sig AS (SELECT doc, {mins} FROM ngr GROUP BY doc),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT bb.doc AS bdoc, ib.doc AS idoc
+      FROM (SELECT * FROM bands WHERE doc % 10 = 0) bb
+      JOIN (SELECT * FROM bands WHERE doc % 10 <> 0) ib
+        ON bb.band_idx = ib.band_idx AND bb.band_hash = ib.band_hash),
+    sizes AS (SELECT doc, count(*) AS sz FROM ngr GROUP BY doc),
+    inter AS (
+      SELECT c.bdoc, c.idoc, count(*) AS i
+      FROM cand c
+      JOIN ngr a ON a.doc = c.bdoc
+      JOIN ngr b ON b.doc = c.idoc AND b.hg = a.hg
+      GROUP BY c.bdoc, c.idoc),
+    j AS (
+      SELECT i.bdoc, i.idoc,
+             CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jac
+      FROM inter i
+      JOIN sizes sa ON sa.doc = i.bdoc
+      JOIN sizes sb ON sb.doc = i.idoc),
+    m AS (
+      SELECT bdoc, MIN(idoc) AS mid, round(MAX(jac), 6) AS bj
+      FROM j WHERE jac >= {threshold} GROUP BY bdoc)
+    SELECT d.doc_id,
+           m.bdoc IS NOT NULL AS is_dup,
+           m.mid AS match_id,
+           m.bj AS best_jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN m ON m.bdoc = d.doc_id
+    """
+
+
+@register(
+    "dedup_incremental_minhash",
+    sql=_incremental_minhash_sql(),
+    doc="Incremental near-dup probe, Jaccard edition: each NEW-batch "
+    "doc (doc_id % 10 = 0) matched against the existing corpus at "
+    "n-gram Jaccard >= 0.5 via MinHash-banded batch x index candidates "
+    "+ exact verify — (doc_id, is_dup, min matching index id, best "
+    "jaccard). Oracle reproduces the banding bit-for-bit (shared "
+    "constants), so LSH recall is part of the checked contract; "
+    "completes the incremental family (Hamming twin: "
+    "dedup_incremental_probe).",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dsacord_spark.operators.dedup import incremental_minhash_matches
+
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    index = d.filter(F.col("doc_id") % 10 != 0)
+    return incremental_minhash_matches(
+        index, batch, "doc_id", "text", n=3, n_perm=32, bands=8,
+        threshold=0.5,
+    )

@@ -398,6 +398,42 @@ def test_curate_index_requires_simhash(tmp_path, capsys):
     with _pytest.raises(SystemExit):
         curate_main([
             "--input", str(tmp_path / "b"), "--index", str(tmp_path / "i"),
-            "--output", str(tmp_path / "o"), "--method", "minhash",
+            "--output", str(tmp_path / "o"), "--method", "exact",
         ])
-    assert "requires --method simhash" in capsys.readouterr().err
+    assert "requires --method simhash or minhash" in capsys.readouterr().err
+
+
+def test_curate_incremental_minhash_mode(spark, tmp_path, capsys):
+    """--index with --method minhash (r8): Jaccard-semantics probe —
+    exact index copies and high-overlap variants drop vs index, novel
+    docs survive."""
+    import json as _json
+
+    from dsacord_spark.curate import main as curate_main
+
+    base = "the quick brown fox jumps over the lazy dog and then naps " * 3
+    index_rows = [(100, base)]
+    batch_rows = [
+        (1, base),                               # exact copy -> index match
+        (2, "entirely different content about spark shuffles " * 4),  # novel
+    ]
+    spark.createDataFrame(index_rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "idx")
+    )
+    spark.createDataFrame(batch_rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "bat")
+    )
+    rc = curate_main([
+        "--input", str(tmp_path / "bat"),
+        "--index", str(tmp_path / "idx"),
+        "--output", str(tmp_path / "kept"),
+        "--method", "minhash",
+        "--threshold", "0.5",
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["method"] == "minhash"
+    assert report["dropped_vs_index"] == 1 and report["docs_kept"] == 1
+    kept = [r["doc_id"] for r in spark.read.parquet(str(tmp_path / "kept")).collect()]
+    assert kept == [2]

@@ -387,6 +387,14 @@ _SELF_JOIN_BOUNDS = {
         "one row per batch hash BEFORE the single member stamp join "
         "(per-member fan-out exactly 1; output one row per batch doc)"
     ),
+    "dedup_incremental_minhash": (
+        "banded+verified (r8): batch x index candidates come from the "
+        "MinHash band equi-join (bounded by shared band buckets, never "
+        "|batch| x |index|); the shingle-index joins only expand those "
+        "candidates for the exact-Jaccard verify (the "
+        "dedup_minhash_calibration shape), then reduce to one row per "
+        "batch doc before the stamp"
+    ),
 }
 
 
