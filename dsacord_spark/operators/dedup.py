@@ -1136,18 +1136,40 @@ def incremental_hamming_matches(
             f"pigeonhole recall needs n_bands > radius "
             f"(got n_bands={n_bands}, radius={radius})"
         )
-    b_members = batch.select(
-        F.col(id_col).alias("_bid"), F.col(hash_col).alias("_bh")
-    )
     i_members = index.select(
         F.col(id_col).alias("_iid"), F.col(hash_col).alias("_ih")
     )
     # 1. hash-sized index summary
     idx_min = i_members.groupBy("_ih").agg(F.min("_iid").alias("_i_min"))
+    ib = _band_rows(idx_min.select(F.col("_ih").alias("_h")),
+                    "_h", n_bands, hash_bits)
+    return _hamming_probe_tail(
+        batch, id_col, hash_col, idx_min, ib,
+        n_bands, radius, hash_bits, bucket_cap,
+    )
+
+
+def _hamming_probe_tail(
+    batch: DataFrame,
+    id_col: str,
+    hash_col: str,
+    idx_min: DataFrame,
+    ib: DataFrame,
+    n_bands: int,
+    radius: int,
+    hash_bits: int,
+    bucket_cap: int | None,
+) -> DataFrame:
+    """Steps 2-4 of the incremental Hamming probe, shared by the
+    in-memory path (incremental_hamming_matches) and the persisted-index
+    path (probe_hamming_index) so banding/verify/reduce semantics live
+    in exactly one place. `idx_min` is the (_ih, _i_min) per-hash index
+    summary; `ib` its band rows (_h, band_no, band_val)."""
+    b_members = batch.select(
+        F.col(id_col).alias("_bid"), F.col(hash_col).alias("_bh")
+    )
     # 2. banded batch x index candidate hash pairs
     bb = _band_rows(b_members.select(F.col("_bh").alias("_h")).distinct(),
-                    "_h", n_bands, hash_bits)
-    ib = _band_rows(idx_min.select(F.col("_ih").alias("_h")),
                     "_h", n_bands, hash_bits)
     if bucket_cap is not None:
         bb = _capped_bucket_admission(
@@ -1187,6 +1209,91 @@ def incremental_hamming_matches(
             "match_id",
             "best_hamming",
         )
+    )
+
+
+def build_hamming_index(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    table_name: str,
+    n_bands: int = 4,
+    hash_bits: int = 64,
+    buckets: int = 16,
+) -> None:
+    """Materialize the incremental Hamming probe's index as write-once
+    tables — the production form the probe docstrings reference (the
+    corpus is hashed ONCE when it lands in the lake; daily probes read
+    the summary instead of re-hashing the corpus):
+
+      <table>_summary : per-DISTINCT-hash MIN member id, bucketed by the
+                        hash so the verify join reads co-located buckets;
+      <table>_bands   : the summary's band rows, bucketed by
+                        (band_no, band_val) — the probe's equi-join scans
+                        them in place (the tiny batch side broadcasts);
+      <table>_meta    : one row (n_bands, hash_bits) — probe_hamming_index
+                        validates against it so a parameter drift between
+                        build and probe raises instead of silently
+                        missing pairs.
+
+    Append-only maintenance: new corpus items re-run this build over the
+    delta and INSERT into the same tables (per-hash MIN is monotone
+    under union for the canonical-min policy)."""
+    if hash_bits % n_bands != 0:
+        raise ValueError(
+            f"n_bands={n_bands} must tile hash_bits={hash_bits} exactly"
+        )
+    spark = hashed.sparkSession
+    members = hashed.select(
+        F.col(id_col).alias("_iid"), F.col(hash_col).alias("_ih")
+    )
+    idx_min = members.groupBy("_ih").agg(F.min("_iid").alias("_i_min"))
+    (
+        idx_min.write.format("parquet").mode("overwrite")
+        .bucketBy(buckets, "_ih").saveAsTable(f"{table_name}_summary")
+    )
+    bands = _band_rows(
+        idx_min.select(F.col("_ih").alias("_h")), "_h", n_bands, hash_bits
+    )
+    (
+        bands.write.format("parquet").mode("overwrite")
+        .bucketBy(buckets, "band_no", "band_val")
+        .saveAsTable(f"{table_name}_bands")
+    )
+    spark.createDataFrame(
+        [(n_bands, hash_bits)], "n_bands int, hash_bits int"
+    ).write.format("parquet").mode("overwrite").saveAsTable(
+        f"{table_name}_meta"
+    )
+
+
+def probe_hamming_index(
+    spark,
+    table_name: str,
+    batch: DataFrame,
+    id_col: str,
+    hash_col: str,
+    radius: int = 3,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """incremental_hamming_matches served from a build_hamming_index
+    table set: identical output (shared _hamming_probe_tail), but the
+    index side is the PRE-HASHED summary/band tables — a daily probe
+    never rescans or re-hashes the corpus, and the band equi-join reads
+    the bucketed band table in place. Band parameters come from the
+    index's own meta table (a drift between build and probe raises)."""
+    meta = spark.table(f"{table_name}_meta").first()
+    n_bands, hash_bits = int(meta["n_bands"]), int(meta["hash_bits"])
+    if n_bands <= radius:
+        raise ValueError(
+            f"pigeonhole recall needs n_bands > radius "
+            f"(got n_bands={n_bands}, radius={radius})"
+        )
+    return _hamming_probe_tail(
+        batch, id_col, hash_col,
+        spark.table(f"{table_name}_summary"),
+        spark.table(f"{table_name}_bands"),
+        n_bands, radius, hash_bits, bucket_cap,
     )
 
 

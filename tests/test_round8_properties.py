@@ -271,3 +271,46 @@ def test_incremental_probe_hypothesis_random_hashes(spark):
         assert got == want
 
     run()
+
+
+def test_persisted_hamming_index_matches_inmemory_probe(spark, sf_dir):
+    """build_hamming_index -> probe_hamming_index must equal the
+    in-memory incremental_hamming_matches on the real corpus (shared
+    tail, index side served from the pre-hashed summary/band tables),
+    and a band-parameter drift between build and probe must raise."""
+    import pytest
+
+    from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS,
+        build_hamming_index,
+        incremental_hamming_matches,
+        probe_hamming_index,
+        simhash_signatures,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = simhash_signatures(d, "doc_id", "text").persist()
+    try:
+        batch = sig.filter(F.col("doc") % 10 == 0)
+        index = sig.filter(F.col("doc") % 10 != 0)
+        build_hamming_index(
+            index, "doc", "simhash", "t_ham_idx",
+            n_bands=4, hash_bits=SIMHASH_BITS, buckets=4,
+        )
+        got = sorted(map(tuple, probe_hamming_index(
+            spark, "t_ham_idx", batch, "doc", "simhash", radius=3
+        ).collect()))
+        want = sorted(map(tuple, incremental_hamming_matches(
+            index, batch, "doc", "simhash",
+            n_bands=4, radius=3, hash_bits=SIMHASH_BITS,
+        ).collect()))
+        assert got == want and len(got) > 0
+        # the meta table guards parameter drift: radius >= stored n_bands
+        with pytest.raises(ValueError, match="pigeonhole"):
+            probe_hamming_index(
+                spark, "t_ham_idx", batch, "doc", "simhash", radius=4
+            )
+    finally:
+        sig.unpersist()
+        for t in ("t_ham_idx_summary", "t_ham_idx_bands", "t_ham_idx_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
