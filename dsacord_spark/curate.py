@@ -14,10 +14,12 @@ Hamming pairs at `--radius`). The banded joiners' scale knobs are CLI
 flags: `--bands` (band count / bit-slice count) and `--bucket-cap`
 (per-band-bucket admission cap for saturated buckets — size it from
 the dedup_*_bucket_load pre-flight reports). `--index CORPUS.parquet`
-(r8, simhash only) switches to INCREMENTAL mode: the input is treated
-as a new batch — self-deduped AND probed against the existing corpus
-via banded hash buckets (the corpus is never re-banded against
-itself; see operators/dedup.incremental_hamming_matches). Output: the
+(r8, simhash or minhash) switches to INCREMENTAL mode: the input is
+treated as a new batch — self-deduped AND probed against the existing
+corpus via banded buckets, at Hamming <= --radius (simhash) or n-gram
+Jaccard >= --threshold (minhash); the corpus is never re-banded
+against itself (operators/dedup.incremental_hamming_matches /
+incremental_minhash_matches). Output: the
 kept documents as parquet, plus a one-line JSON report on stdout
 (counts, drop rate, elapsed; incremental mode splits the drop count
 into dropped_within_batch / dropped_vs_index) in the same spirit as

@@ -322,6 +322,51 @@ def minhash_bands(sig: DataFrame, n_perm: int, bands: int) -> DataFrame:
     ).select("doc", "b.band_idx", "b.band_hash")
 
 
+def _jaccard_verify(
+    cand: DataFrame,
+    a_col: str,
+    b_col: str,
+    ngr_a: DataFrame,
+    ngr_b: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact n-gram Jaccard over a candidate-pair frame: intersection
+    count via the hg equi-join, sizes per side, inter/(sz_a+sz_b-inter),
+    filter >= threshold. THE one verify definition (the minhash lockstep
+    rule) — minhash_lsh_pairs (self-dedup: ngr_a is ngr_b) and
+    incremental_minhash_matches (batch vs index) both call it, and the
+    oracle SQL mirrors this exact expression; a second copy would let
+    the two engines' Jaccard arithmetic drift. Returns
+    (a_col, b_col, jaccard)."""
+    na = ngr_a.select(F.col("doc").alias(a_col), F.col("hg").alias("__hg_a"))
+    nb = ngr_b.select(F.col("doc").alias("__b2"), F.col("hg").alias("__hg_b"))
+    inter = (
+        cand.join(na, a_col)
+        .join(
+            nb,
+            (F.col(b_col) == F.col("__b2"))
+            & (F.col("__hg_a") == F.col("__hg_b")),
+        )
+        .groupBy(a_col, b_col)
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = ngr_a.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_a")) \
+        .withColumnRenamed("doc", a_col)
+    sb = ngr_b.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_b")) \
+        .withColumnRenamed("doc", b_col)
+    return (
+        inter.join(sa, a_col)
+        .join(sb, b_col)
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(a_col, b_col, "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -374,30 +419,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact verify on candidates only (reuses the persisted shingle index).
+    # Exact verify on candidates only (reuses the persisted shingle
+    # index; shared definition — see _jaccard_verify).
     ngr = _shingle_index(df, id_col, text_col, n)
-    sizes = ngr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    na = ngr.select(F.col("doc").alias("doc_a"), F.col("hg").alias("hg_a"))
-    nb = ngr.select(F.col("doc").alias("doc_b2"), F.col("hg").alias("hg_b"))
-    inter = (
-        cand.join(na, "doc_a")
-        .join(nb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("hg_a") == F.col("hg_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_verify(cand, "doc_a", "doc_b", ngr, ngr, threshold)
 
 
 SIMHASH_BITS = 60  # md5_long yields 60-bit hashes
@@ -1128,14 +1153,6 @@ def incremental_hamming_matches(
     match_id nullable, best_hamming nullable int). Deterministic:
     match_id = MIN index id over all within-radius matches,
     best_hamming = MIN hamming (independent aggregates)."""
-    if n_bands <= radius:
-        # same real raise as banded_hash_pairs: without it an invalid
-        # combination silently returns false negatives (a batch/index
-        # pair differing by one bit per band shares no band) — r8 review
-        raise ValueError(
-            f"pigeonhole recall needs n_bands > radius "
-            f"(got n_bands={n_bands}, radius={radius})"
-        )
     i_members = index.select(
         F.col(id_col).alias("_iid"), F.col(hash_col).alias("_ih")
     )
@@ -1164,7 +1181,16 @@ def _hamming_probe_tail(
     in-memory path (incremental_hamming_matches) and the persisted-index
     path (probe_hamming_index) so banding/verify/reduce semantics live
     in exactly one place. `idx_min` is the (_ih, _i_min) per-hash index
-    summary; `ib` its band rows (_h, band_no, band_val)."""
+    summary; `ib` its band rows (_h, band_no, band_val). The pigeonhole
+    guard lives HERE so every caller — in-memory, persisted-index, or
+    future — inherits it (an invalid combination silently returns false
+    negatives otherwise: a pair differing by one bit per band shares no
+    band)."""
+    if n_bands <= radius:
+        raise ValueError(
+            f"pigeonhole recall needs n_bands > radius "
+            f"(got n_bands={n_bands}, radius={radius})"
+        )
     b_members = batch.select(
         F.col(id_col).alias("_bid"), F.col(hash_col).alias("_bh")
     )
@@ -1220,6 +1246,7 @@ def build_hamming_index(
     n_bands: int = 4,
     hash_bits: int = 64,
     buckets: int = 16,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize the incremental Hamming probe's index as write-once
     tables — the production form the probe docstrings reference (the
@@ -1236,35 +1263,54 @@ def build_hamming_index(
                         build and probe raises instead of silently
                         missing pairs.
 
-    Append-only maintenance: new corpus items re-run this build over the
-    delta and INSERT into the same tables (per-hash MIN is monotone
-    under union for the canonical-min policy)."""
+    Append-only maintenance: re-run with mode='append' over the DELTA
+    only — summary/band rows for the new items append to the same
+    tables. Correctness under append: the probe's per-hash reduce takes
+    MIN over ALL summary rows joining a hash, and MIN of per-build mins
+    equals the global min (the canonical-min policy is monotone under
+    union); duplicate band rows across builds collapse in the
+    candidate distinct. Band parameters are validated against the
+    existing meta row on append (a drift would corrupt the banding),
+    and the meta table is left untouched."""
     if hash_bits % n_bands != 0:
         raise ValueError(
             f"n_bands={n_bands} must tile hash_bits={hash_bits} exactly"
         )
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite/append, not {mode!r}")
     spark = hashed.sparkSession
+    if mode == "append":
+        meta = spark.table(f"{table_name}_meta").first()
+        if (int(meta["n_bands"]), int(meta["hash_bits"])) != (
+            n_bands, hash_bits,
+        ):
+            raise ValueError(
+                f"append with n_bands={n_bands}/hash_bits={hash_bits} "
+                f"does not match the existing index "
+                f"({meta['n_bands']}/{meta['hash_bits']})"
+            )
     members = hashed.select(
         F.col(id_col).alias("_iid"), F.col(hash_col).alias("_ih")
     )
     idx_min = members.groupBy("_ih").agg(F.min("_iid").alias("_i_min"))
     (
-        idx_min.write.format("parquet").mode("overwrite")
+        idx_min.write.format("parquet").mode(mode)
         .bucketBy(buckets, "_ih").saveAsTable(f"{table_name}_summary")
     )
     bands = _band_rows(
         idx_min.select(F.col("_ih").alias("_h")), "_h", n_bands, hash_bits
     )
     (
-        bands.write.format("parquet").mode("overwrite")
+        bands.write.format("parquet").mode(mode)
         .bucketBy(buckets, "band_no", "band_val")
         .saveAsTable(f"{table_name}_bands")
     )
-    spark.createDataFrame(
-        [(n_bands, hash_bits)], "n_bands int, hash_bits int"
-    ).write.format("parquet").mode("overwrite").saveAsTable(
-        f"{table_name}_meta"
-    )
+    if mode == "overwrite":
+        spark.createDataFrame(
+            [(n_bands, hash_bits)], "n_bands int, hash_bits int"
+        ).write.format("parquet").mode("overwrite").saveAsTable(
+            f"{table_name}_meta"
+        )
 
 
 def probe_hamming_index(
@@ -1284,11 +1330,6 @@ def probe_hamming_index(
     index's own meta table (a drift between build and probe raises)."""
     meta = spark.table(f"{table_name}_meta").first()
     n_bands, hash_bits = int(meta["n_bands"]), int(meta["hash_bits"])
-    if n_bands <= radius:
-        raise ValueError(
-            f"pigeonhole recall needs n_bands > radius "
-            f"(got n_bands={n_bands}, radius={radius})"
-        )
     return _hamming_probe_tail(
         batch, id_col, hash_col,
         spark.table(f"{table_name}_summary"),
@@ -1354,33 +1395,10 @@ def incremental_minhash_matches(
     )
     bngr = _shingle_index(batch, id_col, text_col, n)
     ingr = _shingle_index(index, id_col, text_col, n)
-    b_sz = bngr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_b"))
-    i_sz = ingr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_i"))
-    inter = (
-        cand.join(
-            bngr.select(F.col("doc").alias("bdoc"), F.col("hg").alias("hg_b")),
-            "bdoc",
-        )
-        .join(
-            ingr.select(F.col("doc").alias("idoc2"), F.col("hg").alias("hg_i")),
-            (F.col("idoc") == F.col("idoc2")) & (F.col("hg_b") == F.col("hg_i")),
-        )
-        .groupBy("bdoc", "idoc")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    jac = (
-        inter.join(b_sz.select(F.col("doc").alias("bdoc"), "sz_b"), "bdoc")
-        .join(i_sz.select(F.col("doc").alias("idoc"), "sz_i"), "idoc")
-        .withColumn(
-            "jac",
-            F.col("inter").cast("double")
-            / (F.col("sz_b") + F.col("sz_i") - F.col("inter")),
-        )
-        .filter(F.col("jac") >= threshold)
-    )
+    jac = _jaccard_verify(cand, "bdoc", "idoc", bngr, ingr, threshold)
     best = jac.groupBy("bdoc").agg(
         F.min("idoc").alias("match_id"),
-        F.round(F.max("jac"), 6).alias("best_jaccard"),
+        F.round(F.max("jaccard"), 6).alias("best_jaccard"),
     )
     return (
         batch.select(F.col(id_col).alias("bdoc"))

@@ -5356,26 +5356,40 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="dedup_incremental_probe on the real streaming path: the new "
     "batch arrives in micro-batches (maxFilesPerTrigger=1) and each is "
     "probed inside foreachBatch against the STATIC per-hash index "
-    "summary — the production backfill-vs-lake shape (index computed "
-    "once, probe cost per micro-batch tracks that batch). Output and "
-    "oracle identical to the batch entry because per-doc matches are "
-    "independent of batching.",
+    "summary — the production backfill-vs-lake shape: the summary and "
+    "its band rows are computed once and persisted, so per-micro-batch "
+    "cost is the batch's own banding plus a scan of the hash-sized "
+    "index frames. Output and oracle identical to the batch entry "
+    "because per-doc matches are independent of batching.",
 )
 def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dsacord_spark.operators.dedup import (
-        SIMHASH_BITS, incremental_hamming_matches, simhash_signatures,
+        SIMHASH_BITS, _band_rows, _hamming_probe_tail, simhash_signatures,
     )
     from dsacord_spark.streaming.pipeline import run_bounded_stream
 
     d = table(spark, sf_dir, "documents")
     sig = simhash_signatures(d, "doc_id", "text").persist()
     batch = sig.filter(F.col("doc") % 10 == 0).repartition(4)
-    index_sig = sig.filter(F.col("doc") % 10 != 0)
+    # the index side is computed ONCE and persisted (the r8 review
+    # caught the closure re-running the summary groupBy per micro-batch
+    # against the doc's 'index computed once' claim): each micro-batch
+    # pays only its own banding plus a scan of these hash-sized frames
+    idx_min = (
+        sig.filter(F.col("doc") % 10 != 0)
+        .select(F.col("doc").alias("_iid"), F.col("simhash").alias("_ih"))
+        .groupBy("_ih")
+        .agg(F.min("_iid").alias("_i_min"))
+        .persist()
+    )
+    ib = _band_rows(
+        idx_min.select(F.col("_ih").alias("_h")), "_h", 4, SIMHASH_BITS
+    ).persist()
 
     def probe(b: DataFrame) -> DataFrame:
-        return incremental_hamming_matches(
-            index_sig, b, "doc", "simhash",
-            n_bands=4, radius=3, hash_bits=SIMHASH_BITS,
+        return _hamming_probe_tail(
+            b, "doc", "simhash", idx_min, ib,
+            n_bands=4, radius=3, hash_bits=SIMHASH_BITS, bucket_cap=None,
         )
 
     out = run_bounded_stream(

@@ -390,7 +390,7 @@ def test_curate_incremental_index_mode(spark, tmp_path, capsys):
     assert dropped[2] == ("within_batch", None)
 
 
-def test_curate_index_requires_simhash(tmp_path, capsys):
+def test_curate_index_requires_banded_method(tmp_path, capsys):
     import pytest as _pytest
 
     from dsacord_spark.curate import main as curate_main

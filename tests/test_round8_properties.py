@@ -314,3 +314,44 @@ def test_persisted_hamming_index_matches_inmemory_probe(spark, sf_dir):
         sig.unpersist()
         for t in ("t_ham_idx_summary", "t_ham_idx_bands", "t_ham_idx_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_hamming_index_append_mode_extends_index(spark):
+    """build_hamming_index(mode='append') over a delta must extend the
+    index (per-hash MIN is monotone under union), and an append with
+    drifted band parameters must raise against the meta row."""
+    import pytest
+
+    from dsacord_spark.operators.dedup import (
+        build_hamming_index,
+        probe_hamming_index,
+    )
+
+    try:
+        base = spark.createDataFrame([(10, 0x00)], "id long, h long")
+        build_hamming_index(base, "id", "h", "t_ham_app", n_bands=4,
+                            hash_bits=64, buckets=2)
+        delta = spark.createDataFrame(
+            [(5, 0x00), (20, 0xF0)], "id long, h long"
+        )
+        build_hamming_index(delta, "id", "h", "t_ham_app", n_bands=4,
+                            hash_bits=64, buckets=2, mode="append")
+        batch = spark.createDataFrame(
+            [(1, 0x00), (2, 0xF1), (3, 0x0F0F0F0F0F0F0F0F)],
+            "id long, h long",
+        )
+        got = {
+            r["id"]: (r["is_dup"], r["match_id"])
+            for r in probe_hamming_index(
+                spark, "t_ham_app", batch, "id", "h", radius=3
+            ).collect()
+        }
+        # hash 0x00 now has summary rows from BOTH builds: min wins (5);
+        # 0xF0 exists only via the appended delta
+        assert got == {1: (True, 5), 2: (True, 20), 3: (False, None)}
+        with pytest.raises(ValueError, match="does not match"):
+            build_hamming_index(delta, "id", "h", "t_ham_app", n_bands=2,
+                                hash_bits=64, buckets=2, mode="append")
+    finally:
+        for t in ("t_ham_app_summary", "t_ham_app_bands", "t_ham_app_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
