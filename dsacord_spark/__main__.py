@@ -45,6 +45,18 @@ def parse_args(argv: list[str] | None = None) -> tuple[Config, argparse.Namespac
                    "jdbc: Postgres upsert sink like the reference")
     p.add_argument("--landing-dir", default=None, help="Staging directory")
     p.add_argument("--master", default=None, help="Spark master override")
+    p.add_argument("--staging", choices=("driver", "distributed"),
+                   default="driver",
+                   help="driver: worker-pool downloads on the driver "
+                   "(the reference's topology); distributed: each Spark "
+                   "task downloads its slice of the URL table — use on "
+                   "a real cluster with a DFS landing dir so a long "
+                   "backfill isn't bounded by one node's NIC")
+    p.add_argument("--rebuild", action="store_true",
+                   help="Re-extract EVERY staged ZIP under the landing "
+                   "dir and rewrite the whole decisions lake (full "
+                   "rebuild); default processes only this run's days "
+                   "and overwrites only their partitions")
     a = p.parse_args(argv)
 
     if a.skipCheckingDuplicates:
@@ -68,6 +80,7 @@ def parse_args(argv: list[str] | None = None) -> tuple[Config, argparse.Namespac
             setattr(cfg, attr, v)
     if a.landing_dir:
         cfg.landing_dir = a.landing_dir
+    cfg.staging = a.staging
     return cfg, a
 
 
@@ -99,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             return n
 
-    metrics = run_backfill(spark, cfg, sink=sink)
+    metrics = run_backfill(spark, cfg, sink=sink, rebuild=a.rebuild)
     # epilogue, main.go:156-165 (exact counts — Q2 divergence)
     print(f"Inserted {metrics.rows_written} rows")
     print(f"Quarantined {metrics.rows_quarantined} rows (empty uuid)")

@@ -45,6 +45,14 @@ class Config:
     checkpoint_dir: str = "/tmp/dsacord/checkpoints"
     jdbc_batch_size: int = 1000           # utils.go:89 ("do not increase this too much")
     sink_num_partitions: int = 5          # protect the DB like the ≤5 workers advice
+    # 'driver': ThreadPoolExecutor(workers) on the driver — the
+    # reference's worker pool (main.go:114-135), right for local mode
+    # and small ranges. 'distributed': one Spark task per URL-table
+    # partition downloads straight into the (DFS-visible) landing dir —
+    # a multi-year backfill on a real cluster is NIC-bound on one node
+    # otherwise (r8 verdict ask #3). Requires landing_dir visible to
+    # executors (DFS, or local paths in local mode).
+    staging: str = "driver"
 
     def validate(self) -> list[str]:
         """Date validation per main.go:69-79,102-112: error on inverted
@@ -53,6 +61,8 @@ class Config:
             raise ValueError("'to' date must not be before 'from' date")
         if self.dup_strategy not in DUP_STRATEGIES:
             raise ValueError(f"dup_strategy must be one of {DUP_STRATEGIES}")
+        if self.staging not in ("driver", "distributed"):
+            raise ValueError("staging must be 'driver' or 'distributed'")
         warnings = []
         if self.date_from < EARLIEST_DUMP_DATE:
             warnings.append(f"data before {EARLIEST_DUMP_DATE} does not exist")

@@ -19,7 +19,12 @@ treated as a new batch — self-deduped AND probed against the existing
 corpus via banded buckets, at Hamming <= --radius (simhash) or n-gram
 Jaccard >= --threshold (minhash); the corpus is never re-banded
 against itself (operators/dedup.incremental_hamming_matches /
-incremental_minhash_matches). Output: the
+incremental_minhash_matches). `--build-index TABLE` (r9) materializes
+the corpus as a PERSISTED index (build_hamming_index /
+build_minhash_index bucketed tables, `--build-index-mode append` for
+daily deltas) and `--index-table TABLE` probes it — the
+build-once/probe-daily production loop where a probe never re-hashes
+the corpus at all. Output: the
 kept documents as parquet, plus a one-line JSON report on stdout
 (counts, drop rate, elapsed; incremental mode splits the drop count
 into dropped_within_batch / dropped_vs_index) in the same spirit as
@@ -198,7 +203,16 @@ def dedup_corpus(
     # scan + component stamp join would execute twice per action
     # (released like the sig persist: clearCache / process exit).
     labeled = (
-        docs.withColumn("__len", F.length(F.col(text_col)))
+        # NULL text pinned to -1 so the min_by struct ordering matches
+        # the old `__len.desc()` window for NULLs too: desc put NULLs
+        # LAST (a null-text doc loses the keep), while a bare -__len
+        # inside an ascending struct would sort NULLs FIRST and flip the
+        # winner if a future method ever clusters null with non-null
+        # text (unreachable today — r8 ADVICE; -(-1)=1 sorts after every
+        # non-null -len<=0, reproducing the window's null-loses rule)
+        docs.withColumn(
+            "__len", F.coalesce(F.length(F.col(text_col)), F.lit(-1))
+        )
         .join(
             comp,
             F.col(id_col) == F.col("__comp_doc"),
@@ -234,7 +248,7 @@ def dedup_corpus(
 
 def dedup_incremental(
     docs: DataFrame,
-    index_docs: DataFrame,
+    index_docs: DataFrame | None = None,
     method: str = "simhash",
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -243,32 +257,45 @@ def dedup_incremental(
     radius: int = 3,
     threshold: float = 0.5,
     ngram: int = 3,
+    index_table: str | None = None,
 ) -> DataFrame:
     """Daily-ingest dedup: label `docs` (the NEW batch) both against
     itself (cluster-mode / LSH dedup, longest-text keep) and against an
-    EXISTING corpus `index_docs` (banded incremental probe — the corpus
-    is never banded against itself). Returns `docs` + (cluster_id,
-    kept, index_match_id): kept = within-batch canonical AND no index
-    match. `method` picks the semantics: 'simhash' probes at Hamming <=
+    EXISTING corpus (banded incremental probe — the corpus is never
+    banded against itself). Returns `docs` + (cluster_id, kept,
+    index_match_id): kept = within-batch canonical AND no index match.
+    `method` picks the semantics: 'simhash' probes at Hamming <=
     `radius` (operators/dedup.incremental_hamming_matches); 'minhash'
     probes at n-gram Jaccard >= `threshold`
     (incremental_minhash_matches).
 
-    Cost notes: the batch signature frame here is plan-identical to the
-    one dedup_corpus persists internally, so Spark's CacheManager
-    serves the probe's reads from that same cache entry (no second
-    persist, no recompute); the index signature is persisted here
-    because the probe reads it on two branches. Both persists are
-    released by clearCache / process exit (the CLI path), like every
-    internal persist in this module — a long-lived session running
-    daily batches should spark.catalog.clearCache() between batches.
-    At production scale the index signature table would be precomputed
-    with the lake — swap `simhash_signatures(index_docs, ...)` for
-    that table."""
+    The corpus side comes from exactly one of:
+    - `index_docs`: a raw document frame — signatures/shingles are
+      (re)computed for this run (right for one-off comparisons);
+    - `index_table`: the name of a PERSISTED index built by
+      operators/dedup.build_hamming_index (simhash: over the corpus's
+      simhash_signatures) or build_minhash_index (minhash: over the
+      corpus text) — the daily-production shape: the probe reads
+      bucketed band/summary/shingle tables and never re-hashes the
+      corpus (r8 verdict asks #1/#6); band parameters come from the
+      index's meta table, so --bands/--ngram do not apply.
+
+    Cost notes (index_docs path): the batch signature frame here is
+    plan-identical to the one dedup_corpus persists internally, so
+    Spark's CacheManager serves the probe's reads from that same cache
+    entry (no second persist, no recompute); the index signature is
+    persisted here because the probe reads it on two branches. Both
+    persists are released by clearCache / process exit (the CLI path),
+    like every internal persist in this module — a long-lived session
+    running daily batches should spark.catalog.clearCache() between
+    batches (or better: build the persisted index once and pass
+    `index_table`)."""
     from dsacord_spark.operators.dedup import (
         SIMHASH_BITS,
         incremental_hamming_matches,
         incremental_minhash_matches,
+        probe_hamming_index,
+        probe_minhash_index,
         simhash_signatures,
     )
 
@@ -276,12 +303,29 @@ def dedup_incremental(
         raise ValueError(
             f"incremental mode supports simhash/minhash, not {method!r}"
         )
+    if (index_docs is None) == (index_table is None):
+        raise ValueError(
+            "incremental mode needs exactly one of index_docs/index_table"
+        )
     labeled = dedup_corpus(
         docs, method=method, id_col=id_col, text_col=text_col,
         bands=bands, bucket_cap=bucket_cap, radius=radius,
         threshold=threshold, ngram=ngram,
     )
-    if method == "simhash":
+    if index_table is not None:
+        spark = docs.sparkSession
+        if method == "simhash":
+            batch_sig = simhash_signatures(docs, id_col, text_col)
+            probe = probe_hamming_index(
+                spark, index_table, batch_sig, "doc", "simhash",
+                radius=radius, bucket_cap=bucket_cap,
+            ).withColumnRenamed("doc", id_col)
+        else:
+            probe = probe_minhash_index(
+                spark, index_table, docs, id_col, text_col,
+                threshold=threshold, bucket_cap=bucket_cap,
+            ).drop("best_jaccard")
+    elif method == "simhash":
         # NOT persisted: plan-identical to dedup_corpus's internal
         # persist, so the CacheManager already serves these reads
         batch_sig = simhash_signatures(docs, id_col, text_col)
@@ -312,6 +356,53 @@ def dedup_incremental(
     )
 
 
+def build_corpus_index(
+    docs: DataFrame,
+    method: str,
+    table_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int | None = None,
+    ngram: int = 3,
+    n_perm: int = 32,
+    buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Build the persisted corpus index dedup_incremental's
+    `index_table` path probes — the build half of the daily-production
+    shape (build once when the corpus lands; probe every batch):
+    simhash -> build_hamming_index over the corpus's 60-bit signatures;
+    minhash -> build_minhash_index's band/shingle/size tables over the
+    corpus text. mode='append' extends an existing index with a delta
+    (simhash: any delta; minhash: NEW doc ids only — see
+    build_minhash_index's append contract)."""
+    from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS,
+        build_hamming_index,
+        build_minhash_index,
+        simhash_signatures,
+    )
+
+    if method == "simhash":
+        sig = simhash_signatures(docs, id_col, text_col)
+        build_hamming_index(
+            sig, "doc", "simhash", table_name,
+            n_bands=bands if bands is not None else 4,
+            hash_bits=SIMHASH_BITS, buckets=buckets, mode=mode,
+        )
+    elif method == "minhash":
+        build_minhash_index(
+            docs, id_col, text_col, table_name,
+            n=ngram, n_perm=n_perm,
+            bands=bands if bands is not None else 8,
+            buckets=buckets, mode=mode,
+        )
+    else:
+        raise ValueError(
+            f"persisted indexes support simhash/minhash, not {method!r}"
+        )
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="dsacord-spark-curate",
@@ -319,7 +410,8 @@ def main(argv: list[str] | None = None) -> int:
         "cluster, keep one canonical document per cluster.",
     )
     p.add_argument("--input", required=True, help="Input parquet path")
-    p.add_argument("--output", required=True, help="Output dir (kept docs)")
+    p.add_argument("--output", default=None, help="Output dir (kept docs); "
+                   "required except with --preflight / --build-index")
     p.add_argument("--format", choices=("parquet", "jsonl"), default="parquet",
                    help="Output format: parquet, or sharded JSON-lines "
                    "(tokenizer-feed handoff)")
@@ -360,6 +452,25 @@ def main(argv: list[str] | None = None) -> int:
                    "(Hamming <= --radius, or Jaccard >= --threshold); "
                    "the index is probed via banded buckets, never "
                    "re-deduped against itself")
+    p.add_argument("--index-table", default=None, metavar="TABLE",
+                   help="PERSISTED corpus index (built by --build-index): "
+                   "incremental mode like --index, but the probe reads "
+                   "the bucketed band/summary/shingle tables instead of "
+                   "re-hashing the corpus — the daily-production shape; "
+                   "band parameters come from the index's meta table")
+    p.add_argument("--build-index", default=None, metavar="TABLE",
+                   help="Build (or --build-index-mode append to) the "
+                   "persisted corpus index for --index-table from "
+                   "--input and exit WITHOUT deduping: simhash -> "
+                   "Hamming index over 60-bit signatures "
+                   "(operators/dedup.build_hamming_index); minhash -> "
+                   "band/shingle/size tables "
+                   "(operators/dedup.build_minhash_index)")
+    p.add_argument("--build-index-mode", choices=("overwrite", "append"),
+                   default="overwrite",
+                   help="overwrite: fresh index; append: extend with a "
+                   "DELTA (simhash: any delta — per-hash MIN is monotone; "
+                   "minhash: the delta's doc ids must be NEW)")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--report-dropped", default=None,
@@ -379,7 +490,7 @@ def main(argv: list[str] | None = None) -> int:
         "bands": {"minhash", "simhash"},
         "bucket_cap": {"minhash", "simhash"},
     }
-    if a.preflight:  # load depends on the banding alone
+    if a.preflight or a.build_index:  # banding-only modes
         relevant = {"ngram": {"minhash"}, "bands": {"minhash", "simhash"}}
     for flag, methods in sorted(relevant.items()):
         if getattr(a, flag) is not None and a.method not in methods:
@@ -390,27 +501,56 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
     for flag in ("threshold", "radius", "bucket_cap"):
-        if a.preflight and getattr(a, flag) is not None and flag not in relevant:
+        if (
+            (a.preflight or a.build_index)
+            and getattr(a, flag) is not None
+            and flag not in relevant
+        ):
+            mode_flag = "--preflight" if a.preflight else "--build-index"
             print(
                 f"warning: --{flag.replace('_', '-')} has no effect on "
-                "--preflight (bucket load is a property of the banding "
-                "alone)",
+                f"{mode_flag} (a property of the banding alone)",
                 file=sys.stderr,
             )
     threshold = 0.5 if a.threshold is None else a.threshold
     ngram = 3 if a.ngram is None else a.ngram
     radius = 3 if a.radius is None else a.radius
-    if a.index is not None and (
+    if (a.index is not None or a.index_table is not None) and (
         a.method not in ("simhash", "minhash") or a.preflight
     ):
-        p.error("--index (incremental mode) requires --method simhash "
-                "or minhash and is not compatible with --preflight")
+        p.error("--index/--index-table (incremental mode) requires "
+                "--method simhash or minhash and is not compatible "
+                "with --preflight")
+    if a.index is not None and a.index_table is not None:
+        p.error("--index and --index-table are mutually exclusive")
+    if a.build_index is not None:
+        if a.method not in ("simhash", "minhash"):
+            p.error("--build-index requires --method simhash or minhash")
+        if a.preflight or a.index is not None or a.index_table is not None:
+            p.error("--build-index builds the index and exits; it cannot "
+                    "combine with --preflight/--index/--index-table")
+    if a.output is None and not (a.preflight or a.build_index):
+        p.error("--output is required when deduping")
 
     from dsacord_spark.session import get_spark
 
     spark = get_spark(app_name="dsacord-curate", master=a.master)
     t0 = time.perf_counter()
     docs = spark.read.parquet(a.input)
+    if a.build_index is not None:
+        build_corpus_index(
+            docs, method=a.method, table_name=a.build_index,
+            id_col=a.id_col, text_col=a.text_col,
+            bands=a.bands, ngram=ngram, mode=a.build_index_mode,
+        )
+        print(json.dumps({
+            "built_index": a.build_index,
+            "method": a.method,
+            "mode": a.build_index_mode,
+            "docs": docs.count(),
+            "elapsed_s": round(time.perf_counter() - t0, 2),
+        }))
+        return 0
     if a.preflight:
         rows = preflight_bucket_load(
             docs, method=a.method, ngram=ngram,
@@ -433,12 +573,16 @@ def main(argv: list[str] | None = None) -> int:
             "elapsed_s": round(time.perf_counter() - t0, 2),
         }))
         return 0
-    if a.index is not None:
+    incremental = a.index is not None or a.index_table is not None
+    if incremental:
         labeled = dedup_incremental(
-            docs, spark.read.parquet(a.index), method=a.method,
+            docs,
+            spark.read.parquet(a.index) if a.index is not None else None,
+            method=a.method,
             id_col=a.id_col, text_col=a.text_col,
             bands=a.bands, bucket_cap=a.bucket_cap, radius=radius,
             threshold=threshold, ngram=ngram,
+            index_table=a.index_table,
         ).persist()
     else:
         labeled = dedup_corpus(
@@ -447,7 +591,7 @@ def main(argv: list[str] | None = None) -> int:
             bands=a.bands, bucket_cap=a.bucket_cap, radius=radius,
         ).persist()
     kept = labeled.filter(F.col("kept")).drop(
-        "kept", *(["index_match_id"] if a.index is not None else [])
+        "kept", *(["index_match_id"] if incremental else [])
     )
     if a.format == "jsonl":
         from dsacord_spark.sinks.text_export import export_jsonl
@@ -466,7 +610,7 @@ def main(argv: list[str] | None = None) -> int:
         "elapsed_s": round(time.perf_counter() - t0, 2),
         "output": a.output,
     }
-    if a.index is not None:
+    if incremental:
         # every index-matched doc is dropped (kept requires no match),
         # so the two reasons partition the dropped set exactly
         n_idx = labeled.filter(F.col("index_match_id").isNotNull()).count()
@@ -475,7 +619,7 @@ def main(argv: list[str] | None = None) -> int:
     if a.report_dropped:
         dropped = labeled.filter(~F.col("kept"))
         cols = [F.col(a.id_col), F.col("cluster_id")]
-        if a.index is not None:
+        if incremental:
             # reason: an index match always drops the doc; otherwise it
             # lost its within-batch cluster's keep selection
             cols.append(

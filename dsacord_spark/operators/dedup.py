@@ -275,6 +275,19 @@ def _ngram_jaccard_prefix(
     )
 
 
+def _minhash_sig_from_ngr(ngr: DataFrame, n_perm: int) -> DataFrame:
+    """MinHash signature rows (doc, m0..m{n_perm-1}) from an existing
+    (doc, hg) shingle frame — THE one signature definition; the df-facing
+    minhash_signatures and build_minhash_index (which reuses its already-
+    computed shingle frame instead of shingling twice) both call it."""
+    ngr = ngr.withColumn("h", F.col("hg") % F.lit(2_147_483_647))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(2_147_483_647)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_constants(n_perm))
+    ]
+    return ngr.groupBy("doc").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, n_perm: int = 32
 ) -> DataFrame:
@@ -282,14 +295,9 @@ def minhash_signatures(
     word n-grams. One shuffle (groupBy doc) with map-side partial mins."""
     # the md5 lives in the shared shingle index — computed once per
     # shingle, not once per (shingle x permutation)
-    ngr = _shingle_index(df, id_col, text_col, n).withColumn(
-        "h", F.col("hg") % F.lit(2_147_483_647)
+    return _minhash_sig_from_ngr(
+        _shingle_index(df, id_col, text_col, n), n_perm
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(2_147_483_647)).alias(f"m{i}")
-        for i, (a, b) in enumerate(_perm_constants(n_perm))
-    ]
-    return ngr.groupBy("doc").agg(*aggs)
 
 
 def minhash_bands(sig: DataFrame, n_perm: int, bands: int) -> DataFrame:
@@ -329,15 +337,20 @@ def _jaccard_verify(
     ngr_a: DataFrame,
     ngr_b: DataFrame,
     threshold: float,
+    sizes_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over a candidate-pair frame: intersection
     count via the hg equi-join, sizes per side, inter/(sz_a+sz_b-inter),
     filter >= threshold. THE one verify definition (the minhash lockstep
-    rule) — minhash_lsh_pairs (self-dedup: ngr_a is ngr_b) and
-    incremental_minhash_matches (batch vs index) both call it, and the
-    oracle SQL mirrors this exact expression; a second copy would let
-    the two engines' Jaccard arithmetic drift. Returns
-    (a_col, b_col, jaccard)."""
+    rule) — minhash_lsh_pairs (self-dedup: ngr_a is ngr_b),
+    incremental_minhash_matches (batch vs index) and probe_minhash_index
+    (batch vs persisted index tables) all call it, and the oracle SQL
+    mirrors this exact expression; a second copy would let the two
+    engines' Jaccard arithmetic drift. `sizes_b` optionally supplies the
+    b side's per-doc shingle counts as a precomputed (doc, sz) frame
+    (the persisted index stores them at build time, so a daily probe
+    never pays a corpus-wide groupBy); when absent they are aggregated
+    from ngr_b. Returns (a_col, b_col, jaccard)."""
     na = ngr_a.select(F.col("doc").alias(a_col), F.col("hg").alias("__hg_a"))
     nb = ngr_b.select(F.col("doc").alias("__b2"), F.col("hg").alias("__hg_b"))
     inter = (
@@ -352,8 +365,13 @@ def _jaccard_verify(
     )
     sa = ngr_a.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_a")) \
         .withColumnRenamed("doc", a_col)
-    sb = ngr_b.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_b")) \
-        .withColumnRenamed("doc", b_col)
+    if sizes_b is None:
+        sb = ngr_b.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_b")) \
+            .withColumnRenamed("doc", b_col)
+    else:
+        sb = sizes_b.select(
+            F.col("doc").alias(b_col), F.col("sz").alias("sz_b")
+        )
     return (
         inter.join(sa, a_col)
         .join(sb, b_col)
@@ -1375,6 +1393,33 @@ def incremental_minhash_matches(
     i_sig = minhash_signatures(index, id_col, text_col, n, n_perm)
     bb = minhash_bands(b_sig, n_perm, bands)
     ib = minhash_bands(i_sig, n_perm, bands)
+    bngr = _shingle_index(batch, id_col, text_col, n)
+    ingr = _shingle_index(index, id_col, text_col, n)
+    return _minhash_probe_tail(
+        batch, id_col, bb, bngr, ib, ingr, threshold, bucket_cap
+    )
+
+
+def _minhash_probe_tail(
+    batch: DataFrame,
+    id_col: str,
+    bb: DataFrame,
+    bngr: DataFrame,
+    ib: DataFrame,
+    ingr: DataFrame,
+    threshold: float,
+    bucket_cap: int | None,
+    isizes: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate-join / verify / reduce / stamp stages of the incremental
+    MinHash probe, shared by the in-memory path
+    (incremental_minhash_matches) and the persisted-index path
+    (probe_minhash_index) so banding admission, Jaccard verification and
+    the per-doc reduce live in exactly one place — the Jaccard twin of
+    _hamming_probe_tail. `bb`/`ib` are the batch/index band rows
+    (doc, band_idx, band_hash); `bngr`/`ingr` the shingle frames
+    (doc, hg); `isizes` the index side's optional precomputed (doc, sz)
+    counts (stored by build_minhash_index; None = aggregate from ingr)."""
     if bucket_cap is not None:
         bb = _capped_bucket_admission(
             bb, ["band_idx", "band_hash"],
@@ -1393,9 +1438,9 @@ def incremental_minhash_matches(
         .select("bdoc", "idoc")
         .distinct()
     )
-    bngr = _shingle_index(batch, id_col, text_col, n)
-    ingr = _shingle_index(index, id_col, text_col, n)
-    jac = _jaccard_verify(cand, "bdoc", "idoc", bngr, ingr, threshold)
+    jac = _jaccard_verify(
+        cand, "bdoc", "idoc", bngr, ingr, threshold, sizes_b=isizes
+    )
     best = jac.groupBy("bdoc").agg(
         F.min("idoc").alias("match_id"),
         F.round(F.max("jaccard"), 6).alias("best_jaccard"),
@@ -1409,4 +1454,131 @@ def incremental_minhash_matches(
             "match_id",
             "best_jaccard",
         )
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table_name: str,
+    n: int = 3,
+    n_perm: int = 32,
+    bands: int = 8,
+    buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the incremental MinHash probe's index as write-once
+    tables — the Jaccard twin of build_hamming_index (r8 verdict ask #1:
+    the daily fuzzy-text probe is the production dedup shape, and the
+    in-memory path re-shingles and re-hashes the whole corpus per run):
+
+      <table>_bands    : per-doc MinHash band rows (doc, band_idx,
+                         band_hash), bucketed by (band_idx, band_hash) —
+                         the probe's candidate equi-join scans them in
+                         place (the tiny batch side broadcasts);
+      <table>_shingles : the corpus shingle index (doc, hg), bucketed by
+                         doc — the exact-Jaccard verify joins it on the
+                         candidate doc ids without shuffling the corpus;
+      <table>_sizes    : per-doc shingle counts (doc, sz), bucketed by
+                         doc — the verify's denominator without a
+                         corpus-wide groupBy per probe;
+      <table>_meta     : one row (n, n_perm, bands) —
+                         probe_minhash_index reads its parameters from
+                         here, and a drift between build and probe (or
+                         between builds on append) raises instead of
+                         silently missing pairs.
+
+    The shingle frame is computed ONCE and persisted for the build's
+    three writes (signature, shingles, sizes all derive from it); the
+    signature/band construction is the shared definition
+    (_minhash_sig_from_ngr / minhash_bands — the minhash lockstep rule).
+
+    Append-only maintenance: re-run with mode='append' over the DELTA
+    only. All three data tables are PER-DOC rows, so the append contract
+    is disjoint doc ids (a doc lands in the lake once — the daily-ingest
+    shape); re-appending an existing doc id would double its shingle
+    rows and corrupt sizes and intersections, unlike the Hamming index's
+    per-hash MIN summary (monotone under union). Band parameters are
+    validated against the existing meta row on append; the meta table is
+    left untouched.
+
+    Ref parity: the reference dedups exact rows via upsert against a
+    persistent table (/root/reference/utils.go:99-104); this is the
+    persistent-index generalization for fuzzy text at lake scale."""
+    if n_perm % bands != 0:
+        raise ValueError(f"bands={bands} must tile n_perm={n_perm} exactly")
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite/append, not {mode!r}")
+    spark = df.sparkSession
+    if mode == "append":
+        meta = spark.table(f"{table_name}_meta").first()
+        if (int(meta["n"]), int(meta["n_perm"]), int(meta["bands"])) != (
+            n, n_perm, bands,
+        ):
+            raise ValueError(
+                f"append with n={n}/n_perm={n_perm}/bands={bands} does "
+                f"not match the existing index "
+                f"({meta['n']}/{meta['n_perm']}/{meta['bands']})"
+            )
+    ngr = _shingle_frame(df, id_col, text_col, n).persist()
+    try:
+        (
+            minhash_bands(_minhash_sig_from_ngr(ngr, n_perm), n_perm, bands)
+            .write.format("parquet").mode(mode)
+            .bucketBy(buckets, "band_idx", "band_hash")
+            .saveAsTable(f"{table_name}_bands")
+        )
+        (
+            ngr.write.format("parquet").mode(mode)
+            .bucketBy(buckets, "doc").sortBy("doc")
+            .saveAsTable(f"{table_name}_shingles")
+        )
+        (
+            ngr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+            .write.format("parquet").mode(mode)
+            .bucketBy(buckets, "doc")
+            .saveAsTable(f"{table_name}_sizes")
+        )
+    finally:
+        ngr.unpersist()
+    if mode == "overwrite":
+        spark.createDataFrame(
+            [(n, n_perm, bands)], "n int, n_perm int, bands int"
+        ).write.format("parquet").mode("overwrite").saveAsTable(
+            f"{table_name}_meta"
+        )
+
+
+def probe_minhash_index(
+    spark,
+    table_name: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """incremental_minhash_matches served from a build_minhash_index
+    table set: identical output (shared _minhash_probe_tail), but the
+    index side is the PRE-COMPUTED band/shingle/size tables — a daily
+    probe shingles and hashes only the batch, never the corpus, the
+    candidate equi-join reads the bucketed band table in place, and the
+    verify reads only the candidate docs' shingle rows. Shingle width,
+    permutation count and band count come from the index's own meta
+    table (the build-time parameters are part of the index; a drifting
+    probe parameter cannot silently change the banding)."""
+    meta = spark.table(f"{table_name}_meta").first()
+    n, n_perm, bands = int(meta["n"]), int(meta["n_perm"]), int(meta["bands"])
+    b_sig = minhash_signatures(batch, id_col, text_col, n, n_perm)
+    return _minhash_probe_tail(
+        batch,
+        id_col,
+        minhash_bands(b_sig, n_perm, bands),
+        _shingle_index(batch, id_col, text_col, n),
+        spark.table(f"{table_name}_bands"),
+        spark.table(f"{table_name}_shingles"),
+        threshold,
+        bucket_cap,
+        isizes=spark.table(f"{table_name}_sizes"),
     )

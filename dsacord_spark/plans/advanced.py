@@ -642,110 +642,141 @@ _PHASH_RADIUS = _PHASH_BANDS - 1  # pigeonhole: recall 1 at <= bands-1
 _PHASH_TWIN_EVERY = 30  # plant a perturbed twin for every 30th image
 
 
-@register(
-    "multimodal_phash_dedup",
-    sql=None,  # pixel decode + dHash run in Python kernels: rows-only
-    # driver check; hash determinism and planted-pair recovery are
-    # pinned by tests/test_multimodal.py and the golden gate
-    doc="Image near-dup dedup via 64-bit dHash over REAL decoded pixels "
-    "(stdlib BMP/PNG tiers): banded 4x16-bit LSH candidate join with "
-    "pigeonhole-exact recall at Hamming <= 3, exact bit_count verify, "
-    "planted perturbed twins recovered.",
-)
-def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dsacord_spark.multimodal.binary import (
-        image_dhash, perturb_images, synthesize_real_media,
-    )
-    from dsacord_spark.operators.dedup import banded_hamming_pairs
-
-    d = table(spark, sf_dir, "documents")
-    media = synthesize_real_media(d).filter(F.col("modality") == "image")
-    twins = perturb_images(
-        media.filter(F.col("media_id") % _PHASH_TWIN_EVERY == 0)
-    ).withColumn("media_id", -(F.col("media_id") + F.lit(1)))
-    # persisted for the same reason as simhash_pairs' signature frame:
-    # the banded self-join reads this on BOTH sides and Spark does no
-    # CSE across self-join branches — unpersisted, the pixel decode +
-    # hash kernel (the dominant cost) runs twice. Released by the
-    # harness/bench at the family boundary like every catalog persist.
-    hashed = (
-        image_dhash(media.unionByName(twins))
-        .filter(F.col("dhash").isNotNull())
-        .persist()
-    )
-    return banded_hamming_pairs(
-        hashed, "media_id", "dhash", _PHASH_BANDS, _PHASH_RADIUS
-    )
-
-
-@register(
-    "multimodal_audio_fingerprint_dedup",
-    sql=None,  # WAV decode + envelope hash run in Python kernels:
-    # rows-only driver check; hash determinism and planted-pair
-    # recovery are pinned by tests/test_multimodal.py and the golden
-    doc="Audio near-dup dedup via a 64-bit temporal-envelope difference "
-    "hash over REAL decoded PCM (stdlib wave): same banded-LSH + exact "
-    "bit_count machinery as the image entry (pigeonhole-exact recall "
-    "at Hamming <= 3), planted one-sample-edit twins recovered.",
-)
-def multimodal_audio_fingerprint_dedup(
-    spark: SparkSession, sf_dir: str
+def _fingerprint_pair_frame(
+    spark: SparkSession, sf_dir: str, modality: str
 ) -> DataFrame:
+    """Raw fingerprint near-dup pairs (media_id_a, media_id_b, hamming)
+    for one modality — the shared body of the three dedup entries:
+    synthesize real media, plant a perturbed twin at -(id+1) for every
+    30th item of the modality's residue class, hash with the modality's
+    64-bit kernel, join with banded_hamming_pairs (pigeonhole-exact
+    recall at Hamming <= _PHASH_RADIUS). Not catalog-registered — the
+    hash-valued hamming column has no DuckDB twin, so the full raw
+    result (hamming included) is pinned as a pytest golden
+    (tests/test_rows_only_golden.py) while the registered entries expose
+    the structurally-checkable pair set."""
     from dsacord_spark.multimodal.binary import (
-        audio_ehash, perturb_audio, synthesize_real_media,
-    )
-    from dsacord_spark.operators.dedup import banded_hamming_pairs
-
-    d = table(spark, sf_dir, "documents")
-    media = synthesize_real_media(d).filter(F.col("modality") == "audio")
-    # audio media_ids are == 1 (mod 3); every 10th of them gets a twin
-    twins = perturb_audio(
-        media.filter(F.col("media_id") % _PHASH_TWIN_EVERY == 1)
-    ).withColumn("media_id", -(F.col("media_id") + F.lit(1)))
-    # persisted across the banded self-join like the image entry
-    hashed = (
-        audio_ehash(media.unionByName(twins))
-        .filter(F.col("ehash").isNotNull())
-        .persist()
-    )
-    return banded_hamming_pairs(
-        hashed, "media_id", "ehash", _PHASH_BANDS, _PHASH_RADIUS
-    )
-
-
-@register(
-    "multimodal_video_fingerprint_dedup",
-    sql=None,  # AVI demux + spatio-temporal hash run in Python kernels:
-    # rows-only driver check; determinism and planted-pair recovery are
-    # pinned by tests/test_multimodal.py and the golden
-    doc="Video near-dup dedup via a 64-bit spatio-temporal fingerprint "
-    "(8 sampled frames x 8 column-luma comparisons over REAL demuxed "
-    "BGR frames): the shared banded-LSH + exact bit_count machinery "
-    "(pigeonhole-exact recall at Hamming <= 3), planted one-pixel-edit "
-    "twins recovered — completes the image/audio/video dedup triple.",
-)
-def multimodal_video_fingerprint_dedup(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from dsacord_spark.multimodal.binary import (
+        audio_ehash, image_dhash, perturb_audio, perturb_images,
         perturb_video, synthesize_real_media, video_vhash,
     )
     from dsacord_spark.operators.dedup import banded_hamming_pairs
 
+    hash_fn, perturb_fn, hash_col, residue = {
+        "image": (image_dhash, perturb_images, "dhash", 0),
+        "audio": (audio_ehash, perturb_audio, "ehash", 1),
+        "video": (video_vhash, perturb_video, "vhash", 2),
+    }[modality]
     d = table(spark, sf_dir, "documents")
-    media = synthesize_real_media(d).filter(F.col("modality") == "video")
-    # video media_ids are == 2 (mod 3); every 10th of them gets a twin
-    twins = perturb_video(
-        media.filter(F.col("media_id") % _PHASH_TWIN_EVERY == 2)
+    media = synthesize_real_media(d).filter(F.col("modality") == modality)
+    # media_ids are == residue (mod 3); every 10th of them gets a twin
+    twins = perturb_fn(
+        media.filter(F.col("media_id") % _PHASH_TWIN_EVERY == residue)
     ).withColumn("media_id", -(F.col("media_id") + F.lit(1)))
+    # persisted for the same reason as simhash_pairs' signature frame:
+    # the banded self-join reads this on BOTH sides and Spark does no
+    # CSE across self-join branches — unpersisted, the decode + hash
+    # kernel (the dominant cost) runs twice. Released by the
+    # harness/bench at the family boundary like every catalog persist.
     hashed = (
-        video_vhash(media.unionByName(twins))
-        .filter(F.col("vhash").isNotNull())
+        hash_fn(media.unionByName(twins))
+        .filter(F.col(hash_col).isNotNull())
         .persist()
     )
     return banded_hamming_pairs(
-        hashed, "media_id", "vhash", _PHASH_BANDS, _PHASH_RADIUS
+        hashed, "media_id", hash_col, _PHASH_BANDS, _PHASH_RADIUS
     )
+
+
+def _fingerprint_pairs_sql(residue: int) -> str:
+    """Structural DuckDB twin for the fingerprint pair set (r8 verdict
+    ask #5 — the multimodal_phash_clusters argument, pair edition): the
+    synthesized media are a pure function of document text, so
+    byte-identical media (equal text) share a hash (hamming 0), each
+    planted twin is a deterministic perturbation of those shared bytes
+    (the twin hash moves a few bits from its group's hash, always
+    within radius 3, and twins of equal-text docs are byte-identical),
+    so the Hamming-<=3 pair set equals the complete graph on each
+    text-equality group with twins attached — which DuckDB computes
+    structurally from `documents` (verified pairwise-identical across
+    sf0.001/0.01/0.1 for all three modalities; a cross-text false pair
+    would need two 64-bit fingerprints within 3 bits, ~2e-15/pair)."""
+    return f"""
+    WITH med AS (
+      SELECT doc_id AS media_id, md5(text) AS tkey
+      FROM documents WHERE doc_id % 3 = {residue}),
+    allm AS (
+      SELECT media_id, tkey FROM med
+      UNION ALL
+      SELECT -(media_id + 1) AS media_id, tkey FROM med
+      WHERE media_id % 30 = {residue})
+    SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+           TRUE AS within_radius
+    FROM allm a JOIN allm b
+      ON a.tkey = b.tkey AND a.media_id < b.media_id
+    """
+
+
+def _structural_pairs(pairs: DataFrame) -> DataFrame:
+    """Project the raw pair frame onto the structurally-checkable
+    contract: the pair SET plus the pigeonhole boolean (the joiner's
+    exact-verify filter guarantees it; a recall or verify drift changes
+    the row set and hash-mismatches). The hash-valued hamming column
+    stays pinned by the pytest golden over the raw frame."""
+    return pairs.select(
+        "media_id_a",
+        "media_id_b",
+        (F.col("hamming") <= F.lit(_PHASH_RADIUS)).alias("within_radius"),
+    )
+
+
+@register(
+    "multimodal_phash_dedup",
+    sql=_fingerprint_pairs_sql(0),
+    doc="Image near-dup dedup via 64-bit dHash over REAL decoded pixels "
+    "(stdlib BMP/PNG tiers): banded 4x16-bit LSH candidate join with "
+    "pigeonhole-exact recall at Hamming <= 3, exact bit_count verify, "
+    "planted perturbed twins recovered. FULL value oracle on the pair "
+    "set despite the Python hash kernel: media are a pure function of "
+    "document text, so the Hamming pairs equal the text-equality "
+    "groups' complete graphs with twins attached (the "
+    "multimodal_phash_clusters argument); hamming values pinned by "
+    "pytest golden.",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _structural_pairs(_fingerprint_pair_frame(spark, sf_dir, "image"))
+
+
+@register(
+    "multimodal_audio_fingerprint_dedup",
+    sql=_fingerprint_pairs_sql(1),
+    doc="Audio near-dup dedup via a 64-bit temporal-envelope difference "
+    "hash over REAL decoded PCM (stdlib wave): same banded-LSH + exact "
+    "bit_count machinery as the image entry (pigeonhole-exact recall "
+    "at Hamming <= 3), planted one-sample-edit twins recovered; FULL "
+    "value oracle on the pair set via the text-equality structural twin "
+    "(see multimodal_phash_dedup), hamming values pinned by golden.",
+)
+def multimodal_audio_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _structural_pairs(_fingerprint_pair_frame(spark, sf_dir, "audio"))
+
+
+@register(
+    "multimodal_video_fingerprint_dedup",
+    sql=_fingerprint_pairs_sql(2),
+    doc="Video near-dup dedup via a 64-bit spatio-temporal fingerprint "
+    "(8 sampled frames x 8 column-luma comparisons over REAL demuxed "
+    "BGR frames): the shared banded-LSH + exact bit_count machinery "
+    "(pigeonhole-exact recall at Hamming <= 3), planted one-pixel-edit "
+    "twins recovered — completes the image/audio/video dedup triple; "
+    "FULL value oracle on the pair set via the text-equality structural "
+    "twin (see multimodal_phash_dedup), hamming values pinned by golden.",
+)
+def multimodal_video_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _structural_pairs(_fingerprint_pair_frame(spark, sf_dir, "video"))
 
 
 # ---------------------------------------------------------------------------

@@ -786,19 +786,16 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Compression-ratio quality signal: zlib ratio per document, aggregated
 # per language. Highly repetitive/boilerplate text compresses far below
 # natural prose, making the ratio a standard cheap quality gate (used
-# alongside the repetition filters). Python kernel (zlib) in mapInPandas
-# -> rows-only driver check; determinism within one zlib build is pinned
-# by pytest. Scale: pure map work + one tiny agg, zero wide shuffles
-# before the final 5-row group.
+# alongside the repetition filters). Python kernel (zlib) in mapInPandas.
+# Scale: pure map work + one tiny agg, zero wide shuffles before the
+# final 5-row group.
 # ---------------------------------------------------------------------------
-@register(
-    "text_compression_ratio",
-    sql=None,  # zlib runs in a Python kernel; DuckDB has no twin
-    doc="Per-language compression-ratio stats: zlib(level=6) bytes over "
-    "raw bytes, mean/min per lang — the cheap repetition/boilerplate "
-    "gate.",
-)
-def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw per-language zlib stats (lang, n_docs, mean_ratio,
+    min_ratio). Not catalog-registered — DuckDB has no zlib twin for the
+    ratio VALUES, so these are pinned as a pytest golden
+    (tests/test_rows_only_golden.py) while the registered entry below
+    exposes the structurally-checkable contract."""
     import zlib
 
     from collections.abc import Iterator
@@ -826,6 +823,52 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("ratio"), 6).alias("mean_ratio"),
         F.round(F.min("ratio"), 6).alias("min_ratio"),
+    )
+
+
+@register(
+    "text_compression_ratio",
+    # STRUCTURAL value oracle (r8 verdict ask #4, the sketch-entry
+    # pattern): the zlib kernel still runs — ratio_sane derives from the
+    # actual per-doc ratios — but the compared columns are the
+    # oracle-expressible contract: per-lang doc counts, exact char
+    # totals, and a ratio-sanity boolean the DuckDB twin emits TRUE for
+    # (every zlib(level=6) ratio of non-empty text lies in (0, 2] —
+    # deflate's worst-case expansion is ~5 bytes per 16 KiB block + an
+    # 11-byte header, nowhere near 2x on any input — and empty text is
+    # pinned to ratio 1.0; min <= mean holds for any distribution). The
+    # raw mean/min ratios stay pinned by the pytest golden over
+    # text_compression_ratio_stats.
+    sql="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(COALESCE(text, ''))) AS BIGINT) AS total_chars,
+           TRUE AS ratio_sane
+    FROM documents GROUP BY lang
+    """,
+    doc="Per-language compression-ratio gate: zlib(level=6) bytes over "
+    "raw bytes (the cheap repetition/boilerplate signal); value-checked "
+    "on the (lang, n_docs, total_chars, ratio_sane) structural contract "
+    "— a broken kernel (ratio <= 0, > 2, or min > mean) flips the "
+    "boolean and hash-mismatches; raw ratios pinned by pytest golden.",
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = text_compression_ratio_stats(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    chars = d.groupBy("lang").agg(
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "total_chars"
+        )
+    )
+    return stats.join(chars, "lang").select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        (
+            (F.col("min_ratio") > 0)
+            & (F.col("min_ratio") <= F.col("mean_ratio"))
+            & (F.col("mean_ratio") <= 2.0)
+        ).alias("ratio_sane"),
     )
 
 

@@ -98,10 +98,44 @@ def stage_day(url: str, dt: str, landing_dir: str, **kw) -> tuple[str, str | Non
     # file (r8 review). Unique temps mean each attempt publishes its own
     # complete bytes; os.replace stays atomic and last-publish wins.
     tmp = f"{out_path}.tmp.{os.getpid()}.{threading.get_ident()}.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, out_path)  # atomic publish: readers never see partials
+    try:
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, out_path)  # atomic publish: never a partial
+    finally:
+        # unlike the old fixed '.tmp' (overwritten by the next attempt),
+        # a unique temp orphaned by a failed write/replace would live
+        # forever — unlink it on any exit where the publish didn't
+        # consume it (r8 ADVICE; a killed -9 attempt still orphans, so
+        # stage_range also sweeps stale temps at start)
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
     return out_path, None
+
+
+def sweep_stale_temps(landing_dir: str) -> int:
+    """Remove orphaned `*.zip.tmp.*` attempt files under the landing dir
+    — litter from attempts killed between write and publish (the
+    try/finally in stage_day cannot run for a SIGKILL). Called by
+    stage_range before any download starts, when no attempt can be
+    live; NOT called on the distributed path, where concurrent tasks on
+    other nodes may hold open temps. Temps never match read_staged_zips'
+    `*.zip` glob, so this is hygiene, not correctness."""
+    removed = 0
+    if not os.path.isdir(landing_dir):
+        return 0
+    for root, _dirs, files in os.walk(landing_dir):
+        for name in files:
+            if ".zip.tmp." in name:
+                try:
+                    os.unlink(os.path.join(root, name))
+                    removed += 1
+                except OSError:
+                    pass
+    return removed
 
 
 def stage_range(
@@ -116,6 +150,7 @@ def stage_range(
     order regardless of completion order (Executor.map semantics), so
     callers see the same deterministic list the serial loop produced."""
     url_rows = list(url_rows)
+    sweep_stale_temps(landing_dir)
     if workers <= 1 or len(url_rows) <= 1:
         return [stage_day(url, dt, landing_dir, **kw) for dt, url in url_rows]
     from concurrent.futures import ThreadPoolExecutor

@@ -244,8 +244,14 @@ def extract_zip_arrow(it):
                 yield from t.to_batches()
 
 
-def read_staged_zips(spark: SparkSession, landing_dir: str) -> DataFrame:
-    """binaryFile scan of the landing dir -> wire-schema rows.
+def read_staged_zips(
+    spark: SparkSession, landing: str | list[str]
+) -> DataFrame:
+    """binaryFile scan of the landing dir — or of an explicit staged-path
+    list (what stage_range returns), so a daily run reads exactly its
+    own ZIPs instead of rescanning every previously staged day (r8
+    verdict; at 100 TB the landing dir holds years of dumps and a
+    directory scan would re-extract all of them).
 
     Arrow-native extraction (mapInArrow): the parse tier emits pyarrow
     record batches directly, skipping the pandas object-string
@@ -255,7 +261,7 @@ def read_staged_zips(spark: SparkSession, landing_dir: str) -> DataFrame:
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.zip")
         .option("recursiveFileLookup", "true")
-        .load(landing_dir)
+        .load(landing)
         .select("path", "content")
     )
     return binary.mapInArrow(extract_zip_arrow, schema=EXTRACT_SCHEMA)

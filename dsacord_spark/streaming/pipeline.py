@@ -640,3 +640,83 @@ def run_bounded_stream(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(work, ignore_errors=True)
+
+
+def stream_probe_hamming_index(
+    spark: SparkSession,
+    table_name: str,
+    batch_df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    radius: int = 3,
+    bucket_cap: int | None = None,
+    reader_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """The true daily-production incremental-dedup shape (r8 verdict ask
+    #6): the corpus index lives ON DISK as a build_hamming_index table
+    set, and the new batch arrives as a STREAM whose every micro-batch
+    is probed against those bucketed tables inside foreachBatch —
+    stream_incremental_dedup's in-memory persisted frames replaced by
+    the persisted index. Per-doc matches are independent of batching, so
+    the drained output equals the batch probe_hamming_index over the
+    same batch (parity pinned in tests/test_round9_properties.py).
+
+    Band parameters come from the index's meta table, read ONCE here
+    (not per micro-batch); each micro-batch pays only its own banding
+    plus the bucketed band/summary table reads — probe cost tracks the
+    micro-batch, never the corpus."""
+    from dsacord_spark.operators.dedup import _hamming_probe_tail
+
+    meta = spark.table(f"{table_name}_meta").first()
+    n_bands, hash_bits = int(meta["n_bands"]), int(meta["hash_bits"])
+    idx_min = spark.table(f"{table_name}_summary")
+    ib = spark.table(f"{table_name}_bands")
+
+    def probe(b: DataFrame) -> DataFrame:
+        return _hamming_probe_tail(
+            b, id_col, hash_col, idx_min, ib,
+            n_bands, radius, hash_bits, bucket_cap,
+        )
+
+    return run_bounded_stream(
+        spark,
+        batch_df,
+        lambda s: s,
+        reader_options=reader_options or {"maxFilesPerTrigger": "1"},
+        batch_transform=probe,
+    )
+
+
+def stream_probe_minhash_index(
+    spark: SparkSession,
+    table_name: str,
+    batch_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    bucket_cap: int | None = None,
+    reader_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """stream_probe_hamming_index's Jaccard twin: micro-batches of raw
+    documents probed inside foreachBatch against a PERSISTED
+    build_minhash_index table set (bucketed band/shingle/size tables).
+    Each micro-batch shingles and hashes only its own documents; the
+    corpus is never re-shingled. Per-doc matches are independent of
+    batching, so the drained output equals the batch probe_minhash_index
+    over the same frame (parity pinned in
+    tests/test_round9_properties.py)."""
+    from dsacord_spark.operators.dedup import probe_minhash_index
+
+    def probe(b: DataFrame) -> DataFrame:
+        return probe_minhash_index(
+            spark, table_name, b, id_col, text_col,
+            threshold=threshold, bucket_cap=bucket_cap,
+        )
+
+    return run_bounded_stream(
+        spark,
+        batch_df,
+        lambda s: s,
+        reader_options=reader_options or {"maxFilesPerTrigger": "1"},
+        batch_transform=probe,
+    )

@@ -101,8 +101,18 @@ def test_driver_window_rows_only_classification(monkeypatch):
     import dsacord_spark.plans.catalog as cat
 
     reg_names = list(cat.get_registry().keys())
-    rows_only = [n for n, s in cat.get_registry().items() if s.sql is None]
-    clean, crashed = rows_only[0], rows_only[1]
+    # since r9 every registered entry carries an oracle (sql is never
+    # None), so SYNTHESIZE two rows-only specs to keep the rotation's
+    # no_oracle classification paths pinned (the driver still records
+    # err='no_oracle' for any future oracle-less entry)
+    import dataclasses
+
+    from dsacord_spark.plans import registry as reg_mod
+
+    reg = reg_mod._REGISTRY  # get_registry() hands out copies
+    clean, crashed = reg_names[0], reg_names[1]
+    for n in (clean, crashed):
+        monkeypatch.setitem(reg, n, dataclasses.replace(reg[n], sql=None))
     base = {"rows_match": None, "schema_match": None, "hash_match": None}
 
     def fake_hist():

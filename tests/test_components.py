@@ -250,13 +250,19 @@ def test_prefix_and_naive_jaccard_agree(spark):
 
 def test_compression_ratio_deterministic(spark, sf_dir):
     """zlib kernel determinism within one build: two runs, identical
-    rounded stats (the rows-only driver check can't see values)."""
-    from dsacord_spark.plans.curation import text_compression_ratio
+    rounded stats (the structural catalog oracle can't see the raw
+    ratio values — the golden + this pin do)."""
+    from dsacord_spark.plans.curation import (
+        text_compression_ratio, text_compression_ratio_stats,
+    )
 
-    a = sorted(map(tuple, text_compression_ratio(spark, sf_dir).collect()))
-    b = sorted(map(tuple, text_compression_ratio(spark, sf_dir).collect()))
+    a = sorted(map(tuple, text_compression_ratio_stats(spark, sf_dir).collect()))
+    b = sorted(map(tuple, text_compression_ratio_stats(spark, sf_dir).collect()))
     assert a == b
     assert all(0.0 < r[2] <= 1.5 for r in a)  # mean_ratio sane
+    # and the registered entry's structural boolean holds on real data
+    entry = text_compression_ratio(spark, sf_dir).collect()
+    assert entry and all(r["ratio_sane"] for r in entry)
 
 
 def test_keep_canonical_covers_corpus_once(spark, sf_dir):

@@ -121,3 +121,122 @@ def test_default_sink_handles_all_quarantined_empty_write(spark, tmp_path):
     assert metrics.rows_written == 0
     assert metrics.rows_quarantined == 2  # the dup pair, both quarantined
     assert metrics.day_errors == []
+
+
+def _day_zip_at(uuid: str, created_at: str) -> bytes:
+    """_day_zip with a controllable created_at so each dump day lands in
+    its own dt= lake partition (the scoping tests below need disjoint
+    day partitions)."""
+    row = dict(_FULL_ROW)
+    row["uuid"] = uuid
+    row["created_at"] = created_at
+    csv_data = HEADER + "\n" + _csv_row(row) + "\n"
+    inner = io.BytesIO()
+    with zipfile.ZipFile(inner, "w") as zf:
+        zf.writestr("d.csv", csv_data)
+    outer = io.BytesIO()
+    with zipfile.ZipFile(outer, "w") as zf:
+        zf.writestr("inner.zip", inner.getvalue())
+    return outer.getvalue()
+
+
+def test_run_backfill_scopes_to_this_runs_days(spark, tmp_path):
+    """r8 verdict #2: a second run with a NEW range into a SHARED landing
+    dir must process (and count) only its own staged days — not
+    re-extract and re-write every previously staged day — and must leave
+    the other days' lake partitions in place."""
+    landing = str(tmp_path / "landing")
+
+    def opener_a(url):
+        assert "2025-01-01" in url, f"run A staged unexpected url {url}"
+        return _Resp(_day_zip_at("rowA", "2025-01-01 00:00:00"))
+
+    def opener_b(url):
+        assert "2025-01-02" in url, f"run B staged unexpected url {url}"
+        return _Resp(_day_zip_at("rowB", "2025-01-02 00:00:00"))
+
+    m_a = run_backfill(
+        spark,
+        Config(date_from=date(2025, 1, 1), date_to=date(2025, 1, 1),
+               landing_dir=landing),
+        opener=opener_a,
+    )
+    assert m_a.rows_written == 1
+
+    m_b = run_backfill(
+        spark,
+        Config(date_from=date(2025, 1, 2), date_to=date(2025, 1, 2),
+               landing_dir=landing),
+        opener=opener_b,
+    )
+    assert m_b.rows_written == 1  # counts ONLY run B's day, not A's
+
+    lake = spark.read.parquet(landing + "/decisions")
+    assert sorted(r["uuid"] for r in lake.select("uuid").collect()) == [
+        "rowA", "rowB",  # run B's dynamic overwrite left day A in place
+    ]
+
+    # the escape hatch: rebuild=True re-extracts EVERY staged ZIP under
+    # the landing dir and rewrites the whole lake (old semantics)
+    m_c = run_backfill(
+        spark,
+        Config(date_from=date(2025, 1, 2), date_to=date(2025, 1, 2),
+               landing_dir=landing),
+        opener=opener_b,
+        rebuild=True,
+    )
+    assert m_c.rows_written == 2  # both staged days reprocessed
+    lake = spark.read.parquet(landing + "/decisions")
+    assert lake.count() == 2
+
+
+def test_run_backfill_distributed_staging_end_to_end(spark, tmp_path):
+    """r8 verdict #3: cfg.staging='distributed' routes the backfill's
+    downloads through stage_range_distributed (Spark tasks, multi-node
+    NIC) — same results, metrics, and per-day error isolation as the
+    driver pool. The fake transport is defined in-test so cloudpickle
+    ships it to the Python workers BY VALUE (a test-module-level def
+    pickles by reference to a module the workers cannot import)."""
+    served = {
+        "2025-02-01": _day_zip("dist-day1"),
+        "2025-02-03": _day_zip("dist-day3"),
+    }
+
+    class _R(io.BytesIO):
+        status = 200
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def dist_opener(url):
+        for dt, data in served.items():
+            if dt in url:
+                return _R(data)
+        raise urllib.error.HTTPError(url, 403, "forbidden", None, None)
+
+    cfg = Config(
+        date_from=date(2025, 2, 1),
+        date_to=date(2025, 2, 3),
+        landing_dir=str(tmp_path / "landing"),
+        staging="distributed",
+    )
+    metrics = run_backfill(spark, cfg, opener=dist_opener)
+
+    assert metrics.rows_written == 2            # dup rows within day deduped
+    assert len(metrics.day_errors) == 1         # the 403 day, isolated
+    assert "forbidden" in metrics.day_errors[0]
+    out = spark.read.parquet(str(tmp_path / "landing" / "decisions"))
+    assert sorted(r["uuid"] for r in out.select("uuid").collect()) == [
+        "dist-day1", "dist-day3",
+    ]
+
+
+def test_config_rejects_unknown_staging():
+    import pytest
+
+    with pytest.raises(ValueError, match="staging"):
+        Config(date_from=date(2025, 1, 1), date_to=date(2025, 1, 1),
+               staging="carrier-pigeon").validate()

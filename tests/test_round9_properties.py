@@ -1,0 +1,316 @@
+"""Round-9 pins: the persisted MinHash index (the Jaccard twin of
+build_hamming_index — r8 verdict ask #1), multi-delta append stress for
+the Hamming index (ask #7), the streaming probe served from the
+persisted index (ask #6), and the curate CLI's --build-index /
+--index-table path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _drop_index_tables(spark, name: str, suffixes) -> None:
+    for s in suffixes:
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{s}")
+
+
+MINHASH_SUFFIXES = ("bands", "shingles", "sizes", "meta")
+HAMMING_SUFFIXES = ("summary", "bands", "meta")
+
+
+def test_persisted_minhash_index_matches_inmemory_probe(spark, sf_dir):
+    """build_minhash_index -> probe_minhash_index must equal the
+    in-memory incremental_minhash_matches on the real corpus (shared
+    _minhash_probe_tail; index side served from the pre-computed
+    band/shingle/size tables), including the bucket_cap-admitted
+    variant, and probe parameters must come from the meta table."""
+    from dsacord_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_matches,
+        probe_minhash_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    index = d.filter(F.col("doc_id") % 10 != 0)
+    try:
+        build_minhash_index(
+            index, "doc_id", "text", "t_mh_idx",
+            n=3, n_perm=32, bands=8, buckets=4,
+        )
+        for cap in (None, 2):
+            got = sorted(map(tuple, probe_minhash_index(
+                spark, "t_mh_idx", batch, "doc_id", "text",
+                threshold=0.5, bucket_cap=cap,
+            ).collect()))
+            want = sorted(map(tuple, incremental_minhash_matches(
+                index, batch, "doc_id", "text",
+                n=3, n_perm=32, bands=8, threshold=0.5, bucket_cap=cap,
+            ).collect()))
+            assert got == want and len(got) > 0, f"cap={cap}"
+        assert any(r[1] for r in got), "corpus has dups; none matched"
+    finally:
+        _drop_index_tables(spark, "t_mh_idx", MINHASH_SUFFIXES)
+
+
+def test_minhash_index_build_validations(spark):
+    from dsacord_spark.operators.dedup import build_minhash_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="tile"):
+        build_minhash_index(docs, "doc_id", "text", "t_mh_bad", bands=7)
+    with pytest.raises(ValueError, match="overwrite/append"):
+        build_minhash_index(docs, "doc_id", "text", "t_mh_bad",
+                            mode="merge")
+
+
+def test_minhash_index_append_mode_extends_index(spark):
+    """mode='append' over a DELTA of new doc ids must make the appended
+    index equal a fresh overwrite build over the union, and an append
+    with drifted shingle/permutation/band parameters must raise against
+    the meta row."""
+    from dsacord_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    base = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "an entirely different document about spark engines")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(200, "the quick brown fox jumps over the lazy cat")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy cat"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "nothing like anything indexed here at all truly")],
+        "doc_id long, text string",
+    )
+    try:
+        build_minhash_index(base, "doc_id", "text", "t_mh_app",
+                            n=3, n_perm=32, bands=8, buckets=2)
+        build_minhash_index(delta, "doc_id", "text", "t_mh_app",
+                            n=3, n_perm=32, bands=8, buckets=2,
+                            mode="append")
+        build_minhash_index(base.union(delta), "doc_id", "text",
+                            "t_mh_fresh", n=3, n_perm=32, bands=8,
+                            buckets=2)
+        got = sorted(map(tuple, probe_minhash_index(
+            spark, "t_mh_app", batch, "doc_id", "text", threshold=0.5,
+        ).collect()))
+        want = sorted(map(tuple, probe_minhash_index(
+            spark, "t_mh_fresh", batch, "doc_id", "text", threshold=0.5,
+        ).collect()))
+        assert got == want
+        # doc 1's best_jaccard of 1.0 can only come from the APPENDED
+        # delta doc 200 (the base docs differ); match_id stays the MIN
+        # matching index id (100, the near-match base doc)
+        by_id = {r[0]: r for r in got}
+        assert by_id[1][1] is True and by_id[1][2] == 100
+        assert by_id[1][3] == pytest.approx(1.0)
+        assert by_id[2][1] is True and by_id[2][2] == 100
+        assert by_id[3][1] is False
+        with pytest.raises(ValueError, match="does not match"):
+            build_minhash_index(delta, "doc_id", "text", "t_mh_app",
+                                n=3, n_perm=32, bands=4, buckets=2,
+                                mode="append")
+        with pytest.raises(ValueError, match="does not match"):
+            build_minhash_index(delta, "doc_id", "text", "t_mh_app",
+                                n=2, n_perm=32, bands=8, buckets=2,
+                                mode="append")
+    finally:
+        _drop_index_tables(spark, "t_mh_app", MINHASH_SUFFIXES)
+        _drop_index_tables(spark, "t_mh_fresh", MINHASH_SUFFIXES)
+
+
+def test_hamming_index_multi_delta_append_equals_fresh_build(spark, sf_dir):
+    """r8 verdict ask #7: THREE successive appends — with hashes
+    overlapping across deltas — must equal a fresh overwrite build over
+    the union (per-hash MIN is monotone under union, duplicate band rows
+    collapse in the candidate distinct), and a bucket_cap-admitted probe
+    over the appended index must equal the same probe over the fresh
+    one. Run over the real corpus's signatures so the overlap is the
+    natural duplicate structure, plus a synthetic overlapping delta."""
+    from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS,
+        build_hamming_index,
+        probe_hamming_index,
+        simhash_signatures,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = simhash_signatures(d, "doc_id", "text").persist()
+    try:
+        batch = sig.filter(F.col("doc") % 10 == 0)
+        corpus = sig.filter(F.col("doc") % 10 != 0)
+        # three deltas by doc-id residue — near-dup corpora share
+        # SIGNATURES across deltas (the overlapping-hash case: MIN of
+        # per-build mins must equal the global min)
+        deltas = [corpus.filter(F.col("doc") % 3 == r) for r in range(3)]
+        build_hamming_index(deltas[0], "doc", "simhash", "t_ham_md",
+                            n_bands=4, hash_bits=SIMHASH_BITS, buckets=2)
+        for delta in deltas[1:]:
+            build_hamming_index(delta, "doc", "simhash", "t_ham_md",
+                                n_bands=4, hash_bits=SIMHASH_BITS,
+                                buckets=2, mode="append")
+        # a fourth delta that re-appends an already-indexed hash under a
+        # LARGER member id — must not displace the existing min
+        relabeled = deltas[0].limit(5).withColumn(
+            "doc", F.col("doc") + F.lit(10_000_000)
+        )
+        build_hamming_index(relabeled, "doc", "simhash", "t_ham_md",
+                            n_bands=4, hash_bits=SIMHASH_BITS,
+                            buckets=2, mode="append")
+        build_hamming_index(corpus.union(relabeled), "doc", "simhash",
+                            "t_ham_fresh", n_bands=4,
+                            hash_bits=SIMHASH_BITS, buckets=2)
+        for cap in (None, 2):
+            got = sorted(map(tuple, probe_hamming_index(
+                spark, "t_ham_md", batch, "doc", "simhash",
+                radius=3, bucket_cap=cap,
+            ).collect()))
+            want = sorted(map(tuple, probe_hamming_index(
+                spark, "t_ham_fresh", batch, "doc", "simhash",
+                radius=3, bucket_cap=cap,
+            ).collect()))
+            assert got == want and len(got) > 0, f"cap={cap}"
+        assert any(r[1] for r in got)
+    finally:
+        sig.unpersist()
+        _drop_index_tables(spark, "t_ham_md", HAMMING_SUFFIXES)
+        _drop_index_tables(spark, "t_ham_fresh", HAMMING_SUFFIXES)
+
+
+def test_stream_probe_from_persisted_index_parity(spark, sf_dir):
+    """r8 verdict ask #6: the daily-production streaming shape — index
+    ON DISK (build_hamming_index tables), new batch arriving in
+    micro-batches, each probed inside foreachBatch via the bucketed
+    tables — must produce exactly the catalog entry's output
+    (stream_incremental_dedup: in-memory persisted index frames), which
+    itself equals the batch probe."""
+    from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS,
+        build_hamming_index,
+        simhash_signatures,
+    )
+    from dsacord_spark.plans.reports import stream_incremental_dedup
+    from dsacord_spark.streaming.pipeline import stream_probe_hamming_index
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = simhash_signatures(d, "doc_id", "text").persist()
+    try:
+        batch = sig.filter(F.col("doc") % 10 == 0).repartition(4)
+        index = sig.filter(F.col("doc") % 10 != 0)
+        build_hamming_index(index, "doc", "simhash", "t_ham_stream",
+                            n_bands=4, hash_bits=SIMHASH_BITS, buckets=4)
+        got = sorted(map(tuple, stream_probe_hamming_index(
+            spark, "t_ham_stream", batch.select("doc", "simhash"),
+            "doc", "simhash", radius=3,
+        ).withColumnRenamed("doc", "doc_id").collect()))
+        want = sorted(map(tuple, stream_incremental_dedup(
+            spark, sf_dir
+        ).collect()))
+        assert got == want and len(got) > 0
+        assert any(r[1] for r in got)
+    finally:
+        sig.unpersist()
+        _drop_index_tables(spark, "t_ham_stream", HAMMING_SUFFIXES)
+
+
+def test_curate_cli_build_index_then_index_table(spark, sf_dir, tmp_path,
+                                                 capsys):
+    """`curate --build-index T` then `curate --index-table T` must label
+    the batch exactly like the in-memory `--index CORPUS.parquet` path,
+    for both methods — the CLI form of the build-once/probe-daily
+    production loop."""
+    import json
+
+    from dsacord_spark.curate import main
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch_p = str(tmp_path / "batch.parquet")
+    corpus_p = str(tmp_path / "corpus.parquet")
+    d.filter(F.col("doc_id") % 10 == 0).write.parquet(batch_p)
+    d.filter(F.col("doc_id") % 10 != 0).write.parquet(corpus_p)
+    for method in ("simhash", "minhash"):
+        tname = f"t_cli_idx_{method}"
+        try:
+            assert main(["--input", corpus_p, "--method", method,
+                         "--build-index", tname]) == 0
+            built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+            assert built["built_index"] == tname and built["docs"] > 0
+            out_t = str(tmp_path / f"kept_table_{method}")
+            assert main(["--input", batch_p, "--output", out_t,
+                         "--method", method, "--index-table", tname]) == 0
+            rep_t = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+            out_d = str(tmp_path / f"kept_docs_{method}")
+            assert main(["--input", batch_p, "--output", out_d,
+                         "--method", method, "--index", corpus_p]) == 0
+            rep_d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+            for k in ("docs_in", "docs_kept", "docs_dropped",
+                      "dropped_vs_index", "dropped_within_batch"):
+                assert rep_t[k] == rep_d[k], (method, k, rep_t, rep_d)
+            kept_t = sorted(
+                r["doc_id"]
+                for r in spark.read.parquet(out_t).select("doc_id").collect()
+            )
+            kept_d = sorted(
+                r["doc_id"]
+                for r in spark.read.parquet(out_d).select("doc_id").collect()
+            )
+            assert kept_t == kept_d and len(kept_t) > 0
+            assert rep_t["dropped_vs_index"] > 0  # corpus dups really hit
+        finally:
+            spark.catalog.clearCache()
+            _drop_index_tables(
+                spark, tname,
+                HAMMING_SUFFIXES if method == "simhash"
+                else MINHASH_SUFFIXES,
+            )
+
+
+def test_dedup_incremental_rejects_ambiguous_index_args(spark):
+    from dsacord_spark.curate import dedup_incremental
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_incremental(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup_incremental(docs, index_docs=docs, index_table="t")
+
+
+def test_stream_probe_minhash_index_parity(spark, sf_dir):
+    """The Jaccard twin of the streaming persisted-index probe:
+    micro-batched raw documents probed against the on-disk
+    build_minhash_index tables must equal the batch probe_minhash_index
+    (per-doc matches are batching-independent) — which the first test
+    already pins equal to the in-memory incremental probe."""
+    from dsacord_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from dsacord_spark.streaming.pipeline import stream_probe_minhash_index
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text") \
+        .repartition(4)
+    index = d.filter(F.col("doc_id") % 10 != 0)
+    try:
+        build_minhash_index(index, "doc_id", "text", "t_mh_stream",
+                            n=3, n_perm=32, bands=8, buckets=4)
+        got = sorted(map(tuple, stream_probe_minhash_index(
+            spark, "t_mh_stream", batch, "doc_id", "text", threshold=0.5,
+        ).collect()))
+        want = sorted(map(tuple, probe_minhash_index(
+            spark, "t_mh_stream", batch, "doc_id", "text", threshold=0.5,
+        ).collect()))
+        assert got == want and len(got) > 0
+        assert any(r[1] for r in got)
+    finally:
+        _drop_index_tables(spark, "t_mh_stream", MINHASH_SUFFIXES)

@@ -180,3 +180,54 @@ def test_stage_range_distributed_tasks_download_and_isolate(spark, tmp_path):
     assert len(ok_paths) == 2
     for p in ok_paths:
         assert open(p, "rb").read() == p.rsplit("/", 1)[-1].encode()
+
+
+def test_stage_day_unlinks_temp_when_write_fails(tmp_path, monkeypatch):
+    """r8 ADVICE: a failed write/publish must not orphan the
+    attempt-unique temp file — unlike the old fixed '.tmp' name (which
+    the next attempt overwrote), a unique temp left behind is permanent
+    litter in the landing dir."""
+    import os
+
+    import dsacord_spark.sources.stager as stager_mod
+
+    real_replace = os.replace
+
+    def boom_replace(src, dst):
+        raise OSError("disk full mid-publish")
+
+    monkeypatch.setattr(stager_mod.os, "replace", boom_replace)
+    opener = scripted_opener([FakeResponse(b"DATA")])
+    with pytest.raises(OSError, match="disk full"):
+        stage_day(
+            "http://x/d.zip", "2025-01-01", str(tmp_path), opener=opener,
+            policy=no_sleep_policy(),
+        )
+    day_dir = tmp_path / "dt=2025-01-01"
+    leftovers = [p.name for p in day_dir.iterdir()]
+    assert leftovers == [], f"orphaned temp files: {leftovers}"
+    monkeypatch.setattr(stager_mod.os, "replace", real_replace)
+
+
+def test_stage_range_sweeps_stale_temps(tmp_path):
+    """A SIGKILLed attempt's temp (try/finally never ran) is removed by
+    the next stage_range before downloads start; published .zip files
+    are untouched."""
+    from dsacord_spark.sources.stager import sweep_stale_temps
+
+    day_dir = tmp_path / "dt=2025-01-01"
+    day_dir.mkdir(parents=True)
+    stale = day_dir / "d.zip.tmp.999.888.deadbeef"
+    stale.write_bytes(b"partial")
+    keep = day_dir / "old.zip"
+    keep.write_bytes(b"published")
+
+    opener = scripted_opener([FakeResponse(b"DATA")])
+    results = stage_range(
+        [("2025-01-02", "http://x/d2.zip")], str(tmp_path),
+        opener=opener, policy=no_sleep_policy(),
+    )
+    assert results[0][1] is None
+    assert not stale.exists(), "stale temp survived the sweep"
+    assert keep.read_bytes() == b"published"
+    assert sweep_stale_temps(str(tmp_path / "missing-dir")) == 0
