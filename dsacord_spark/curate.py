@@ -384,12 +384,19 @@ def build_corpus_index(
     )
 
     if method == "simhash":
-        sig = simhash_signatures(docs, id_col, text_col)
-        build_hamming_index(
-            sig, "doc", "simhash", table_name,
-            n_bands=bands if bands is not None else 4,
-            hash_bits=SIMHASH_BITS, buckets=buckets, mode=mode,
-        )
+        # persisted across the build's TWO table writes (summary +
+        # bands both derive from the signature frame, and the 60-bit
+        # signature expression is the dominant cost — the same reason
+        # every banded caller persists it); released before returning
+        sig = simhash_signatures(docs, id_col, text_col).persist()
+        try:
+            build_hamming_index(
+                sig, "doc", "simhash", table_name,
+                n_bands=bands if bands is not None else 4,
+                hash_bits=SIMHASH_BITS, buckets=buckets, mode=mode,
+            )
+        finally:
+            sig.unpersist()
     elif method == "minhash":
         build_minhash_index(
             docs, id_col, text_col, table_name,

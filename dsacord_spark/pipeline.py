@@ -100,54 +100,73 @@ def run_backfill(
     typed, dq = with_dq_metrics(decisions_transform(wire))
     valid, quarantined = split_quarantine(typed)
     deduped = dedup_batch(valid)
-    # second observation, on the post-dedup frame: the sink's own action
-    # populates it, so rows_written is exact (Q2/O5) with ZERO extra
-    # passes — no pre-write count (the r7 double-compute defect) and no
-    # post-write read-back (which crashes on an all-quarantined empty
-    # write and over-counts stale days under dynamic partition
-    # overwrite — r8 review findings)
+    # second observation, populated by the sink's own action so
+    # rows_written is exact (Q2/O5) with ZERO extra passes — no
+    # pre-write count (the r7 double-compute defect) and no post-write
+    # read-back (which crashes on an all-quarantined empty write and
+    # over-counts stale days — r8 review findings). WHERE it attaches
+    # depends on the sink: the daily default appends through a
+    # uuid-anti-join (append_new_decisions), so the observation must sit
+    # BELOW that join to count rows actually appended — a replayed day
+    # contributes 0, not its batch size.
     from pyspark.sql import Observation
 
     written_obs = Observation("written")
-    deduped = deduped.observe(written_obs, F.count(F.lit(1)).alias("n"))
 
     if sink is None:
         out = cfg.landing_dir.rstrip("/") + "/decisions"
+        if rebuild:
+            deduped = deduped.observe(
+                written_obs, F.count(F.lit(1)).alias("n")
+            )
+
+        def _lake_rows() -> int:
+            # footer-metadata count: parquet row counts come from file
+            # footers (no data pages read), so this is file-count-sized
+            try:
+                return spark.read.parquet(out).count()
+            except Exception:
+                return 0  # lake dir absent: first run / empty write
 
         def sink(df: DataFrame) -> int:
             if rebuild:
                 # full-rebuild semantics: static overwrite replaces the
                 # entire decisions lake from every staged ZIP
                 write_decisions_parquet(df, out, mode="overwrite")
-            else:
-                # daily-run semantics: replace only THIS run's day
-                # partitions (idempotent re-runs of a day), leave other
-                # days untouched
-                prev = spark.conf.get(
-                    "spark.sql.sources.partitionOverwriteMode", "static"
-                )
                 try:
-                    spark.conf.set(
-                        "spark.sql.sources.partitionOverwriteMode", "dynamic"
-                    )
-                    write_decisions_parquet(df, out, mode="overwrite")
-                finally:
-                    spark.conf.set(
-                        "spark.sql.sources.partitionOverwriteMode", prev
-                    )
+                    return int(written_obs.get["n"])
+                except Exception:
+                    # on the pinned 4.1.2 this never fires for the
+                    # overwrite path (the all-quarantined repro delivers
+                    # {'n': 0} from .get); if a metrics event is ever
+                    # dropped, recount instead of fabricating 0 (r8
+                    # ADVICE) — one extra pass, never-path only
+                    return df.count()
+            # daily-run semantics: anti-join append by uuid — never
+            # touches other days' partitions and replays are idempotent.
+            # NOT dynamic partition overwrite: the lake partitions on
+            # created_at-derived dt, which is not the dump day — a dump
+            # can carry rows whose created_at falls in another run's
+            # partition (and null created_at lands every run in
+            # dt=unknown), so overwriting this run's dt set would
+            # clobber earlier runs' rows (r9 review finding).
+            from dsacord_spark.sinks.parquet import append_new_decisions
+
+            before = _lake_rows()
+            append_new_decisions(spark, df, out, observation=written_obs)
             try:
                 return int(written_obs.get["n"])
             except Exception:
-                # On the pinned 4.1.2 this never fires: the
-                # all-quarantined repro delivers {'n': 0} from .get (the
-                # AQE empty-relation plan still emits the metrics event
-                # — re-verified r9), and .get otherwise blocks rather
-                # than raises. If a metrics event is ever dropped or a
-                # Py4J error surfaces, recount the written frame instead
-                # of fabricating 0 — a silent rows_written=0 after a
-                # successful non-empty write is the one unacceptable
-                # outcome (r8 ADVICE). One extra pass, never-path only.
-                return df.count()
+                # REACHABLE (reproduced r9, pinned by the replay test):
+                # when the anti-join appends ZERO rows, AQE's
+                # empty-relation propagation eliminates the
+                # CollectMetrics node and .get raises a JVM assertion.
+                # The batch count would over-report a replayed day and a
+                # bare 0 would mask a dropped metrics event after a real
+                # append (r8 ADVICE), so recount exactly: appended =
+                # lake footer-count delta (metadata-only, no data scan)
+                return _lake_rows() - before
+    # custom sinks return their own count — no observation needed
 
     metrics.rows_written = sink(deduped)
     # the observation sits below the quarantine filter, so the sink's own

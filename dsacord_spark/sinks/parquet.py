@@ -64,6 +64,7 @@ def append_new_decisions(
     path: str,
     key: str = "uuid",
     return_dts: bool = False,
+    observation=None,
     **write_kwargs,
 ) -> list[str] | None:
     """Append only rows whose key is not already in the lake — the lake
@@ -81,7 +82,13 @@ def append_new_decisions(
     a crash between append and refresh; see inline note). Only
     meaningful for the day-partitioned layout: without a created_at
     column (or with partition_by_date=False) no dt partitions are
-    written, so the answer is []."""
+    written, so the answer is [].
+
+    `observation` (a pyspark Observation) is attached to the
+    POST-anti-join frame, so the write action populates it with the
+    count of rows actually appended — replayed rows the probe skipped do
+    not count (run_backfill's exact rows_written, Q2/O5, at zero extra
+    passes)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -89,6 +96,8 @@ def append_new_decisions(
     if fs.exists(hpath):
         existing = spark.read.parquet(path).select(key)
         df = df.join(existing, key, "left_anti")
+    if observation is not None:
+        df = df.observe(observation, F.count(F.lit(1)).alias("n"))
     partitioned = (
         write_kwargs.get("partition_by_date", True) and "created_at" in df.columns
     )

@@ -144,7 +144,11 @@ def test_run_backfill_scopes_to_this_runs_days(spark, tmp_path):
     """r8 verdict #2: a second run with a NEW range into a SHARED landing
     dir must process (and count) only its own staged days — not
     re-extract and re-write every previously staged day — and must leave
-    the other days' lake partitions in place."""
+    earlier runs' lake rows in place EVEN IN A SHARED dt PARTITION (the
+    lake partitions on created_at, not the dump day, so run B's rows can
+    land in run A's partition — r9 review: a partition overwrite would
+    clobber; the anti-join append must not). Replaying a day appends
+    nothing and counts 0."""
     landing = str(tmp_path / "landing")
 
     def opener_a(url):
@@ -153,7 +157,8 @@ def test_run_backfill_scopes_to_this_runs_days(spark, tmp_path):
 
     def opener_b(url):
         assert "2025-01-02" in url, f"run B staged unexpected url {url}"
-        return _Resp(_day_zip_at("rowB", "2025-01-02 00:00:00"))
+        # created_at deliberately in run A's day partition
+        return _Resp(_day_zip_at("rowB", "2025-01-01 12:00:00"))
 
     m_a = run_backfill(
         spark,
@@ -163,18 +168,20 @@ def test_run_backfill_scopes_to_this_runs_days(spark, tmp_path):
     )
     assert m_a.rows_written == 1
 
-    m_b = run_backfill(
-        spark,
-        Config(date_from=date(2025, 1, 2), date_to=date(2025, 1, 2),
-               landing_dir=landing),
-        opener=opener_b,
-    )
+    cfg_b = Config(date_from=date(2025, 1, 2), date_to=date(2025, 1, 2),
+                   landing_dir=landing)
+    m_b = run_backfill(spark, cfg_b, opener=opener_b)
     assert m_b.rows_written == 1  # counts ONLY run B's day, not A's
 
     lake = spark.read.parquet(landing + "/decisions")
     assert sorted(r["uuid"] for r in lake.select("uuid").collect()) == [
-        "rowA", "rowB",  # run B's dynamic overwrite left day A in place
+        "rowA", "rowB",  # B appended INTO A's dt partition without clobbering
     ]
+
+    # replaying run B: the uuid anti-join appends nothing, counts 0
+    m_b2 = run_backfill(spark, cfg_b, opener=opener_b)
+    assert m_b2.rows_written == 0
+    assert spark.read.parquet(landing + "/decisions").count() == 2
 
     # the escape hatch: rebuild=True re-extracts EVERY staged ZIP under
     # the landing dir and rewrites the whole lake (old semantics)
