@@ -372,7 +372,7 @@ def build_corpus_index(
     `index_table` path probes — the build half of the daily-production
     shape (build once when the corpus lands; probe every batch):
     simhash -> build_hamming_index over the corpus's 60-bit signatures;
-    minhash -> build_minhash_index's band/shingle/size tables over the
+    minhash -> build_minhash_index's band/shingle-set tables over the
     corpus text. mode='append' extends an existing index with a delta
     (simhash: any delta; minhash: NEW doc ids only — see
     build_minhash_index's append contract)."""
@@ -471,7 +471,7 @@ def main(argv: list[str] | None = None) -> int:
                    "--input and exit WITHOUT deduping: simhash -> "
                    "Hamming index over 60-bit signatures "
                    "(operators/dedup.build_hamming_index); minhash -> "
-                   "band/shingle/size tables "
+                   "band/shingle-set tables "
                    "(operators/dedup.build_minhash_index)")
     p.add_argument("--build-index-mode", choices=("overwrite", "append"),
                    default="overwrite",

@@ -337,20 +337,17 @@ def _jaccard_verify(
     ngr_a: DataFrame,
     ngr_b: DataFrame,
     threshold: float,
-    sizes_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over a candidate-pair frame: intersection
     count via the hg equi-join, sizes per side, inter/(sz_a+sz_b-inter),
-    filter >= threshold. THE one verify definition (the minhash lockstep
-    rule) — minhash_lsh_pairs (self-dedup: ngr_a is ngr_b),
-    incremental_minhash_matches (batch vs index) and probe_minhash_index
-    (batch vs persisted index tables) all call it, and the oracle SQL
-    mirrors this exact expression; a second copy would let the two
-    engines' Jaccard arithmetic drift. `sizes_b` optionally supplies the
-    b side's per-doc shingle counts as a precomputed (doc, sz) frame
-    (the persisted index stores them at build time, so a daily probe
-    never pays a corpus-wide groupBy); when absent they are aggregated
-    from ngr_b. Returns (a_col, b_col, jaccard)."""
+    filter >= threshold. THE row-form verify definition (the minhash
+    lockstep rule) — minhash_lsh_pairs (self-dedup: ngr_a is ngr_b) and
+    incremental_minhash_matches (batch vs index) both call it, and the
+    oracle SQL mirrors this exact expression; a second copy would let
+    the two engines' Jaccard arithmetic drift. probe_minhash_index uses
+    the array-form twin (_jaccard_verify_arrays — same arithmetic, one
+    single-key join per side so the doc-bucketed index co-locates),
+    equality-pinned against this one. Returns (a_col, b_col, jaccard)."""
     na = ngr_a.select(F.col("doc").alias(a_col), F.col("hg").alias("__hg_a"))
     nb = ngr_b.select(F.col("doc").alias("__b2"), F.col("hg").alias("__hg_b"))
     inter = (
@@ -365,13 +362,8 @@ def _jaccard_verify(
     )
     sa = ngr_a.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_a")) \
         .withColumnRenamed("doc", a_col)
-    if sizes_b is None:
-        sb = ngr_b.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_b")) \
-            .withColumnRenamed("doc", b_col)
-    else:
-        sb = sizes_b.select(
-            F.col("doc").alias(b_col), F.col("sz").alias("sz_b")
-        )
+    sb = ngr_b.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_b")) \
+        .withColumnRenamed("doc", b_col)
     return (
         inter.join(sa, a_col)
         .join(sb, b_col)
@@ -1396,7 +1388,10 @@ def incremental_minhash_matches(
     bngr = _shingle_index(batch, id_col, text_col, n)
     ingr = _shingle_index(index, id_col, text_col, n)
     return _minhash_probe_tail(
-        batch, id_col, bb, bngr, ib, ingr, threshold, bucket_cap
+        batch, id_col, bb, ib, threshold, bucket_cap,
+        verify=lambda cand: _jaccard_verify(
+            cand, "bdoc", "idoc", bngr, ingr, threshold
+        ),
     )
 
 
@@ -1404,22 +1399,22 @@ def _minhash_probe_tail(
     batch: DataFrame,
     id_col: str,
     bb: DataFrame,
-    bngr: DataFrame,
     ib: DataFrame,
-    ingr: DataFrame,
     threshold: float,
     bucket_cap: int | None,
-    isizes: DataFrame | None = None,
+    verify,
 ) -> DataFrame:
     """Candidate-join / verify / reduce / stamp stages of the incremental
     MinHash probe, shared by the in-memory path
     (incremental_minhash_matches) and the persisted-index path
-    (probe_minhash_index) so banding admission, Jaccard verification and
+    (probe_minhash_index) so banding admission, candidate generation and
     the per-doc reduce live in exactly one place — the Jaccard twin of
     _hamming_probe_tail. `bb`/`ib` are the batch/index band rows
-    (doc, band_idx, band_hash); `bngr`/`ingr` the shingle frames
-    (doc, hg); `isizes` the index side's optional precomputed (doc, sz)
-    counts (stored by build_minhash_index; None = aggregate from ingr)."""
+    (doc, band_idx, band_hash); `verify(cand) -> (bdoc, idoc, jaccard)`
+    supplies the exact-Jaccard check over the candidate pairs — the
+    row-form _jaccard_verify for the in-memory path, the array-form
+    _jaccard_verify_arrays for the persisted one (two formulations of
+    ONE arithmetic, equality pinned in tests/test_round9_properties.py)."""
     if bucket_cap is not None:
         bb = _capped_bucket_admission(
             bb, ["band_idx", "band_hash"],
@@ -1438,9 +1433,7 @@ def _minhash_probe_tail(
         .select("bdoc", "idoc")
         .distinct()
     )
-    jac = _jaccard_verify(
-        cand, "bdoc", "idoc", bngr, ingr, threshold, sizes_b=isizes
-    )
+    jac = verify(cand)
     best = jac.groupBy("bdoc").agg(
         F.min("idoc").alias("match_id"),
         F.round(F.max("jaccard"), 6).alias("best_jaccard"),
@@ -1454,6 +1447,60 @@ def _minhash_probe_tail(
             "match_id",
             "best_jaccard",
         )
+    )
+
+
+def _doc_shingle_arrays(ngr: DataFrame) -> DataFrame:
+    """(doc, hgs sorted array<long>, sz) from a (doc, hg) shingle frame —
+    the per-doc set form the persisted index stores so the verify join
+    needs only the single equi-key `doc` (which the doc-bucketed table
+    layout satisfies with ZERO shuffle of the corpus side; the row-form
+    (doc, hg) join keys can't be served by any single-column bucketing
+    — r9 plan audit: the shingle table was re-shuffled on every probe).
+    sz is the row count, identical to the row-form size aggregate
+    (shingle rows are distinct per doc by construction)."""
+    return ngr.groupBy("doc").agg(
+        F.sort_array(F.collect_set("hg")).alias("hgs"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+
+
+def _jaccard_verify_arrays(
+    cand: DataFrame,
+    a_col: str,
+    b_col: str,
+    arr_a: DataFrame,
+    arr_b: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from per-doc shingle
+    ARRAYS (_doc_shingle_arrays frames): intersection via
+    array_intersect, same inter/(sz_a+sz_b-inter) arithmetic as the
+    row-form _jaccard_verify (the prefix-filter verifier uses the same
+    array form — _ngram_jaccard_prefix). Each side is ONE single-key doc
+    equi-join, so a doc-bucketed corpus side co-locates with no
+    Exchange. Returns (a_col, b_col, jaccard)."""
+    aa = arr_a.select(
+        F.col("doc").alias(a_col), F.col("hgs").alias("__set_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    ab = arr_b.select(
+        F.col("doc").alias(b_col), F.col("hgs").alias("__set_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    return (
+        cand.join(aa, a_col)
+        .join(ab, b_col)
+        .withColumn(
+            "inter", F.size(F.array_intersect("__set_a", "__set_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(a_col, b_col, "jaccard")
     )
 
 
@@ -1477,12 +1524,15 @@ def build_minhash_index(
                          band_hash), bucketed by (band_idx, band_hash) —
                          the probe's candidate equi-join scans them in
                          place (the tiny batch side broadcasts);
-      <table>_shingles : the corpus shingle index (doc, hg), bucketed by
-                         doc — the exact-Jaccard verify joins it on the
-                         candidate doc ids without shuffling the corpus;
-      <table>_sizes    : per-doc shingle counts (doc, sz), bucketed by
-                         doc — the verify's denominator without a
-                         corpus-wide groupBy per probe;
+      <table>_shingles : per-doc shingle SETS (doc, hgs sorted
+                         array<long>, sz), bucketed by doc — the
+                         exact-Jaccard verify is then ONE single-key doc
+                         equi-join per side, which the bucketing
+                         co-locates with zero corpus shuffle
+                         (plan-pinned; the row-form (doc, hg) layout's
+                         two-key verify join defeats any single-column
+                         bucketing and re-shuffled the corpus every
+                         probe — r9 plan audit);
       <table>_meta     : one row (n, n_perm, bands) —
                          probe_minhash_index reads its parameters from
                          here, and a drift between build and probe (or
@@ -1490,12 +1540,12 @@ def build_minhash_index(
                          silently missing pairs.
 
     The shingle frame is computed ONCE and persisted for the build's
-    three writes (signature, shingles, sizes all derive from it); the
+    two writes (signature bands and doc sets both derive from it); the
     signature/band construction is the shared definition
     (_minhash_sig_from_ngr / minhash_bands — the minhash lockstep rule).
 
     Append-only maintenance: re-run with mode='append' over the DELTA
-    only. All three data tables are PER-DOC rows, so the append contract
+    only. Both data tables are PER-DOC rows, so the append contract
     is disjoint doc ids (a doc lands in the lake once — the daily-ingest
     shape); re-appending an existing doc id would double its shingle
     rows and corrupt sizes and intersections, unlike the Hamming index's
@@ -1530,15 +1580,10 @@ def build_minhash_index(
             .saveAsTable(f"{table_name}_bands")
         )
         (
-            ngr.write.format("parquet").mode(mode)
+            _doc_shingle_arrays(ngr)
+            .write.format("parquet").mode(mode)
             .bucketBy(buckets, "doc").sortBy("doc")
             .saveAsTable(f"{table_name}_shingles")
-        )
-        (
-            ngr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-            .write.format("parquet").mode(mode)
-            .bucketBy(buckets, "doc")
-            .saveAsTable(f"{table_name}_sizes")
         )
     finally:
         ngr.unpersist()
@@ -1561,24 +1606,34 @@ def probe_minhash_index(
 ) -> DataFrame:
     """incremental_minhash_matches served from a build_minhash_index
     table set: identical output (shared _minhash_probe_tail), but the
-    index side is the PRE-COMPUTED band/shingle/size tables — a daily
-    probe shingles and hashes only the batch, never the corpus, the
-    candidate equi-join reads the bucketed band table in place, and the
-    verify reads only the candidate docs' shingle rows. Shingle width,
+    index side is the PRE-COMPUTED band/shingle-set tables — a daily
+    probe shingles and hashes only the batch, never the corpus; the
+    candidate equi-join and the verify's intersection join read the
+    bucketed band/shingle tables in place (one columnar scan each, no
+    re-shingling, no re-hashing, and no shuffle of the corpus side —
+    the doc-bucketed layout co-locates the join; plan-pinned). Shingle
+    width,
     permutation count and band count come from the index's own meta
     table (the build-time parameters are part of the index; a drifting
     probe parameter cannot silently change the banding)."""
     meta = spark.table(f"{table_name}_meta").first()
     n, n_perm, bands = int(meta["n"]), int(meta["n_perm"]), int(meta["bands"])
-    b_sig = minhash_signatures(batch, id_col, text_col, n, n_perm)
+    # the batch shingle frame serves both the signature aggregate and
+    # the verify's batch-side arrays (_shingle_index persists it, so the
+    # plan-identical reads share one cache entry)
+    bngr = _shingle_index(batch, id_col, text_col, n)
+    b_sig = _minhash_sig_from_ngr(bngr, n_perm)
     return _minhash_probe_tail(
         batch,
         id_col,
         minhash_bands(b_sig, n_perm, bands),
-        _shingle_index(batch, id_col, text_col, n),
         spark.table(f"{table_name}_bands"),
-        spark.table(f"{table_name}_shingles"),
         threshold,
         bucket_cap,
-        isizes=spark.table(f"{table_name}_sizes"),
+        verify=lambda cand: _jaccard_verify_arrays(
+            cand, "bdoc", "idoc",
+            _doc_shingle_arrays(bngr),
+            spark.table(f"{table_name}_shingles"),
+            threshold,
+        ),
     )

@@ -699,7 +699,7 @@ def stream_probe_minhash_index(
 ) -> DataFrame:
     """stream_probe_hamming_index's Jaccard twin: micro-batches of raw
     documents probed inside foreachBatch against a PERSISTED
-    build_minhash_index table set (bucketed band/shingle/size tables).
+    build_minhash_index table set (bucketed band/shingle-set tables).
     Each micro-batch shingles and hashes only its own documents; the
     corpus is never re-shingled. Per-doc matches are independent of
     batching, so the drained output equals the batch probe_minhash_index

@@ -15,7 +15,7 @@ def _drop_index_tables(spark, name: str, suffixes) -> None:
         spark.sql(f"DROP TABLE IF EXISTS {name}_{s}")
 
 
-MINHASH_SUFFIXES = ("bands", "shingles", "sizes", "meta")
+MINHASH_SUFFIXES = ("bands", "shingles", "meta")
 HAMMING_SUFFIXES = ("summary", "bands", "meta")
 
 
@@ -23,7 +23,7 @@ def test_persisted_minhash_index_matches_inmemory_probe(spark, sf_dir):
     """build_minhash_index -> probe_minhash_index must equal the
     in-memory incremental_minhash_matches on the real corpus (shared
     _minhash_probe_tail; index side served from the pre-computed
-    band/shingle/size tables), including the bucket_cap-admitted
+    band/shingle-set tables), including the bucket_cap-admitted
     variant, and probe parameters must come from the meta table."""
     from dsacord_spark.operators.dedup import (
         build_minhash_index,

@@ -438,3 +438,88 @@ def test_dynamic_partition_pruning_on_day_partitioned_fact(spark, tmp_path):
     # under DSv2 shows no dynamicpruning anywhere (measured; see
     # session.py) and the fact scan reads all 20 day directories
     assert "dynamicpruningexpression" in plan.lower(), plan
+
+
+def _parents_until_join(plan: str, table: str) -> list[str]:
+    """Walk the formatted-plan tree upward from the named table's scan to
+    its owning join, returning the node names in between (exclusive)."""
+    tree = plan.split("\n\n")[0].splitlines()
+    idx = next(
+        i for i, ln in enumerate(tree)
+        if f"Scan parquet spark_catalog.default.{table}" in ln
+    )
+    pos = tree[idx].index("+-")
+    chain: list[str] = []
+    for ln in reversed(tree[:idx]):
+        if "+-" not in ln:
+            continue
+        p = ln.index("+-")
+        if p < pos:
+            pos = p
+            name = ln[p + 2:].strip().split(" (")[0].lstrip("* ")
+            if "Join" in name:
+                return chain
+            chain.append(name)
+    raise AssertionError(f"no join above the {table} scan:\n{plan}")
+
+
+def test_persisted_probe_indexes_never_shuffle_the_corpus(
+    spark, sf_dir,
+):
+    """The r9 persisted probe indexes exist so a daily probe pays
+    batch-sized work against an in-place corpus: every index table must
+    be read BUCKETED and feed its join with no Exchange between scan and
+    join (only the small batch side shuffles into the bucket layout).
+    Broadcast is force-disabled so the pin covers the at-scale SMJ
+    shape, not the tiny-side broadcast AQE picks at sf0.001. This test
+    exists because the first minhash layout (row-form (doc, hg) shingle
+    table) PASSED value checks while re-shuffling the whole corpus per
+    probe — the verify's two-key join defeated the doc bucketing; the
+    array-form layout keeps verify joins single-key."""
+    from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS,
+        build_hamming_index,
+        build_minhash_index,
+        probe_hamming_index,
+        probe_minhash_index,
+        simhash_signatures,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = simhash_signatures(d, "doc_id", "text").persist()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        build_hamming_index(
+            sig.filter(F.col("doc") % 10 != 0), "doc", "simhash",
+            "t_plan_ham", n_bands=4, hash_bits=SIMHASH_BITS, buckets=4,
+        )
+        build_minhash_index(
+            d.filter(F.col("doc_id") % 10 != 0), "doc_id", "text",
+            "t_plan_mh", n=3, n_perm=32, bands=8, buckets=4,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p_ham = _plan(probe_hamming_index(
+            spark, "t_plan_ham", sig.filter(F.col("doc") % 10 == 0),
+            "doc", "simhash", radius=3,
+        ))
+        p_mh = _plan(probe_minhash_index(
+            spark, "t_plan_mh", d.filter(F.col("doc_id") % 10 == 0),
+            "doc_id", "text", threshold=0.5,
+        ))
+        for plan, tables in (
+            (p_ham, ("t_plan_ham_bands", "t_plan_ham_summary")),
+            (p_mh, ("t_plan_mh_bands", "t_plan_mh_shingles")),
+        ):
+            # every index-table scan is a bucketed read...
+            n_scans = len(tables)
+            assert plan.count("Bucketed: true") == n_scans, plan
+            for t in tables:
+                # ...feeding its join with no shuffle of the corpus side
+                chain = _parents_until_join(plan, t)
+                assert not any("Exchange" in c for c in chain), (t, chain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        sig.unpersist()
+        for t in ("t_plan_ham_summary", "t_plan_ham_bands", "t_plan_ham_meta",
+                  "t_plan_mh_bands", "t_plan_mh_shingles", "t_plan_mh_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
