@@ -24,7 +24,9 @@ the corpus as a PERSISTED index (build_hamming_index /
 build_minhash_index bucketed tables, `--build-index-mode append` for
 daily deltas) and `--index-table TABLE` probes it — the
 build-once/probe-daily production loop where a probe never re-hashes
-the corpus at all. Output: the
+the corpus at all; `--update-index` appends the batch's kept docs back
+to that index, closing the loop (tomorrow's batch dedups against
+today's survivors). Output: the
 kept documents as parquet, plus a one-line JSON report on stdout
 (counts, drop rate, elapsed; incremental mode splits the drop count
 into dropped_within_batch / dropped_vs_index) in the same spirit as
@@ -410,6 +412,42 @@ def build_corpus_index(
         )
 
 
+def update_corpus_index(
+    docs: DataFrame,
+    method: str,
+    table_name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a batch's docs to an EXISTING persisted corpus index,
+    taking every band/shingle parameter from the index's own meta row
+    (the parameters are a property of the index; a caller-supplied knob
+    could only match or raise). This is the write half of the daily
+    loop: curate a batch against the index, then append the KEPT docs
+    so tomorrow's batch dedups against today's survivors. The doc ids
+    must be new (the kept docs of a fresh batch are — the
+    build_minhash_index append contract)."""
+    from dsacord_spark.operators.dedup import build_minhash_index
+
+    spark = docs.sparkSession
+    meta = spark.table(f"{table_name}_meta").first()
+    if method == "simhash":
+        build_corpus_index(
+            docs, "simhash", table_name, id_col, text_col,
+            bands=int(meta["n_bands"]), mode="append",
+        )
+    elif method == "minhash":
+        build_minhash_index(
+            docs, id_col, text_col, table_name,
+            n=int(meta["n"]), n_perm=int(meta["n_perm"]),
+            bands=int(meta["bands"]), mode="append",
+        )
+    else:
+        raise ValueError(
+            f"persisted indexes support simhash/minhash, not {method!r}"
+        )
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(
         prog="dsacord-spark-curate",
@@ -478,6 +516,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="overwrite: fresh index; append: extend with a "
                    "DELTA (simhash: any delta — per-hash MIN is monotone; "
                    "minhash: the delta's doc ids must be NEW)")
+    p.add_argument("--update-index", action="store_true",
+                   help="After deduping with --index-table, APPEND this "
+                   "batch's kept docs to that index (parameters come "
+                   "from the index's meta row) — the daily loop: "
+                   "tomorrow's batch dedups against today's survivors")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.add_argument("--report-dropped", default=None,
@@ -538,6 +581,9 @@ def main(argv: list[str] | None = None) -> int:
                     "combine with --preflight/--index/--index-table")
     if a.output is None and not (a.preflight or a.build_index):
         p.error("--output is required when deduping")
+    if a.update_index and a.index_table is None:
+        p.error("--update-index appends to a persisted index and "
+                "requires --index-table")
 
     from dsacord_spark.session import get_spark
 
@@ -636,6 +682,20 @@ def main(argv: list[str] | None = None) -> int:
             )
             cols.append(F.col("index_match_id"))
         dropped.select(*cols).write.mode("overwrite").parquet(a.report_dropped)
+    if a.update_index:
+        # the daily loop's write half: append THIS batch's kept docs to
+        # the persisted index (parameters from the index's own meta
+        # row), so tomorrow's batch dedups against today's survivors.
+        # Reads the just-written output (already deduped, tiny) rather
+        # than re-running the labeled plan.
+        update_corpus_index(
+            spark.read.parquet(a.output).select(a.id_col, a.text_col)
+            if a.format == "parquet"
+            else kept.select(a.id_col, a.text_col),
+            a.method, a.index_table, id_col=a.id_col, text_col=a.text_col,
+        )
+        report["index_updated"] = a.index_table
+        report["index_appended_docs"] = n_kept
     labeled.unpersist()
     print(json.dumps(report))
     return 0

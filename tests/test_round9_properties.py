@@ -314,3 +314,79 @@ def test_stream_probe_minhash_index_parity(spark, sf_dir):
         assert any(r[1] for r in got)
     finally:
         _drop_index_tables(spark, "t_mh_stream", MINHASH_SUFFIXES)
+
+
+def test_curate_update_index_closes_the_daily_loop(spark, tmp_path, capsys):
+    """`--index-table T --update-index` must append the batch's KEPT
+    docs to the persisted index so the NEXT batch's duplicates of them
+    are dropped vs the index — the full daily production loop (build
+    once -> probe batch -> append survivors). Without the update,
+    batch 2's copy of a batch-1 doc would sail through."""
+    import json
+
+    from dsacord_spark.curate import main
+
+    corpus = [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+        (2, "completely different corpus text about parquet lakes here"),
+    ]
+    batch1 = [
+        # new doc, kept; its twin arrives in batch 2
+        (100, "the unique pangram about clever zebras jumping nightly"),
+        # exact copy of corpus doc 1: dropped vs the ORIGINAL index
+        # under BOTH methods (a one-word edit on a short doc moves the
+        # SimHash far beyond radius 3 — near-dup distances are covered
+        # by the operator tests; this test pins the LOOP)
+        (101, "alpha bravo charlie delta echo foxtrot golf hotel"),
+    ]
+    batch2 = [
+        # exact copy of batch 1's kept doc — only the UPDATED index
+        # knows it
+        (200, "the unique pangram about clever zebras jumping nightly"),
+    ]
+    paths = {}
+    for name, rows in (("corpus", corpus), ("b1", batch1), ("b2", batch2)):
+        p = str(tmp_path / f"{name}.parquet")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(p)
+        paths[name] = p
+
+    for method in ("minhash", "simhash"):
+        tname = f"t_loop_{method}"
+        try:
+            assert main(["--input", paths["corpus"], "--method", method,
+                         "--build-index", tname]) == 0
+            capsys.readouterr()
+            out1 = str(tmp_path / f"kept1_{method}")
+            assert main(["--input", paths["b1"], "--output", out1,
+                         "--method", method, "--index-table", tname,
+                         "--update-index"]) == 0
+            rep1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+            assert rep1["dropped_vs_index"] == 1  # doc 101 vs corpus
+            assert rep1["index_updated"] == tname
+            assert rep1["index_appended_docs"] == 1  # doc 100
+            out2 = str(tmp_path / f"kept2_{method}")
+            assert main(["--input", paths["b2"], "--output", out2,
+                         "--method", method, "--index-table", tname]) == 0
+            rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+            # doc 200 duplicates batch 1's KEPT doc 100 — only the
+            # updated index can drop it
+            assert rep2["dropped_vs_index"] == 1 and rep2["docs_kept"] == 0
+        finally:
+            spark.catalog.clearCache()
+            _drop_index_tables(
+                spark, tname,
+                HAMMING_SUFFIXES if method == "simhash"
+                else MINHASH_SUFFIXES,
+            )
+
+
+def test_curate_update_index_requires_index_table(tmp_path, capsys):
+    import pytest
+
+    from dsacord_spark.curate import main
+
+    with pytest.raises(SystemExit):
+        main(["--input", "x.parquet", "--output", "y",
+              "--method", "minhash", "--update-index"])
+    assert "requires --index-table" in capsys.readouterr().err
