@@ -390,3 +390,45 @@ def test_curate_update_index_requires_index_table(tmp_path, capsys):
         main(["--input", "x.parquet", "--output", "y",
               "--method", "minhash", "--update-index"])
     assert "requires --index-table" in capsys.readouterr().err
+
+
+def test_curate_cli_build_index_append_mode(spark, tmp_path, capsys):
+    """`--build-index T --build-index-mode append` extends an existing
+    index with a delta from the CLI: a batch probed afterwards matches
+    docs from BOTH builds."""
+    import json
+
+    from dsacord_spark.curate import main
+    from dsacord_spark.operators.dedup import probe_minhash_index
+
+    base = [(1, "alpha bravo charlie delta echo foxtrot golf hotel")]
+    delta = [(2, "completely different corpus text about parquet lakes here")]
+    batch = [(10, "alpha bravo charlie delta echo foxtrot golf hotel"),
+             (11, "completely different corpus text about parquet lakes here"),
+             (12, "matches nothing in either build of the index truly")]
+    paths = {}
+    for name, rows in (("base", base), ("delta", delta)):
+        p = str(tmp_path / f"{name}.parquet")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(p)
+        paths[name] = p
+    try:
+        assert main(["--input", paths["base"], "--method", "minhash",
+                     "--build-index", "t_cli_app"]) == 0
+        assert main(["--input", paths["delta"], "--method", "minhash",
+                     "--build-index", "t_cli_app",
+                     "--build-index-mode", "append"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["mode"] == "append" and rep["docs"] == 1
+        got = {
+            r["doc_id"]: (r["is_dup"], r["match_id"])
+            for r in probe_minhash_index(
+                spark, "t_cli_app",
+                spark.createDataFrame(batch, "doc_id long, text string"),
+                "doc_id", "text", threshold=0.5,
+            ).collect()
+        }
+        assert got == {10: (True, 1), 11: (True, 2), 12: (False, None)}
+    finally:
+        spark.catalog.clearCache()
+        _drop_index_tables(spark, "t_cli_app", MINHASH_SUFFIXES)
