@@ -427,10 +427,21 @@ def update_corpus_index(
     so tomorrow's batch dedups against today's survivors. The doc ids
     must be new (the kept docs of a fresh batch are — the
     build_minhash_index append contract)."""
-    from dsacord_spark.operators.dedup import build_minhash_index
+    from dsacord_spark.operators.dedup import (
+        _read_index_meta, build_minhash_index,
+    )
 
+    if method not in ("simhash", "minhash"):
+        raise ValueError(
+            f"persisted indexes support simhash/minhash, not {method!r}"
+        )
     spark = docs.sparkSession
-    meta = spark.table(f"{table_name}_meta").first()
+    meta = _read_index_meta(
+        spark, table_name,
+        ("n_bands", "hash_bits") if method == "simhash"
+        else ("n", "n_perm", "bands"),
+        "Hamming" if method == "simhash" else "MinHash",
+    )
     if method == "simhash":
         build_corpus_index(
             docs, "simhash", table_name, id_col, text_col,

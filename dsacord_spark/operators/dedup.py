@@ -1290,7 +1290,9 @@ def build_hamming_index(
         raise ValueError(f"mode must be overwrite/append, not {mode!r}")
     spark = hashed.sparkSession
     if mode == "append":
-        meta = spark.table(f"{table_name}_meta").first()
+        meta = _read_index_meta(
+            spark, table_name, ("n_bands", "hash_bits"), "Hamming"
+        )
         if (int(meta["n_bands"]), int(meta["hash_bits"])) != (
             n_bands, hash_bits,
         ):
@@ -1338,7 +1340,9 @@ def probe_hamming_index(
     never rescans or re-hashes the corpus, and the band equi-join reads
     the bucketed band table in place. Band parameters come from the
     index's own meta table (a drift between build and probe raises)."""
-    meta = spark.table(f"{table_name}_meta").first()
+    meta = _read_index_meta(
+        spark, table_name, ("n_bands", "hash_bits"), "Hamming"
+    )
     n_bands, hash_bits = int(meta["n_bands"]), int(meta["hash_bits"])
     return _hamming_probe_tail(
         batch, id_col, hash_col,
@@ -1346,6 +1350,22 @@ def probe_hamming_index(
         spark.table(f"{table_name}_bands"),
         n_bands, radius, hash_bits, bucket_cap,
     )
+
+
+def _read_index_meta(spark, table_name: str, expected: tuple, kind: str):
+    """Read and shape-check a persisted index's meta row: probing a
+    table set built for the OTHER index family would otherwise die on a
+    cryptic missing-field error (a Hamming meta carries
+    n_bands/hash_bits, a MinHash meta n/n_perm/bands)."""
+    meta = spark.table(f"{table_name}_meta").first()
+    missing = [c for c in expected if c not in meta.asDict()]
+    if missing:
+        raise ValueError(
+            f"{table_name} is not a {kind} index (meta row lacks "
+            f"{missing}; found columns {sorted(meta.asDict())}) — "
+            f"it was probably built for the other method"
+        )
+    return meta
 
 
 def incremental_minhash_matches(
@@ -1562,7 +1582,9 @@ def build_minhash_index(
         raise ValueError(f"mode must be overwrite/append, not {mode!r}")
     spark = df.sparkSession
     if mode == "append":
-        meta = spark.table(f"{table_name}_meta").first()
+        meta = _read_index_meta(
+            spark, table_name, ("n", "n_perm", "bands"), "MinHash"
+        )
         if (int(meta["n"]), int(meta["n_perm"]), int(meta["bands"])) != (
             n, n_perm, bands,
         ):
@@ -1616,7 +1638,9 @@ def probe_minhash_index(
     permutation count and band count come from the index's own meta
     table (the build-time parameters are part of the index; a drifting
     probe parameter cannot silently change the banding)."""
-    meta = spark.table(f"{table_name}_meta").first()
+    meta = _read_index_meta(
+        spark, table_name, ("n", "n_perm", "bands"), "MinHash"
+    )
     n, n_perm, bands = int(meta["n"]), int(meta["n_perm"]), int(meta["bands"])
     # the batch shingle frame serves both the signature aggregate and
     # the verify's batch-side arrays (_shingle_index persists it, so the

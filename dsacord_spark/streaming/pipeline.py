@@ -665,9 +665,13 @@ def stream_probe_hamming_index(
     (not per micro-batch); each micro-batch pays only its own banding
     plus the bucketed band/summary table reads — probe cost tracks the
     micro-batch, never the corpus."""
-    from dsacord_spark.operators.dedup import _hamming_probe_tail
+    from dsacord_spark.operators.dedup import (
+        _hamming_probe_tail, _read_index_meta,
+    )
 
-    meta = spark.table(f"{table_name}_meta").first()
+    meta = _read_index_meta(
+        spark, table_name, ("n_bands", "hash_bits"), "Hamming"
+    )
     n_bands, hash_bits = int(meta["n_bands"]), int(meta["hash_bits"])
     idx_min = spark.table(f"{table_name}_summary")
     ib = spark.table(f"{table_name}_bands")

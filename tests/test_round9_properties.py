@@ -432,3 +432,29 @@ def test_curate_cli_build_index_append_mode(spark, tmp_path, capsys):
     finally:
         spark.catalog.clearCache()
         _drop_index_tables(spark, "t_cli_app", MINHASH_SUFFIXES)
+
+
+def test_probe_rejects_wrong_index_family(spark):
+    """Probing a table set built for the OTHER index family must raise a
+    named error, not a cryptic missing-field failure."""
+    from dsacord_spark.operators.dedup import (
+        build_hamming_index,
+        build_minhash_index,
+        probe_hamming_index,
+        probe_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo")], "doc_id long, text string"
+    )
+    hashes = spark.createDataFrame([(1, 0x0F)], "id long, h long")
+    try:
+        build_minhash_index(docs, "doc_id", "text", "t_fam_mh", buckets=2)
+        build_hamming_index(hashes, "id", "h", "t_fam_ham", buckets=2)
+        with pytest.raises(ValueError, match="not a Hamming index"):
+            probe_hamming_index(spark, "t_fam_mh", hashes, "id", "h")
+        with pytest.raises(ValueError, match="not a MinHash index"):
+            probe_minhash_index(spark, "t_fam_ham", docs, "doc_id", "text")
+    finally:
+        _drop_index_tables(spark, "t_fam_mh", MINHASH_SUFFIXES)
+        _drop_index_tables(spark, "t_fam_ham", HAMMING_SUFFIXES)
