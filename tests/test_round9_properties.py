@@ -458,3 +458,56 @@ def test_probe_rejects_wrong_index_family(spark):
     finally:
         _drop_index_tables(spark, "t_fam_mh", MINHASH_SUFFIXES)
         _drop_index_tables(spark, "t_fam_ham", HAMMING_SUFFIXES)
+
+
+def test_persisted_minhash_index_hypothesis_random_docs(spark):
+    """Generative pin for the flagship r9 feature: for random small
+    word-documents (biased toward shared phrases), build+probe through
+    the persisted tables must equal the in-memory probe. The two paths
+    share candidate construction but DIFFER in index materialization
+    (bucketed tables vs session frames) and verify arithmetic (array
+    form vs the oracle-mirrored row form) — equality pins both. Few
+    examples: each builds and drops a table set."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from dsacord_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_matches,
+        probe_minhash_index,
+    )
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+    doc = st.lists(
+        st.sampled_from(words), min_size=4, max_size=10
+    ).map(" ".join)
+
+    @settings(max_examples=3, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(doc, min_size=1, max_size=3),
+        st.lists(doc, min_size=1, max_size=4),
+    )
+    def run(batch_texts, index_texts):
+        batch = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch_texts)],
+            "doc_id long, text string",
+        )
+        index = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(index_texts)],
+            "doc_id long, text string",
+        )
+        try:
+            build_minhash_index(index, "doc_id", "text", "t_mh_hyp",
+                                buckets=2)
+            got = sorted(map(tuple, probe_minhash_index(
+                spark, "t_mh_hyp", batch, "doc_id", "text", threshold=0.5,
+            ).collect()))
+            want = sorted(map(tuple, incremental_minhash_matches(
+                index, batch, "doc_id", "text", threshold=0.5,
+            ).collect()))
+            assert got == want
+        finally:
+            spark.catalog.clearCache()
+            _drop_index_tables(spark, "t_mh_hyp", MINHASH_SUFFIXES)
+
+    run()
