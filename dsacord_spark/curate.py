@@ -266,6 +266,14 @@ def dedup_incremental(
     EXISTING corpus (banded incremental probe — the corpus is never
     banded against itself). Returns `docs` + (cluster_id, kept,
     index_match_id): kept = within-batch canonical AND no index match.
+
+    RETRY-IDEMPOTENT (r9 verdict item 1): every probe runs with
+    exclude_self=True, so a batch whose kept docs were ALREADY appended
+    to the corpus/index (an orchestrator re-run after a downstream
+    crash) does not match each doc to itself and silently empty the kept
+    set — replaying the same batch reproduces the first run's labels
+    exactly (pinned in tests/test_round10_properties.py, together with
+    update_corpus_index's disjoint-append guard).
     `method` picks the semantics: 'simhash' probes at Hamming <=
     `radius` (operators/dedup.incremental_hamming_matches); 'minhash'
     probes at n-gram Jaccard >= `threshold`
@@ -320,12 +328,13 @@ def dedup_incremental(
             batch_sig = simhash_signatures(docs, id_col, text_col)
             probe = probe_hamming_index(
                 spark, index_table, batch_sig, "doc", "simhash",
-                radius=radius, bucket_cap=bucket_cap,
+                radius=radius, bucket_cap=bucket_cap, exclude_self=True,
             ).withColumnRenamed("doc", id_col)
         else:
             probe = probe_minhash_index(
                 spark, index_table, docs, id_col, text_col,
                 threshold=threshold, bucket_cap=bucket_cap,
+                exclude_self=True,
             ).drop("best_jaccard")
     elif method == "simhash":
         # NOT persisted: plan-identical to dedup_corpus's internal
@@ -336,12 +345,13 @@ def dedup_incremental(
             index_sig, batch_sig, "doc", "simhash",
             n_bands=bands if bands is not None else 4,
             radius=radius, hash_bits=SIMHASH_BITS, bucket_cap=bucket_cap,
+            exclude_self=True,
         ).withColumnRenamed("doc", id_col)
     else:
         probe = incremental_minhash_matches(
             index_docs, docs, id_col, text_col, n=ngram,
             bands=bands if bands is not None else 8,
-            threshold=threshold, bucket_cap=bucket_cap,
+            threshold=threshold, bucket_cap=bucket_cap, exclude_self=True,
         ).drop("best_jaccard")
     probe = probe.select(
         F.col(id_col).alias("__p_doc"),
@@ -418,15 +428,26 @@ def update_corpus_index(
     table_name: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+) -> int:
     """Append a batch's docs to an EXISTING persisted corpus index,
     taking every band/shingle parameter from the index's own meta row
     (the parameters are a property of the index; a caller-supplied knob
     could only match or raise). This is the write half of the daily
     loop: curate a batch against the index, then append the KEPT docs
-    so tomorrow's batch dedups against today's survivors. The doc ids
-    must be new (the kept docs of a fresh batch are — the
-    build_minhash_index append contract)."""
+    so tomorrow's batch dedups against today's survivors.
+
+    ENFORCES the disjoint-doc-id append contract build_minhash_index
+    documents (r9 verdict item 1): the batch is anti-joined against the
+    index's existing doc ids before appending, so a retried run appends
+    nothing the first run already appended — without this, a replay
+    would double every kept doc's shingle rows and corrupt
+    sizes/intersections from then on. The existing-id set is read from
+    the per-doc shingles table (minhash) or the per-hash summary's
+    min-id column (simhash — under this loop at most one doc is appended
+    per hash, so the min-id column IS the appended-id set; a re-append
+    of a non-min id would in any case be harmless, per-hash MIN being
+    monotone under union). Both reads are index-metadata-sized column
+    scans of bucketed tables."""
     from dsacord_spark.operators.dedup import (
         _read_index_meta, build_minhash_index,
     )
@@ -442,21 +463,35 @@ def update_corpus_index(
         else ("n", "n_perm", "bands"),
         "Hamming" if method == "simhash" else "MinHash",
     )
-    if method == "simhash":
-        build_corpus_index(
-            docs, "simhash", table_name, id_col, text_col,
-            bands=int(meta["n_bands"]), mode="append",
-        )
-    elif method == "minhash":
-        build_minhash_index(
-            docs, id_col, text_col, table_name,
-            n=int(meta["n"]), n_perm=int(meta["n_perm"]),
-            bands=int(meta["bands"]), mode="append",
-        )
-    else:
-        raise ValueError(
-            f"persisted indexes support simhash/minhash, not {method!r}"
-        )
+    existing = (
+        spark.table(f"{table_name}_summary")
+        .select(F.col("_i_min").alias(id_col))
+        if method == "simhash"
+        else spark.table(f"{table_name}_shingles")
+        .select(F.col("doc").alias(id_col))
+    )
+    docs = docs.join(existing, id_col, "left_anti").persist()
+    try:
+        appended = docs.count()
+        if appended == 0:
+            # all-duplicate delta (a full-run retry): leave the index
+            # files completely untouched — byte-stable, not just
+            # content-stable
+            return 0
+        if method == "simhash":
+            build_corpus_index(
+                docs, "simhash", table_name, id_col, text_col,
+                bands=int(meta["n_bands"]), mode="append",
+            )
+        else:
+            build_minhash_index(
+                docs, id_col, text_col, table_name,
+                n=int(meta["n"]), n_perm=int(meta["n_perm"]),
+                bands=int(meta["bands"]), mode="append",
+            )
+        return appended
+    finally:
+        docs.unpersist()
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -699,14 +734,16 @@ def main(argv: list[str] | None = None) -> int:
         # row), so tomorrow's batch dedups against today's survivors.
         # Reads the just-written output (already deduped, tiny) rather
         # than re-running the labeled plan.
-        update_corpus_index(
+        appended = update_corpus_index(
             spark.read.parquet(a.output).select(a.id_col, a.text_col)
             if a.format == "parquet"
             else kept.select(a.id_col, a.text_col),
             a.method, a.index_table, id_col=a.id_col, text_col=a.text_col,
         )
         report["index_updated"] = a.index_table
-        report["index_appended_docs"] = n_kept
+        # docs ACTUALLY appended — on a retried run the disjoint-append
+        # guard filters already-indexed docs, so this reads 0, not n_kept
+        report["index_appended_docs"] = appended
     labeled.unpersist()
     print(json.dumps(report))
     return 0

@@ -1134,6 +1134,7 @@ def incremental_hamming_matches(
     radius: int = 3,
     hash_bits: int = 64,
     bucket_cap: int | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """INCREMENTAL dedup probe: match a NEW batch against an EXISTING
     corpus index without re-banding the corpus against itself — the
@@ -1162,7 +1163,19 @@ def incremental_hamming_matches(
     Output: one row per batch item — (id_col, is_dup boolean,
     match_id nullable, best_hamming nullable int). Deterministic:
     match_id = MIN index id over all within-radius matches,
-    best_hamming = MIN hamming (independent aggregates)."""
+    best_hamming = MIN hamming (independent aggregates).
+
+    `exclude_self=True` removes the batch's OWN ids from the index side
+    before probing (a member-level anti-join — exact, regardless of
+    shared hashes), so re-probing a batch whose docs were already
+    appended to the corpus does not report every doc as a duplicate of
+    itself. This is the retry-idempotence guard the daily curate loop
+    runs on (curate.dedup_incremental; r9 verdict item 1); default False
+    keeps the historical probe-any-overlap semantics."""
+    if exclude_self:
+        index = index.join(
+            batch.select(F.col(id_col)).distinct(), id_col, "left_anti"
+        )
     i_members = index.select(
         F.col(id_col).alias("_iid"), F.col(hash_col).alias("_ih")
     )
@@ -1301,14 +1314,27 @@ def build_hamming_index(
                 f"does not match the existing index "
                 f"({meta['n_bands']}/{meta['hash_bits']})"
             )
+    if mode == "overwrite":
+        # crash-consistency (r9 ADVICE): drop ALL THREE tables up front
+        # and write meta LAST, so an overwrite build that dies mid-way
+        # leaves a set with NO meta — every probe then raises a
+        # rebuild-me diagnostic (_read_index_meta) instead of silently
+        # probing a mixed-generation index (stale meta mis-bands the
+        # batch; bands/summary from different generations silently miss)
+        for s in ("summary", "bands", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {table_name}_{s}")
     members = hashed.select(
         F.col(id_col).alias("_iid"), F.col(hash_col).alias("_ih")
     )
     idx_min = members.groupBy("_ih").agg(F.min("_iid").alias("_i_min"))
-    (
-        idx_min.write.format("parquet").mode(mode)
-        .bucketBy(buckets, "_ih").saveAsTable(f"{table_name}_summary")
-    )
+    # bands BEFORE summary: update_corpus_index's retry guard anti-joins
+    # the batch against the SUMMARY's ids, so an append that crashes
+    # between the two writes must leave the summary the incomplete one —
+    # the retry is then not filtered out and re-appends both (duplicate
+    # band rows collapse in the probe's candidate distinct; duplicate
+    # summary rows are absorbed by the per-hash MIN). The reverse order
+    # would filter the retry on the already-written summary and leave
+    # the delta's band rows missing forever (a silent recall hole).
     bands = _band_rows(
         idx_min.select(F.col("_ih").alias("_h")), "_h", n_bands, hash_bits
     )
@@ -1316,6 +1342,10 @@ def build_hamming_index(
         bands.write.format("parquet").mode(mode)
         .bucketBy(buckets, "band_no", "band_val")
         .saveAsTable(f"{table_name}_bands")
+    )
+    (
+        idx_min.write.format("parquet").mode(mode)
+        .bucketBy(buckets, "_ih").saveAsTable(f"{table_name}_summary")
     )
     if mode == "overwrite":
         spark.createDataFrame(
@@ -1333,31 +1363,79 @@ def probe_hamming_index(
     hash_col: str,
     radius: int = 3,
     bucket_cap: int | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """incremental_hamming_matches served from a build_hamming_index
     table set: identical output (shared _hamming_probe_tail), but the
     index side is the PRE-HASHED summary/band tables — a daily probe
     never rescans or re-hashes the corpus, and the band equi-join reads
     the bucketed band table in place. Band parameters come from the
-    index's own meta table (a drift between build and probe raises)."""
+    index's own meta table (a drift between build and probe raises).
+
+    `exclude_self=True` clears matches where the probe's match is the
+    batch doc ITSELF (match_id == own id at Hamming 0) — the
+    retry-idempotence guard for the daily loop (a replayed batch whose
+    kept docs were already appended must not drop them all as
+    self-duplicates). The index stores a per-hash MIN-id summary, not
+    members, so the exclusion is at the reduced match: under the daily
+    loop's append contract (update_corpus_index appends only kept docs,
+    at most one per Hamming cluster, disjoint from the prior corpus)
+    a self-match is exactly (own id, Hamming 0) and the clearing is
+    exact; outside that contract a doc that matches both itself and a
+    same-hash smaller-id stranger keeps the stranger (min id != own),
+    and the only unreachable-in-the-loop miss is own-id-min hiding a
+    second same-hash member — use the member-level
+    incremental_hamming_matches(exclude_self=True) when probing
+    arbitrary overlapping corpora."""
     meta = _read_index_meta(
         spark, table_name, ("n_bands", "hash_bits"), "Hamming"
     )
     n_bands, hash_bits = int(meta["n_bands"]), int(meta["hash_bits"])
-    return _hamming_probe_tail(
+    out = _hamming_probe_tail(
         batch, id_col, hash_col,
         spark.table(f"{table_name}_summary"),
         spark.table(f"{table_name}_bands"),
         n_bands, radius, hash_bits, bucket_cap,
     )
+    if exclude_self:
+        self_hit = F.coalesce(
+            (F.col("match_id") == F.col(id_col))
+            & (F.col("best_hamming") == 0),
+            F.lit(False),
+        )
+        out = out.select(
+            F.col(id_col),
+            (F.col("is_dup") & ~self_hit).alias("is_dup"),
+            F.when(~self_hit, F.col("match_id")).alias("match_id"),
+            F.when(~self_hit, F.col("best_hamming")).alias("best_hamming"),
+        )
+    return out
 
 
 def _read_index_meta(spark, table_name: str, expected: tuple, kind: str):
     """Read and shape-check a persisted index's meta row: probing a
     table set built for the OTHER index family would otherwise die on a
     cryptic missing-field error (a Hamming meta carries
-    n_bands/hash_bits, a MinHash meta n/n_perm/bands)."""
-    meta = spark.table(f"{table_name}_meta").first()
+    n_bands/hash_bits, a MinHash meta n/n_perm/bands). A MISSING or
+    EMPTY meta table raises the same diagnostic-shaped error instead of
+    an opaque AnalysisException/AttributeError (r9 ADVICE): the builders
+    drop all three tables first and write meta LAST, so 'meta absent' is
+    precisely 'a build crashed mid-write — rebuild with
+    mode=overwrite', never a silently-mixed-generation index."""
+    try:
+        meta = spark.table(f"{table_name}_meta").first()
+    except Exception as exc:
+        raise ValueError(
+            f"{table_name} has no readable _meta table — either it was "
+            f"never built, or an overwrite build crashed before its "
+            f"final meta write; rebuild with mode='overwrite' "
+            f"({type(exc).__name__}: {exc})"
+        ) from exc
+    if meta is None:
+        raise ValueError(
+            f"{table_name}_meta is empty — the index build did not "
+            f"complete; rebuild with mode='overwrite'"
+        )
     missing = [c for c in expected if c not in meta.asDict()]
     if missing:
         raise ValueError(
@@ -1378,6 +1456,7 @@ def incremental_minhash_matches(
     bands: int = 8,
     threshold: float = 0.5,
     bucket_cap: int | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """INCREMENTAL near-dup probe, Jaccard edition: match a NEW batch of
     documents against an EXISTING corpus at n-gram Jaccard >= threshold
@@ -1412,6 +1491,7 @@ def incremental_minhash_matches(
         verify=lambda cand: _jaccard_verify(
             cand, "bdoc", "idoc", bngr, ingr, threshold
         ),
+        exclude_self=exclude_self,
     )
 
 
@@ -1423,6 +1503,7 @@ def _minhash_probe_tail(
     threshold: float,
     bucket_cap: int | None,
     verify,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Candidate-join / verify / reduce / stamp stages of the incremental
     MinHash probe, shared by the in-memory path
@@ -1434,7 +1515,15 @@ def _minhash_probe_tail(
     supplies the exact-Jaccard check over the candidate pairs — the
     row-form _jaccard_verify for the in-memory path, the array-form
     _jaccard_verify_arrays for the persisted one (two formulations of
-    ONE arithmetic, equality pinned in tests/test_round9_properties.py)."""
+    ONE arithmetic, equality pinned in tests/test_round9_properties.py).
+
+    `exclude_self=True` drops candidate pairs where the index doc IS the
+    batch doc (bdoc == idoc) before the verify — exact at the member
+    level for both paths, because the index side of the candidate join
+    carries real per-doc band rows (unlike the Hamming index's min-id
+    summary). This is the retry-idempotence guard for the daily curate
+    loop: a replayed batch whose kept docs were appended to the index
+    must not match every doc to itself at Jaccard 1.0."""
     if bucket_cap is not None:
         bb = _capped_bucket_admission(
             bb, ["band_idx", "band_hash"],
@@ -1453,6 +1542,9 @@ def _minhash_probe_tail(
         .select("bdoc", "idoc")
         .distinct()
     )
+    if exclude_self:
+        # before the verify, so self pairs pay no intersection join
+        cand = cand.filter(F.col("bdoc") != F.col("idoc"))
     jac = verify(cand)
     best = jac.groupBy("bdoc").agg(
         F.min("idoc").alias("match_id"),
@@ -1593,6 +1685,19 @@ def build_minhash_index(
                 f"not match the existing index "
                 f"({meta['n']}/{meta['n_perm']}/{meta['bands']})"
             )
+    if mode == "overwrite":
+        # crash-consistency (r9 ADVICE): drop-first + meta-LAST, so a
+        # build that dies mid-way leaves no meta and every probe raises
+        # a rebuild-me diagnostic (_read_index_meta) instead of reading
+        # a mixed-generation index. For APPEND the write order is bands
+        # then shingles, matched to update_corpus_index's retry guard
+        # (anti-join on the SHINGLES doc ids): a crash between the two
+        # appends leaves shingles the incomplete table, so a retried
+        # append is not filtered out and re-appends both — duplicate
+        # band rows collapse in the probe's candidate distinct, and the
+        # shingles land exactly once.
+        for s in ("bands", "shingles", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {table_name}_{s}")
     ngr = _shingle_frame(df, id_col, text_col, n).persist()
     try:
         (
@@ -1625,6 +1730,7 @@ def probe_minhash_index(
     text_col: str,
     threshold: float = 0.5,
     bucket_cap: int | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """incremental_minhash_matches served from a build_minhash_index
     table set: identical output (shared _minhash_probe_tail), but the
@@ -1637,7 +1743,13 @@ def probe_minhash_index(
     width,
     permutation count and band count come from the index's own meta
     table (the build-time parameters are part of the index; a drifting
-    probe parameter cannot silently change the banding)."""
+    probe parameter cannot silently change the banding).
+
+    `exclude_self=True` drops self pairs (bdoc == idoc) at the candidate
+    stage — exact at the member level (the index band/shingle tables are
+    per-doc rows, unlike the Hamming summary), making a replayed daily
+    batch probe cleanly against an index that already contains its own
+    kept docs (retry idempotence, r9 verdict item 1)."""
     meta = _read_index_meta(
         spark, table_name, ("n", "n_perm", "bands"), "MinHash"
     )
@@ -1660,4 +1772,5 @@ def probe_minhash_index(
             spark.table(f"{table_name}_shingles"),
             threshold,
         ),
+        exclude_self=exclude_self,
     )
