@@ -500,7 +500,8 @@ def main(argv: list[str] | None = None) -> int:
         description="Near-dup curation over a parquet corpus: detect, "
         "cluster, keep one canonical document per cluster.",
     )
-    p.add_argument("--input", required=True, help="Input parquet path")
+    p.add_argument("--input", default=None, help="Input parquet path "
+                   "(required except with --compact-index)")
     p.add_argument("--output", default=None, help="Output dir (kept docs); "
                    "required except with --preflight / --build-index")
     p.add_argument("--format", choices=("parquet", "jsonl"), default="parquet",
@@ -557,6 +558,14 @@ def main(argv: list[str] | None = None) -> int:
                    "(operators/dedup.build_hamming_index); minhash -> "
                    "band/shingle-set tables "
                    "(operators/dedup.build_minhash_index)")
+    p.add_argument("--compact-index", default=None, metavar="TABLE",
+                   help="Compact a persisted index's bucketed tables to "
+                   "one file per bucket and exit (no input read, no "
+                   "dedup): restores the write-time sort order that "
+                   "daily appends fragment, so probes' sort-merge joins "
+                   "skip their per-partition Sorts "
+                   "(spark.sql.legacy.bucketedTableScan.outputOrdering "
+                   "must be true at probe time)")
     p.add_argument("--build-index-mode", choices=("overwrite", "append"),
                    default="overwrite",
                    help="overwrite: fresh index; append: extend with a "
@@ -625,7 +634,18 @@ def main(argv: list[str] | None = None) -> int:
         if a.preflight or a.index is not None or a.index_table is not None:
             p.error("--build-index builds the index and exits; it cannot "
                     "combine with --preflight/--index/--index-table")
-    if a.output is None and not (a.preflight or a.build_index):
+    if a.compact_index is not None and (
+        a.preflight or a.build_index or a.index is not None
+        or a.index_table is not None or a.input is not None
+    ):
+        p.error("--compact-index is a maintenance-only mode; it cannot "
+                "combine with --input/--preflight/--build-index/--index/"
+                "--index-table")
+    if a.input is None and a.compact_index is None:
+        p.error("--input is required except with --compact-index")
+    if a.output is None and not (
+        a.preflight or a.build_index or a.compact_index
+    ):
         p.error("--output is required when deduping")
     if a.update_index and a.index_table is None:
         p.error("--update-index appends to a persisted index and "
@@ -635,6 +655,16 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="dsacord-curate", master=a.master)
     t0 = time.perf_counter()
+    if a.compact_index is not None:
+        from dsacord_spark.operators.dedup import compact_index
+
+        stats = compact_index(spark, a.compact_index)
+        print(json.dumps({
+            "compacted_index": a.compact_index,
+            "tables": stats,
+            "elapsed_s": round(time.perf_counter() - t0, 2),
+        }))
+        return 0
     docs = spark.read.parquet(a.input)
     if a.build_index is not None:
         build_corpus_index(

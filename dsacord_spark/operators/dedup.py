@@ -36,6 +36,47 @@ from dsacord_spark.functions.hashing import (
 )
 from dsacord_spark.functions.text import tokens, word_ngrams
 
+# Cap on driver-side IN-lists the persisted-index probes push into the
+# corpus-side scans (band keys / matched hashes / candidate doc ids).
+# Below the cap, bucket pruning + row-group skipping make those scans
+# batch-sized; above it the probe falls back to the full bucketed scan
+# (a probe this wide is candidate-dominated anyway, and a 100k-literal
+# filter would bloat the plan more than it saves).
+_PROBE_PRUNE_LIMIT = 20_000
+
+# Auto-prune threshold: prune=None (the default) enables scan pruning
+# only when the index's on-disk tables exceed this size. The pruning
+# machinery has a FIXED cost (~10s measured: two driver collects, a
+# localCheckpoint materialization, and planning/codegen of
+# thousand-literal IN filters) while its savings scale with index size
+# — below ~10 GiB a full columnar scan of a bucketed single-column
+# table is simply cheaper than the machinery (measured in
+# scripts/probe_scale_rehearsal.py: at a 450k-doc corpus the unpruned
+# probe wins 3.5s vs 22s); above it the corpus scan dominates and
+# pruning turns a corpus-linear read into a batch-sized one. Explicit
+# prune=True/False overrides the heuristic either way.
+_PRUNE_AUTO_MIN_BYTES = 10 << 30
+
+
+def _table_location_bytes(spark, table_name: str) -> int:
+    """Total on-disk bytes of a catalog table's location (one
+    FileSystem.getContentSummary call — metadata-only, no data read)."""
+    loc = next(
+        (r["data_type"] for r in
+         spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
+         if r["col_name"].strip() == "Location"),
+        None,
+    )
+    if not loc:
+        return 0
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        return int(fs.getContentSummary(path).getLength())
+    except Exception:
+        return 0
+
 
 def exact_duplicate_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """Exact dedup via hash groupBy: one row per duplicated content value,
@@ -841,6 +882,28 @@ def _band_rows(
     )
 
 
+def _with_band_key(
+    bands_df: DataFrame, n_bands: int, hash_bits: int
+) -> DataFrame:
+    """Add the SINGLE combined band key to a _band_rows frame:
+    band_key = band_no * 2^width + band_val (width = hash_bits /
+    n_bands; band_val < 2^width by construction, so the encoding is
+    injective — joining on band_key is exactly joining on the
+    (band_no, band_val) pair). One key instead of two is what lets the
+    persisted Hamming index's band table be bucketed by a single column,
+    which Spark needs both for a shuffle-free bucketed join (the
+    bucketing must cover ALL join keys) and for bucket pruning on the
+    probe's pushed IN-filter. THE one key definition — the in-memory
+    probe derives it here and build_hamming_index stores the same
+    expression, so the two sides can never drift."""
+    width = hash_bits // n_bands
+    return bands_df.withColumn(
+        "band_key",
+        (F.col("band_no").cast("long") * F.lit(1 << width))
+        + F.col("band_val"),
+    )
+
+
 def banded_bucket_load(
     uniq: DataFrame, hash_col: str, n_bands: int, hash_bits: int
 ) -> DataFrame:
@@ -1199,6 +1262,7 @@ def _hamming_probe_tail(
     radius: int,
     hash_bits: int,
     bucket_cap: int | None,
+    corpus_prune_limit: int | None = None,
 ) -> DataFrame:
     """Steps 2-4 of the incremental Hamming probe, shared by the
     in-memory path (incremental_hamming_matches) and the persisted-index
@@ -1217,21 +1281,37 @@ def _hamming_probe_tail(
     b_members = batch.select(
         F.col(id_col).alias("_bid"), F.col(hash_col).alias("_bh")
     )
-    # 2. banded batch x index candidate hash pairs
-    bb = _band_rows(b_members.select(F.col("_bh").alias("_h")).distinct(),
-                    "_h", n_bands, hash_bits)
+    # 2. banded batch x index candidate hash pairs. The equi-join runs
+    # on the SINGLE combined band_key (= band_no * 2^width + band_val,
+    # injective — _band_key) rather than the (band_no, band_val) pair:
+    # identical join semantics, but a single key is what lets the
+    # persisted index co-partition WITHOUT an Exchange (Spark requires
+    # the bucketing to cover ALL join keys for a shuffle-free join) and
+    # what makes single-column bucket pruning possible on the probe's
+    # IN-filter. The persisted band table stores band_key directly; the
+    # in-memory path derives it from _band_rows in lockstep.
+    bb = _with_band_key(
+        _band_rows(b_members.select(F.col("_bh").alias("_h")).distinct(),
+                   "_h", n_bands, hash_bits),
+        n_bands, hash_bits,
+    )
+    if "band_key" not in ib.columns:
+        ib = _with_band_key(ib, n_bands, hash_bits)
     if bucket_cap is not None:
+        # band_key <-> (band_no, band_val) is a bijection, so admission
+        # groups and ordering are IDENTICAL to the historical two-column
+        # partitioning
         bb = _capped_bucket_admission(
-            bb, ["band_no", "band_val"], F.col("_h"), F.col("_h"), bucket_cap
+            bb, ["band_key"], F.col("_h"), F.col("_h"), bucket_cap
         )
         ib = _capped_bucket_admission(
-            ib, ["band_no", "band_val"], F.col("_h"), F.col("_h"), bucket_cap
+            ib, ["band_key"], F.col("_h"), F.col("_h"), bucket_cap
         )
     cand = (
-        bb.select(F.col("_h").alias("_bh"), "band_no", "band_val")
+        bb.select(F.col("_h").alias("_bh"), "band_key")
         .join(
-            ib.select(F.col("_h").alias("_ih"), "band_no", "band_val"),
-            ["band_no", "band_val"],
+            ib.select(F.col("_h").alias("_ih"), "band_key"),
+            ["band_key"],
         )
         .select("_bh", "_ih")
         .distinct()
@@ -1241,6 +1321,28 @@ def _hamming_probe_tail(
         "_ham",
         F.bit_count(F.col("_bh").bitwiseXOR(F.col("_ih"))).cast("int"),
     ).filter(F.col("_ham") <= radius)
+    if corpus_prune_limit is not None:
+        # persisted-index path (r10): the verify needs NO table at all
+        # (the banded hashes ARE the values — bit_count runs on the
+        # candidate pair), so the summary join only fetches min ids for
+        # the few hashes that actually matched within radius. Collect
+        # that tiny set and push it into the bucketed summary scan as an
+        # IN-filter: bucket pruning + row-group skipping make the
+        # summary read match-sized instead of corpus-sized. Falls back
+        # to the full bucketed scan above the limit (a probe matching
+        # >limit distinct index hashes is already candidate-dominated).
+        # Value-identical: summary rows for unmatched hashes cannot
+        # survive the inner join. localCheckpoint (lazy) runs the
+        # band+verify subplan ONCE for both the hit-list collect and the
+        # final join; blocks are batch-sized and ContextCleaner-reclaimed
+        # (no session-lifetime cache entry).
+        verified = verified.localCheckpoint(eager=False)
+        hits = verified.select("_ih").distinct().take(corpus_prune_limit + 1)
+        if len(hits) <= corpus_prune_limit:
+            vals = [r[0] for r in hits]
+            idx_min = idx_min.filter(
+                F.col("_ih").isin(vals) if vals else F.lit(False)
+            )
     best_per_hash = (
         verified.join(idx_min, "_ih")
         .groupBy("_bh")
@@ -1276,11 +1378,23 @@ def build_hamming_index(
     corpus is hashed ONCE when it lands in the lake; daily probes read
     the summary instead of re-hashing the corpus):
 
-      <table>_summary : per-DISTINCT-hash MIN member id, bucketed by the
-                        hash so the verify join reads co-located buckets;
-      <table>_bands   : the summary's band rows, bucketed by
-                        (band_no, band_val) — the probe's equi-join scans
-                        them in place (the tiny batch side broadcasts);
+      <table>_summary : per-DISTINCT-hash MIN member id, bucketed AND
+                        sorted by the hash so the verify join reads
+                        co-located buckets;
+      <table>_bands   : the summary's band rows as (_h, band_key),
+                        bucketed and sorted by the SINGLE combined
+                        band_key (r10, _with_band_key: band_no * 2^width
+                        + band_val, injective) — the probe's equi-join
+                        runs on band_key alone, so the bucketed scan
+                        co-locates it with zero corpus-side Exchange
+                        (Spark requires the bucketing to cover ALL join
+                        keys), and the single bucket column is what lets
+                        Spark do genuine BUCKET PRUNING when the probe
+                        pushes the batch's band keys in as an IN-filter
+                        (probe_hamming_index prune=True): only the
+                        bucket files holding the batch's band values are
+                        read at all, which removes the corpus-linear
+                        band scan the r9 100x rehearsal measured;
       <table>_meta    : one row (n_bands, hash_bits) — probe_hamming_index
                         validates against it so a parameter drift between
                         build and probe raises instead of silently
@@ -1335,17 +1449,22 @@ def build_hamming_index(
     # summary rows are absorbed by the per-hash MIN). The reverse order
     # would filter the retry on the already-written summary and leave
     # the delta's band rows missing forever (a silent recall hole).
-    bands = _band_rows(
-        idx_min.select(F.col("_ih").alias("_h")), "_h", n_bands, hash_bits
-    )
+    bands = _with_band_key(
+        _band_rows(
+            idx_min.select(F.col("_ih").alias("_h")), "_h", n_bands,
+            hash_bits,
+        ),
+        n_bands, hash_bits,
+    ).select("_h", "band_key")
     (
         bands.write.format("parquet").mode(mode)
-        .bucketBy(buckets, "band_no", "band_val")
+        .bucketBy(buckets, "band_key").sortBy("band_key")
         .saveAsTable(f"{table_name}_bands")
     )
     (
         idx_min.write.format("parquet").mode(mode)
-        .bucketBy(buckets, "_ih").saveAsTable(f"{table_name}_summary")
+        .bucketBy(buckets, "_ih").sortBy("_ih")
+        .saveAsTable(f"{table_name}_summary")
     )
     if mode == "overwrite":
         spark.createDataFrame(
@@ -1364,6 +1483,7 @@ def probe_hamming_index(
     radius: int = 3,
     bucket_cap: int | None = None,
     exclude_self: bool = False,
+    prune: bool | None = None,
 ) -> DataFrame:
     """incremental_hamming_matches served from a build_hamming_index
     table set: identical output (shared _hamming_probe_tail), but the
@@ -1371,6 +1491,22 @@ def probe_hamming_index(
     never rescans or re-hashes the corpus, and the band equi-join reads
     the bucketed band table in place. Band parameters come from the
     index's own meta table (a drift between build and probe raises).
+
+    `prune` pushes the batch's own band keys into the index band-table
+    scan as an IN-filter: a daily batch touches a tiny subset of band
+    buckets, the band table is bucketed by the single band_key, and
+    Spark's bucket pruning then skips every bucket file that holds none
+    of the batch's keys (SelectedBucketsCount in the plan) — the band
+    scan becomes ~batch-sized instead of corpus-sized, and the summary
+    join is likewise IN-filtered down to the hashes that actually
+    matched. Default None = AUTO: prune only when the index exceeds
+    _PRUNE_AUTO_MIN_BYTES, because the machinery has a fixed ~10s cost
+    (driver collects + thousand-literal plan compile) that loses to a
+    plain columnar scan on small indexes (measured crossover —
+    scripts/probe_scale_rehearsal.py). Value-identical either way:
+    a band row whose key no batch hash carries can never equi-join,
+    and capped admission ranks within a band bucket, which the filter
+    keeps or drops whole.
 
     `exclude_self=True` clears matches where the probe's match is the
     batch doc ITSELF (match_id == own id at Hamming 0) — the
@@ -1391,11 +1527,32 @@ def probe_hamming_index(
         spark, table_name, ("n_bands", "hash_bits"), "Hamming"
     )
     n_bands, hash_bits = int(meta["n_bands"]), int(meta["hash_bits"])
+    if prune is None:
+        prune = (
+            _table_location_bytes(spark, f"{table_name}_bands")
+            + _table_location_bytes(spark, f"{table_name}_summary")
+        ) >= _PRUNE_AUTO_MIN_BYTES
+    ib = spark.table(f"{table_name}_bands")
+    if prune:
+        rows = _with_band_key(
+            _band_rows(
+                batch.select(F.col(hash_col).alias("_h")).distinct(),
+                "_h", n_bands, hash_bits,
+            ),
+            n_bands, hash_bits,
+        ).select("band_key").distinct().take(_PROBE_PRUNE_LIMIT + 1)
+        if len(rows) <= _PROBE_PRUNE_LIMIT:
+            vals = [r[0] for r in rows]
+            # empty batch: no band can match (isin() rejects empty)
+            ib = ib.filter(
+                F.col("band_key").isin(vals) if vals else F.lit(False)
+            )
     out = _hamming_probe_tail(
         batch, id_col, hash_col,
         spark.table(f"{table_name}_summary"),
-        spark.table(f"{table_name}_bands"),
+        ib,
         n_bands, radius, hash_bits, bucket_cap,
+        corpus_prune_limit=_PROBE_PRUNE_LIMIT if prune else None,
     )
     if exclude_self:
         self_hit = F.coalesce(
@@ -1504,6 +1661,7 @@ def _minhash_probe_tail(
     bucket_cap: int | None,
     verify,
     exclude_self: bool = False,
+    materialize_cand: bool = False,
 ) -> DataFrame:
     """Candidate-join / verify / reduce / stamp stages of the incremental
     MinHash probe, shared by the in-memory path
@@ -1524,20 +1682,28 @@ def _minhash_probe_tail(
     summary). This is the retry-idempotence guard for the daily curate
     loop: a replayed batch whose kept docs were appended to the index
     must not match every doc to itself at Jaccard 1.0."""
+    # the candidate equi-join and capped admission key on band_hash
+    # ALONE (r10): minhash_bands md5-prefixes each band's slice with its
+    # band index, so band_hash already determines band_idx — the single
+    # key gives identical buckets and pairs (modulo 64-bit md5
+    # collisions, which the exact-Jaccard verify absorbs), and is what
+    # lets the persisted index's band_hash-bucketed table serve the join
+    # with zero Exchange AND bucket-prune on the probe's IN-filter
+    # (Spark needs the bucketing to cover ALL join keys).
     if bucket_cap is not None:
         bb = _capped_bucket_admission(
-            bb, ["band_idx", "band_hash"],
+            bb, ["band_hash"],
             F.xxhash64(F.col("doc")), F.col("doc"), bucket_cap,
         )
         ib = _capped_bucket_admission(
-            ib, ["band_idx", "band_hash"],
+            ib, ["band_hash"],
             F.xxhash64(F.col("doc")), F.col("doc"), bucket_cap,
         )
     cand = (
-        bb.select(F.col("doc").alias("bdoc"), "band_idx", "band_hash")
+        bb.select(F.col("doc").alias("bdoc"), "band_hash")
         .join(
-            ib.select(F.col("doc").alias("idoc"), "band_idx", "band_hash"),
-            ["band_idx", "band_hash"],
+            ib.select(F.col("doc").alias("idoc"), "band_hash"),
+            ["band_hash"],
         )
         .select("bdoc", "idoc")
         .distinct()
@@ -1545,6 +1711,17 @@ def _minhash_probe_tail(
     if exclude_self:
         # before the verify, so self pairs pay no intersection join
         cand = cand.filter(F.col("bdoc") != F.col("idoc"))
+    if materialize_cand:
+        # the persisted-probe path consumes cand twice (the verify's
+        # candidate-id collect for shingle-scan pruning, then the verify
+        # join itself); localCheckpoint runs the batch-sized band join
+        # ONCE and serves both from stored blocks — without it the probe
+        # paid the whole banding subplan twice (r10 rehearsal). Lazy
+        # (eager=False): materialized by the first consumer. Blocks are
+        # batch-sized and reclaimed by the ContextCleaner when the frame
+        # goes unreachable — no session-lifetime cache entry (the r9
+        # ADVICE leak class).
+        cand = cand.localCheckpoint(eager=False)
     jac = verify(cand)
     best = jac.groupBy("bdoc").agg(
         F.min("idoc").alias("match_id"),
@@ -1633,9 +1810,17 @@ def build_minhash_index(
     in-memory path re-shingles and re-hashes the whole corpus per run):
 
       <table>_bands    : per-doc MinHash band rows (doc, band_idx,
-                         band_hash), bucketed by (band_idx, band_hash) —
-                         the probe's candidate equi-join scans them in
-                         place (the tiny batch side broadcasts);
+                         band_hash), bucketed and sorted by band_hash
+                         ALONE (r10) — band_hash already encodes its
+                         band_idx (minhash_bands prefixes the slice with
+                         the band index before hashing), so single-
+                         column bucketing still co-locates the two-key
+                         candidate equi-join with zero corpus Exchange,
+                         and gives Spark genuine BUCKET PRUNING when
+                         probe_minhash_index (prune=True) pushes the
+                         batch's band hashes in as an IN-filter: only
+                         the bucket files holding the batch's band
+                         values are read at all;
       <table>_shingles : per-doc shingle SETS (doc, hgs sorted
                          array<long>, sz), bucketed by doc — the
                          exact-Jaccard verify is then ONE single-key doc
@@ -1703,7 +1888,7 @@ def build_minhash_index(
         (
             minhash_bands(_minhash_sig_from_ngr(ngr, n_perm), n_perm, bands)
             .write.format("parquet").mode(mode)
-            .bucketBy(buckets, "band_idx", "band_hash")
+            .bucketBy(buckets, "band_hash").sortBy("band_hash", "band_idx")
             .saveAsTable(f"{table_name}_bands")
         )
         (
@@ -1722,6 +1907,32 @@ def build_minhash_index(
         )
 
 
+def compact_index(spark, table_name: str) -> dict:
+    """Compact every bucketed table of a persisted probe index to ONE
+    file per bucket (sinks/parquet.compact_bucketed_table), whichever
+    family it is (Hamming: summary+bands; MinHash: bands+shingles; the
+    one-row meta table is not bucketed and needs none). Daily appends
+    add one file per bucket per day; after compaction — with
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true — the probes'
+    sort-merge joins consume the sorted bucket files with NO per-
+    partition Sort (plan-pinned in tests/test_round10_properties.py).
+    Run it on the maintenance cadence, like the lake's
+    compact_partitions."""
+    from dsacord_spark.sinks.parquet import compact_bucketed_table
+
+    stats = {}
+    for s in ("summary", "bands", "shingles"):
+        t = f"{table_name}_{s}"
+        if spark.catalog.tableExists(t):
+            stats[s] = compact_bucketed_table(spark, t)
+    if not stats:
+        raise ValueError(
+            f"{table_name} has no index tables to compact — build it "
+            f"first (build_hamming_index / build_minhash_index)"
+        )
+    return stats
+
+
 def probe_minhash_index(
     spark,
     table_name: str,
@@ -1731,6 +1942,7 @@ def probe_minhash_index(
     threshold: float = 0.5,
     bucket_cap: int | None = None,
     exclude_self: bool = False,
+    prune: bool | None = None,
 ) -> DataFrame:
     """incremental_minhash_matches served from a build_minhash_index
     table set: identical output (shared _minhash_probe_tail), but the
@@ -1749,28 +1961,87 @@ def probe_minhash_index(
     stage — exact at the member level (the index band/shingle tables are
     per-doc rows, unlike the Hamming summary), making a replayed daily
     batch probe cleanly against an index that already contains its own
-    kept docs (retry idempotence, r9 verdict item 1)."""
+    kept docs (retry idempotence, r9 verdict item 1).
+
+    `prune` makes the whole probe ~batch-sized instead of corpus-sized
+    by pushing runtime IN-filters into BOTH corpus-side scans: (a) the
+    batch's band hashes into the band-table scan — the table is
+    bucketed by band_hash alone, so Spark prunes whole bucket files
+    that hold none of the batch's values (SelectedBucketsCount in the
+    plan); (b) the candidate doc ids into the doc-bucketed shingle-set
+    scan, once the pruned band join has produced them. Costs two small
+    driver collects (|batch| x bands band hashes; candidate ids), each
+    guarded by _PROBE_PRUNE_LIMIT with fallback to the full bucketed
+    scan. Default None = AUTO: prune only when the index exceeds
+    _PRUNE_AUTO_MIN_BYTES — the machinery's fixed ~10s cost (collects,
+    checkpoint materialization, thousand-literal plan compile) loses to
+    a plain columnar scan on small indexes (measured crossover —
+    scripts/probe_scale_rehearsal.py). Value-identical either way: a
+    band row whose hash the batch never produces cannot equi-join, a
+    non-candidate doc cannot survive the verify's inner join, and
+    capped admission ranks within a band bucket, which the filter keeps
+    or drops whole."""
     meta = _read_index_meta(
         spark, table_name, ("n", "n_perm", "bands"), "MinHash"
     )
     n, n_perm, bands = int(meta["n"]), int(meta["n_perm"]), int(meta["bands"])
+    if prune is None:
+        prune = (
+            _table_location_bytes(spark, f"{table_name}_bands")
+            + _table_location_bytes(spark, f"{table_name}_shingles")
+        ) >= _PRUNE_AUTO_MIN_BYTES
     # the batch shingle frame serves both the signature aggregate and
     # the verify's batch-side arrays (_shingle_index persists it, so the
     # plan-identical reads share one cache entry)
     bngr = _shingle_index(batch, id_col, text_col, n)
     b_sig = _minhash_sig_from_ngr(bngr, n_perm)
+    bb = minhash_bands(b_sig, n_perm, bands)
+    ib = spark.table(f"{table_name}_bands")
+    if prune:
+        # bb feeds both the band-hash collect here and the candidate
+        # join; checkpoint so the signature aggregate runs once
+        bb = bb.localCheckpoint(eager=False)
+        rows = bb.select("band_hash").distinct().take(
+            _PROBE_PRUNE_LIMIT + 1
+        )
+        if len(rows) <= _PROBE_PRUNE_LIMIT:
+            vals = [r[0] for r in rows]
+            ib = ib.filter(
+                F.col("band_hash").isin(vals) if vals else F.lit(False)
+            )
+
+    def verify(cand: DataFrame) -> DataFrame:
+        ab = spark.table(f"{table_name}_shingles")
+        if prune:
+            # the verify's corpus side is the shingle-set table — the
+            # other corpus-sized scan. The candidate doc ids are known
+            # once the (pruned, batch-sized) band join runs; collect
+            # them and push an IN-filter into the doc-bucketed scan so
+            # bucket pruning + sorted row-group stats make the shingle
+            # read candidate-sized. Value-identical (non-candidate docs
+            # cannot survive the verify's inner join); falls back to the
+            # full bucketed scan above the limit. Costs one extra run of
+            # the pruned band-join subplan to materialize the id list.
+            ids = cand.select("idoc").distinct().take(
+                _PROBE_PRUNE_LIMIT + 1
+            )
+            if len(ids) <= _PROBE_PRUNE_LIMIT:
+                vals = [r[0] for r in ids]
+                ab = ab.filter(
+                    F.col("doc").isin(vals) if vals else F.lit(False)
+                )
+        return _jaccard_verify_arrays(
+            cand, "bdoc", "idoc", _doc_shingle_arrays(bngr), ab, threshold
+        )
+
     return _minhash_probe_tail(
         batch,
         id_col,
-        minhash_bands(b_sig, n_perm, bands),
-        spark.table(f"{table_name}_bands"),
+        bb,
+        ib,
         threshold,
         bucket_cap,
-        verify=lambda cand: _jaccard_verify_arrays(
-            cand, "bdoc", "idoc",
-            _doc_shingle_arrays(bngr),
-            spark.table(f"{table_name}_shingles"),
-            threshold,
-        ),
+        verify=verify,
         exclude_self=exclude_self,
+        materialize_cand=prune,
     )

@@ -65,6 +65,8 @@ def append_new_decisions(
     key: str = "uuid",
     return_dts: bool = False,
     observation=None,
+    uuid_index_table: str | None = None,
+    uuid_index_buckets: int = 16,
     **write_kwargs,
 ) -> list[str] | None:
     """Append only rows whose key is not already in the lake — the lake
@@ -75,6 +77,29 @@ def append_new_decisions(
     and plans as a left-anti join; at scale Spark's runtime bloom filter
     prunes the batch side before the shuffle. First write to an empty
     lake skips the probe entirely.
+
+    `uuid_index_table` (r10, r9 verdict item 3) bounds that probe: the
+    full-lake uuid scan is correct but grows with LAKE AGE, not batch
+    size — at 100 TB a daily ~15 GB batch would pay a multi-TB uuid read.
+    When set, this call maintains a key-bucketed, key-sorted index table
+    next to the lake (healed after each lake write from the touched day
+    partitions: every key those partitions hold that the index lacks is
+    appended — idempotent, day-sized, converges even after a crash) and
+    serves the anti-join from TWO bounded reads instead:
+      1. the index table — bucketed by the key, so the anti-join consumes
+         it with NO Exchange on the index side (plan-pinned);
+      2. the lake's partitions for THIS batch's own dt values only
+         (partition-pruned, day-sized, uuid column only) — the
+         crash-window guard: a run that died after the lake append but
+         before the index append leaves the index stale for exactly the
+         rows it appended, and a replayed batch covers the same dt
+         partitions, so the day probe catches them and the replay stays
+         exact (same healing shape as the rollup refresh).
+    Steady-state probe cost = index scan (key column only, co-located)
+    + O(day), never O(lake). Adoption on an existing lake without an
+    index pays one full-lake uuid scan to bootstrap the index, then
+    never again. Requires the day-partitioned layout for the crash
+    guard; an unpartitioned lake falls back to the full probe.
 
     `return_dts=True` additionally returns the distinct day-partition
     values this batch COVERS (computed pre-anti-join, so a replayed
@@ -93,36 +118,92 @@ def append_new_decisions(
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     batch = df
-    if fs.exists(hpath):
-        existing = spark.read.parquet(path).select(key)
-        df = df.join(existing, key, "left_anti")
-    if observation is not None:
-        df = df.observe(observation, F.count(F.lit(1)).alias("n"))
+    lake_exists = fs.exists(hpath)
     partitioned = (
         write_kwargs.get("partition_by_date", True) and "created_at" in df.columns
     )
-    if not return_dts or not partitioned:
-        write_decisions_parquet(df, path, mode="append", **write_kwargs)
-        return [] if return_dts else None
     # dts come from the PRE-anti-join batch, matching lake_with_rollup_sink's
     # crash-safety contract: a replayed/duplicate batch still returns the
     # days it covers, so a crash between a completed append and the rollup
     # refresh is healed by the replay (the refresh is idempotent per day).
     # Post-anti-join the same replay would return [] and leave the rollup
     # stale. The batch is the small incoming side; scanning it once more
-    # for its distinct-day list is cheaper than persisting the join.
-    dts = [
-        r["dt"]
-        for r in batch.select(
-            F.coalesce(
-                F.date_format("created_at", "yyyy-MM-dd"), F.lit("unknown")
-            ).alias("dt")
-        )
-        .distinct()
-        .collect()
-    ]
+    # for its distinct-day list is cheaper than persisting the join. The
+    # same pre-append day list drives the uuid-index crash-window probe.
+    dts: list[str] | None = None
+    if partitioned and (return_dts or uuid_index_table is not None):
+        dts = [
+            r["dt"]
+            for r in batch.select(
+                F.coalesce(
+                    F.date_format("created_at", "yyyy-MM-dd"), F.lit("unknown")
+                ).alias("dt")
+            )
+            .distinct()
+            .collect()
+        ]
+    index_ready = (
+        uuid_index_table is not None
+        and spark.catalog.tableExists(uuid_index_table)
+    )
+    if lake_exists:
+        lake = spark.read.parquet(path)
+        if index_ready and partitioned and "dt" in lake.columns:
+            # bounded probe: index (co-located, no Exchange on its side)
+            # + this batch's own day partitions (crash-window guard)
+            df = df.join(
+                spark.table(uuid_index_table).select(key), key, "left_anti"
+            )
+            if dts:
+                df = df.join(
+                    lake.filter(F.col("dt").isin(dts)).select(key),
+                    key,
+                    "left_anti",
+                )
+        else:
+            df = df.join(lake.select(key), key, "left_anti")
+    if observation is not None:
+        df = df.observe(observation, F.count(F.lit(1)).alias("n"))
     write_decisions_parquet(df, path, mode="append", **write_kwargs)
-    return sorted(dts)
+    if uuid_index_table is not None and partitioned:
+        # Index maintenance AFTER the lake write, healed FROM the lake:
+        # append every key present in this batch's day partitions that
+        # the index lacks. NOT "append the anti-joined batch frame" —
+        # the lake write invalidates any cached plan that reads the lake
+        # path (CacheManager.recacheByPath), so that frame would lazily
+        # re-evaluate against the post-write lake and anti-join its own
+        # rows away. The heal formulation is also strictly stronger:
+        # idempotent (appends only what is missing), day-sized (the
+        # partition-pruned read the probe already pays), and it
+        # back-fills keys a PREVIOUS crashed run left stale in these
+        # same partitions — the index converges to the lake instead of
+        # drifting from it.
+        if not index_ready:
+            # bootstrap: index over the ENTIRE post-append lake (one
+            # full uuid scan, paid once at adoption)
+            (
+                spark.read.parquet(path).select(key)
+                .write.format("parquet").mode("overwrite")
+                .bucketBy(uuid_index_buckets, key).sortBy(key)
+                .saveAsTable(uuid_index_table)
+            )
+        elif dts:
+            day_keys = (
+                spark.read.parquet(path)
+                .filter(F.col("dt").isin(dts))
+                .select(key)
+            )
+            missing = day_keys.join(
+                spark.table(uuid_index_table).select(key), key, "left_anti"
+            )
+            (
+                missing.write.format("parquet").mode("append")
+                .bucketBy(uuid_index_buckets, key).sortBy(key)
+                .saveAsTable(uuid_index_table)
+            )
+    if not return_dts or not partitioned:
+        return [] if return_dts else None
+    return sorted(dts or [])
 
 
 def compact_partitions(
@@ -324,6 +405,101 @@ def lake_with_rollup_sink(
             refresh_rollup(spark, lake_path, rollup_path, agg_fn, changed_dts=dts)
 
     return sink
+
+
+def describe_bucket_spec(spark: SparkSession, table_name: str) -> dict:
+    """Read a bucketed table's layout contract back from the catalog
+    (DESCRIBE FORMATTED): {'n_buckets', 'bucket_cols', 'sort_cols'}.
+    Raises if the table is not bucketed — callers use this to compact or
+    append WITHOUT restating the spec (a drifted restatement would
+    silently produce a mixed-layout table)."""
+    rows = {
+        r["col_name"].strip(): (r["data_type"] or "").strip()
+        for r in spark.sql(f"DESCRIBE FORMATTED {table_name}").collect()
+    }
+
+    def _cols(v: str) -> list[str]:
+        return [
+            c.strip().strip("`")
+            for c in v.strip("[]").split(",")
+            if c.strip()
+        ]
+
+    if "Num Buckets" not in rows:
+        raise ValueError(f"{table_name} is not a bucketed table")
+    return {
+        "n_buckets": int(rows["Num Buckets"]),
+        "bucket_cols": _cols(rows.get("Bucket Columns", "")),
+        "sort_cols": _cols(rows.get("Sort Columns", "")),
+    }
+
+
+def compact_bucketed_table(spark: SparkSession, table_name: str) -> dict:
+    """Rewrite a bucketed table so every bucket lands in exactly ONE
+    file (r9 verdict item 4 / PLANS.md backlog). Append-maintained
+    bucketed tables accumulate one file per bucket PER APPEND; Spark
+    keeps the bucketed-join co-location regardless, but drops the
+    written sort order as soon as a bucket spans several files — so the
+    probe-side sort-merge joins pay a per-partition Sort forever. After
+    compaction (plus spark.sql.legacy.bucketedTableScan.outputOrdering=
+    true) the scan reports its sortBy order and the SMJ consumes the
+    bucket files directly, no Sort, at any corpus size.
+
+    Mechanics: repartition by the bucket columns into exactly n_buckets
+    partitions — repartition's HashPartitioning is the same
+    pmod(Murmur3, n) as DataFrameWriter.bucketBy, so each task holds
+    exactly one bucket's rows and the bucketed write emits one file per
+    bucket — then swap via a temp table (saveAsTable cannot overwrite a
+    table it reads). The spec (bucket count/columns/sort columns) is
+    read from the catalog, never restated. Returns {'files_before',
+    'files_after', 'n_buckets'}."""
+    spec = describe_bucket_spec(spark, table_name)
+
+    def _n_files(t: str) -> int:
+        try:
+            return len(spark.table(t).inputFiles())
+        except Exception:
+            return -1
+
+    before = _n_files(table_name)
+    tmp = f"{table_name}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    # Force the BUCKETED scan for the rewrite. The repartition-by-bucket-
+    # columns is elided because the bucketed scan already satisfies that
+    # partitioning — but DisableUnnecessaryBucketedScan (which only looks
+    # for joins/aggregates, not writes) then downgrades the scan to a
+    # plain file scan, leaving each task with arbitrary files and the
+    # writer emitting one file per (task, bucket) pair instead of one
+    # per bucket (observed: 16 -> 9 files instead of 4). With
+    # autoBucketedScan disabled the scan partitions ARE the buckets and
+    # the write lands exactly one file in each.
+    prev = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        w = (
+            spark.table(table_name)
+            .repartition(spec["n_buckets"], *spec["bucket_cols"])
+            .write.format("parquet").mode("overwrite")
+            .bucketBy(spec["n_buckets"], *spec["bucket_cols"])
+        )
+        if spec["sort_cols"]:
+            w = w.sortBy(*spec["sort_cols"])
+        w.saveAsTable(tmp)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+        )
+    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+    return {
+        "files_before": before,
+        "files_after": _n_files(table_name),
+        "n_buckets": spec["n_buckets"],
+    }
 
 
 def morton_code(cols: list, bits: int = 16):

@@ -498,13 +498,19 @@ def test_persisted_probe_indexes_never_shuffle_the_corpus(
             "t_plan_mh", n=3, n_perm=32, bands=8, buckets=4,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # prune=False so the WHOLE join topology is visible in one
+        # explain: the r10 pruning path materializes its candidate
+        # subplan via localCheckpoint, which hides the band-table scan
+        # from the final plan (the bucketed-join property pinned here is
+        # identical on both paths; pruning's own plan evidence lives in
+        # tests/test_round10_properties.py)
         p_ham = _plan(probe_hamming_index(
             spark, "t_plan_ham", sig.filter(F.col("doc") % 10 == 0),
-            "doc", "simhash", radius=3,
+            "doc", "simhash", radius=3, prune=False,
         ))
         p_mh = _plan(probe_minhash_index(
             spark, "t_plan_mh", d.filter(F.col("doc_id") % 10 == 0),
-            "doc_id", "text", threshold=0.5,
+            "doc_id", "text", threshold=0.5, prune=False,
         ))
         for plan, tables in (
             (p_ham, ("t_plan_ham_bands", "t_plan_ham_summary")),
