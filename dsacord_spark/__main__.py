@@ -57,6 +57,12 @@ def parse_args(argv: list[str] | None = None) -> tuple[Config, argparse.Namespac
                    "dir and rewrite the whole decisions lake (full "
                    "rebuild); default processes only this run's days "
                    "and overwrites only their partitions")
+    p.add_argument("--uuid-index-table", default=None, metavar="TABLE",
+                   help="Bucketed uuid index for the parquet lake sink's "
+                   "duplicate probe: bounds the daily anti-join to "
+                   "index + batch-day reads instead of a full-lake uuid "
+                   "scan (maintained automatically after each append; "
+                   "created on first use)")
     a = p.parse_args(argv)
 
     if a.skipCheckingDuplicates:
@@ -81,6 +87,7 @@ def parse_args(argv: list[str] | None = None) -> tuple[Config, argparse.Namespac
     if a.landing_dir:
         cfg.landing_dir = a.landing_dir
     cfg.staging = a.staging
+    cfg.uuid_index_table = a.uuid_index_table
     return cfg, a
 
 

@@ -53,6 +53,12 @@ class Config:
     # otherwise (r8 verdict ask #3). Requires landing_dir visible to
     # executors (DFS, or local paths in local mode).
     staging: str = "driver"
+    # Optional bucketed uuid-index table for the parquet lake sink's
+    # duplicate probe (r10): bounds the daily anti-join to
+    # index + batch-day reads instead of a full-lake uuid scan that
+    # grows with lake age (sinks/parquet.append_new_decisions). None
+    # keeps the historical full-probe behavior.
+    uuid_index_table: str | None = None
 
     def validate(self) -> list[str]:
         """Date validation per main.go:69-79,102-112: error on inverted

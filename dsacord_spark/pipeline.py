@@ -153,7 +153,10 @@ def run_backfill(
             from dsacord_spark.sinks.parquet import append_new_decisions
 
             before = _lake_rows()
-            append_new_decisions(spark, df, out, observation=written_obs)
+            append_new_decisions(
+                spark, df, out, observation=written_obs,
+                uuid_index_table=cfg.uuid_index_table,
+            )
             try:
                 return int(written_obs.get["n"])
             except Exception:

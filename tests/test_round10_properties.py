@@ -236,6 +236,321 @@ def test_probe_exclude_self_semantics(spark):
         _drop_index_tables(spark, tham, HAMMING_SUFFIXES)
 
 
+def test_probe_index_scans_bucket_prune_to_batch_size(spark, sf_dir):
+    """r10 probe-side pruning (r9 verdict item 2): with prune=True
+    (default) the persisted probes push the batch's band keys and the
+    candidates' doc/hash ids into the corpus-side scans, and Spark's
+    bucket pruning then reads only the touched bucket files —
+    SelectedBucketsCount strictly below the bucket count on EVERY index
+    table scan for a small batch. Values must equal the unpruned probe
+    exactly."""
+    from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS, build_hamming_index, build_minhash_index,
+        probe_hamming_index, probe_minhash_index, simhash_signatures,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = simhash_signatures(d, "doc_id", "text").persist()
+    try:
+        build_hamming_index(
+            sig.filter(F.col("doc") % 10 != 0), "doc", "simhash",
+            "t_bp_ham", n_bands=4, hash_bits=SIMHASH_BITS, buckets=64,
+        )
+        build_minhash_index(
+            d.filter(F.col("doc_id") % 10 != 0), "doc_id", "text",
+            "t_bp_mh", n=3, n_perm=32, bands=8, buckets=64,
+        )
+        batch_sig = sig.filter(F.col("doc") % 50 == 0)
+        batch = d.filter(F.col("doc_id") % 50 == 0)
+        probes = {
+            "ham": lambda pr: probe_hamming_index(
+                spark, "t_bp_ham", batch_sig, "doc", "simhash", prune=pr),
+            "mh": lambda pr: probe_minhash_index(
+                spark, "t_bp_mh", batch, "doc_id", "text", prune=pr),
+        }
+
+        def _pruned_buckets(plan: str) -> list[tuple[int, int]]:
+            out = []
+            for line in plan.splitlines():
+                if "SelectedBucketsCount" in line:
+                    k, n = line.split(":")[-1].split("out of")
+                    out.append((int(k.strip()), int(n.strip())))
+            return out
+
+        for name, fn in probes.items():
+            pruned = fn(True)
+            got = sorted(map(tuple, pruned.collect()))
+            want = sorted(map(tuple, fn(False).collect()))
+            assert got == want and len(got) > 0, name
+            assert any(r[1] for r in got), f"{name}: no dups in fixture"
+            # final plan: the corpus VERIFY-side scan (summary /
+            # shingles) carries the candidate IN-filter and bucket-
+            # prunes strictly below the bucket count. (The band-table
+            # scan runs inside the probe's checkpointed candidate
+            # subplan, invisible to this explain — pinned separately
+            # below.)
+            plan = pruned._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+            sel = _pruned_buckets(plan)
+            assert sel, (name, plan)
+            assert all(k < n for k, n in sel), (name, sel)
+        # band-table pin: the exact scan shape the probes build — a
+        # literal IN-filter on the single bucket column — engages bucket
+        # pruning on the band tables too. autoBucketedScan is disabled
+        # for the pin: a bare filter-scan (no join above) is otherwise
+        # downgraded to a plain file scan by
+        # DisableUnnecessaryBucketedScan, hiding the bucket pruning that
+        # the probe's real candidate join does exercise.
+        some_keys = [
+            r[0] for r in spark.table("t_bp_ham_bands")
+            .select("band_key").limit(40).collect()
+        ]
+        prev_abs = spark.conf.get(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        )
+        try:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "false",
+            )
+            band_scan = spark.table("t_bp_ham_bands").filter(
+                F.col("band_key").isin(some_keys)
+            )
+            plan = band_scan._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                prev_abs,
+            )
+        sel = _pruned_buckets(plan)
+        assert sel and all(k < n for k, n in sel), sel
+    finally:
+        spark.catalog.clearCache()
+        sig.unpersist()
+        _drop_index_tables(spark, "t_bp_ham", HAMMING_SUFFIXES)
+        _drop_index_tables(spark, "t_bp_mh", MINHASH_SUFFIXES)
+
+
+def _mk_decisions(spark, ids, day: str = "2025-01-01"):
+    from datetime import datetime
+
+    d = datetime.fromisoformat(day + "T12:00:00")
+    return spark.createDataFrame(
+        [(f"u{i}", f"e{i % 7}", d) for i in ids],
+        "uuid string, entity_id string, created_at timestamp",
+    )
+
+
+def test_lake_uuid_index_bounds_probe_and_stays_replay_exact(
+    spark, tmp_path,
+):
+    """r9 verdict item 3: with uuid_index_table set, append_new_decisions
+    serves its duplicate probe from a bucketed key index plus the
+    batch's OWN day partitions instead of a full-lake uuid scan — and
+    stays exactly as replay-idempotent as the full probe, including
+    across the crash window where the lake append landed but the index
+    append did not."""
+    from dsacord_spark.sinks.parquet import append_new_decisions
+
+    out = str(tmp_path / "lake")
+    idx = "t_uuidx"
+    try:
+        b1 = _mk_decisions(spark, range(10), "2025-01-01")
+        append_new_decisions(spark, b1, out, uuid_index_table=idx)
+        assert spark.read.parquet(out).count() == 10
+        assert spark.table(idx).count() == 10
+        # replay of the same batch: no-op on lake and index
+        append_new_decisions(spark, b1, out, uuid_index_table=idx)
+        assert spark.read.parquet(out).count() == 10
+        assert spark.table(idx).count() == 10
+        # half-overlapping batch on a later day: only new uuids land
+        b2 = _mk_decisions(spark, range(5, 20), "2025-01-02")
+        dts = append_new_decisions(
+            spark, b2, out, uuid_index_table=idx, return_dts=True
+        )
+        assert dts == ["2025-01-02"]
+        assert spark.read.parquet(out).count() == 20
+        assert spark.table(idx).count() == 20
+        # crash window: a batch lands in the LAKE but its index append
+        # is lost (simulated by appending without the index table) ...
+        b3 = _mk_decisions(spark, range(20, 30), "2025-01-03")
+        append_new_decisions(spark, b3, out)
+        assert spark.read.parquet(out).count() == 30
+        assert spark.table(idx).count() == 20  # index now stale for b3
+        # ... the replayed run probes index + its own day partitions, so
+        # the stale index does NOT let duplicates through, and the index
+        # heals with exactly the missing uuids
+        append_new_decisions(spark, b3, out, uuid_index_table=idx)
+        lake = spark.read.parquet(out)
+        assert lake.count() == 30
+        assert lake.select("uuid").distinct().count() == 30
+        assert spark.table(idx).count() == 30
+        assert sorted(
+            r[0] for r in spark.table(idx).select("uuid").collect()
+        ) == sorted(r[0] for r in lake.select("uuid").collect())
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_uuidx")
+
+
+def test_lake_uuid_index_probe_plan_is_bounded(spark, tmp_path):
+    """Plan pin for the bounded probe: the index side is a bucketed scan
+    feeding its anti-join with no Exchange, and the only read of the
+    decisions lake inside the probe is partition-pruned to the batch's
+    own dt values (PartitionFilters on the scan) — never a full-lake
+    scan."""
+    from dsacord_spark.sinks.parquet import append_new_decisions
+
+    out = str(tmp_path / "lake")
+    idx = "t_uuidx_plan"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for day in ("2025-01-01", "2025-01-02", "2025-01-03"):
+            append_new_decisions(
+                spark,
+                _mk_decisions(spark, range(40), day),
+                out, uuid_index_table=idx,
+            )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = _mk_decisions(spark, range(35, 60), "2025-01-03")
+        probed = (
+            batch.join(spark.table(idx).select("uuid"), "uuid", "left_anti")
+            .join(
+                spark.read.parquet(out)
+                .filter(F.col("dt").isin(["2025-01-03"]))
+                .select("uuid"),
+                "uuid",
+                "left_anti",
+            )
+        )
+        plan = probed._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
+        # index scan: bucketed, and no Exchange between it and its join
+        assert plan.count("Bucketed: true") == 1, plan
+        from tests.test_scale_plans import _parents_until_join
+
+        chain = _parents_until_join(plan, idx)
+        assert not any("Exchange" in c for c in chain), chain
+        # lake scan: partition-pruned to the batch's day
+        pf = [
+            line for line in plan.splitlines()
+            if "PartitionFilters" in line and "dt" in line
+        ]
+        assert pf and any("2025-01-03" in line for line in pf), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_uuidx_plan")
+
+
+def test_compact_index_one_file_per_bucket_and_sort_free_probes(spark):
+    """r9 verdict item 4: appends fragment each bucket across files,
+    which makes Spark drop the write-time sort order and re-Sort under
+    every probe SMJ. compact_index rewrites each bucketed index table to
+    ONE file per bucket; with
+    spark.sql.legacy.bucketedTableScan.outputOrdering=true the probes
+    then consume the sorted buckets with no Sort between any index-table
+    scan and its join — and values are unchanged."""
+    from tests.test_scale_plans import _parents_until_join, _plan
+
+    from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS, build_hamming_index, build_minhash_index,
+        compact_index, probe_hamming_index, probe_minhash_index,
+        simhash_signatures,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"document number {i} about topic {i % 7} with words "
+              f"{i % 3} {i % 5} common filler text")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(1000 + i, f"fresh delta doc {i} about other topics entirely "
+                    f"{i % 4} {i % 6}")
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(5000, "document number 7 about topic 0 with words 1 2 "
+                "common filler text"),
+         (5001, "nothing matching anything in the index corpus at all")],
+        "doc_id long, text string",
+    )
+    base_sig = simhash_signatures(base, "doc_id", "text")
+    delta_sig = simhash_signatures(delta, "doc_id", "text")
+    batch_sig = simhash_signatures(batch, "doc_id", "text")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_ord = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    )
+    try:
+        build_minhash_index(base, "doc_id", "text", "t_cpt_mh", buckets=4)
+        build_minhash_index(delta, "doc_id", "text", "t_cpt_mh",
+                            buckets=4, mode="append")
+        build_hamming_index(base_sig, "doc", "simhash", "t_cpt_ham",
+                            n_bands=4, hash_bits=SIMHASH_BITS, buckets=4)
+        build_hamming_index(delta_sig, "doc", "simhash", "t_cpt_ham",
+                            n_bands=4, hash_bits=SIMHASH_BITS, buckets=4,
+                            mode="append")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def probes():
+            return (
+                sorted(map(tuple, probe_minhash_index(
+                    spark, "t_cpt_mh", batch, "doc_id", "text",
+                ).collect())),
+                sorted(map(tuple, probe_hamming_index(
+                    spark, "t_cpt_ham", batch_sig, "doc", "simhash",
+                ).collect())),
+            )
+
+        before = probes()
+        assert any(r[1] for r in before[0]) and any(r[1] for r in before[1])
+        for name in ("t_cpt_mh", "t_cpt_ham"):
+            stats = compact_index(spark, name)
+            for s, st in stats.items():
+                # two builds -> >1 file per bucket before; exactly one
+                # file per bucket after
+                assert st["files_before"] > st["n_buckets"], (name, s, st)
+                assert st["files_after"] == st["n_buckets"], (name, s, st)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        assert probes() == before
+        # plan pins run with prune=False: the pruning path materializes
+        # its candidate subplan through a localCheckpoint, which hides
+        # the band-table scan from the final explain — the Sort-elision
+        # property being pinned here is independent of pruning
+        for df, tables in (
+            (probe_minhash_index(spark, "t_cpt_mh", batch, "doc_id",
+                                 "text", prune=False),
+             ("t_cpt_mh_bands", "t_cpt_mh_shingles")),
+            (probe_hamming_index(spark, "t_cpt_ham", batch_sig, "doc",
+                                 "simhash", prune=False),
+             ("t_cpt_ham_bands", "t_cpt_ham_summary")),
+        ):
+            plan = _plan(df)
+            for t in tables:
+                chain = _parents_until_join(plan, t)
+                assert not any("Sort" in c for c in chain), (t, chain)
+                assert not any("Exchange" in c for c in chain), (t, chain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering",
+            prev_ord,
+        )
+        spark.catalog.clearCache()
+        _drop_index_tables(spark, "t_cpt_mh", MINHASH_SUFFIXES)
+        _drop_index_tables(spark, "t_cpt_ham", HAMMING_SUFFIXES)
+
+
 def test_read_index_meta_missing_or_empty_raises_rebuild_diagnostic(spark):
     """An index whose meta table is absent (overwrite build crashed
     before the final meta write — the builders drop-first/meta-last) or
