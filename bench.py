@@ -231,6 +231,107 @@ def _ingest_finalize(ctx: dict) -> dict:
     }
 
 
+_AB_REP_SCRIPT = """
+import json, sys, time
+landing, warm, out, cpus = sys.argv[1:5]
+from dsacord_spark.session import get_spark
+from dsacord_spark.sinks.jdbc import dedup_batch
+from dsacord_spark.sinks.parquet import write_decisions_parquet
+from dsacord_spark.sources.zipsource import read_staged_zips
+from dsacord_spark.transform import decisions_transform, split_quarantine
+spark = get_spark(app_name="dsacord-ab-rep", master=f"local[{cpus}]",
+                  shuffle_partitions=int(cpus))
+def run(src, dst):
+    valid, _ = split_quarantine(decisions_transform(
+        read_staged_zips(spark, src)))
+    write_decisions_parquet(dedup_batch(valid), dst, mode="overwrite")
+run(warm, out + "_warm")  # untimed path warm-up (workers, JIT, committer)
+t0 = time.perf_counter()
+run(landing, out)
+print(json.dumps({"elapsed": time.perf_counter() - t0}))
+"""
+
+
+def _run_ab(commit: str, sf_dir: str, cpus: int) -> dict:
+    """Cross-round A/B adjudication (r9 verdict item 6): the r9 bench
+    swing burned a judging session proving host noise, because BENCH
+    snapshots from different rounds sample different host-load windows.
+    This mode re-runs the SAME ingest fixture through the current tree
+    and a git worktree at `commit`, INTERLEAVED (cur/prior x3, each rep
+    its own subprocess so each tree's code loads cleanly), and reports
+    min-of-3 per side — a same-window, same-fixture comparison that a
+    cross-round swing can be checked against directly. Each rep pays its
+    own JVM startup + explicit warm-up identically on both sides; only
+    the post-warm-up dataflow is timed."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="dsacord-ab-wt-")
+    os.rmdir(wt)
+    subprocess.run(
+        ["git", "-C", repo, "worktree", "add", "--detach", wt, commit],
+        check=True, capture_output=True, text=True,
+    )
+    work = tempfile.mkdtemp(prefix="dsacord-ab-fixture-")
+    landing = os.path.join(work, "landing")
+    warm = os.path.join(work, "warm")
+    try:
+        days = min(cpus, 16)
+        rows_in = _build_ingest_fixture(landing, days, 3000)
+        _build_ingest_fixture(warm, 1, 300)
+        os.sync()
+
+        def one_rep(tree: str) -> tuple[float, float]:
+            env = dict(os.environ, PYTHONPATH=tree)
+            out_dir = tempfile.mkdtemp(prefix="dsacord-ab-out-")
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", _AB_REP_SCRIPT, landing, warm,
+                     os.path.join(out_dir, "o"), str(cpus)],
+                    capture_output=True, text=True, cwd=tree, env=env,
+                    timeout=1200,
+                )
+                if r.returncode != 0:
+                    raise RuntimeError(
+                        f"ab rep in {tree} failed: {r.stderr[-500:]}"
+                    )
+                last = r.stdout.strip().splitlines()[-1]
+                return json.loads(last)["elapsed"], os.getloadavg()[0]
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
+
+        reps: dict[str, list[float]] = {"current": [], "prior": []}
+        loads: dict[str, list[float]] = {"current": [], "prior": []}
+        for _ in range(3):
+            for label, tree in (("current", repo), ("prior", wt)):
+                e, load1m = one_rep(tree)
+                reps[label].append(round(e, 3))
+                loads[label].append(round(load1m, 2))
+        cur, pri = min(reps["current"]), min(reps["prior"])
+        return {
+            "commit": commit,
+            "fixture_rows": rows_in,
+            "days": days,
+            "reps_current": reps["current"],
+            "reps_prior": reps["prior"],
+            "rep_load_avg_1m": loads,
+            "current_min_s": cur,
+            "prior_min_s": pri,
+            "ratio_current_over_prior": round(cur / pri, 3),
+            "method": "interleaved cur/prior x3, min-of-3, one subprocess "
+                      "per rep (own JVM + warm-up), shared fixture",
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
+
+
 def main() -> None:
     # exit cleanly on SIGTERM (what `timeout`/driver kills send): the
     # default handler terminates WITHOUT running atexit, which would
@@ -240,6 +341,34 @@ def main() -> None:
     signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if "--ab" in sys.argv:
+        # A/B-vs-commit mode: adjudicate a cross-round ingest swing in
+        # one same-window run; merges an "ab" section into
+        # BENCH_DETAIL.json and prints a compact line, nothing else
+        commit = sys.argv[sys.argv.index("--ab") + 1]
+        ab = _run_ab(commit, sf_dir, cpus)
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        detail = {}
+        try:
+            with open(detail_path) as fh:
+                detail = json.load(fh)
+        except (OSError, ValueError):
+            pass
+        detail["ab"] = ab
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(json.dumps(
+            {"metric": "ingest_ab", "value": ab["ratio_current_over_prior"],
+             "unit": "ratio", "commit": commit,
+             "current_min_s": ab["current_min_s"],
+             "prior_min_s": ab["prior_min_s"]},
+            separators=(",", ":"),
+        ))
+        return
     # co-tenant load on this host swings timings up to 10x with no code
     # change (SWEEPS/PLANS noise methodology); recording the load lets a
     # reader discount a noisy snapshot without re-running
@@ -427,6 +556,16 @@ def main() -> None:
     try:
         detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "BENCH_DETAIL.json")
+        # carry an existing A/B adjudication forward (it names the commit
+        # it compared, so staleness is self-identifying) — a plain bench
+        # run must not erase the --ab evidence the driver's snapshot reads
+        try:
+            with open(detail_path) as fh:
+                prev = json.load(fh)
+            if "ab" in prev:
+                detail["ab"] = prev["ab"]
+        except (OSError, ValueError):
+            pass
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
             fh.write("\n")

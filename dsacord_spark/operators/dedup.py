@@ -1428,6 +1428,16 @@ def build_hamming_index(
                 f"does not match the existing index "
                 f"({meta['n_bands']}/{meta['hash_bits']})"
             )
+        # bucket count is a property of the EXISTING table, not a knob:
+        # read it back so an append can never collide with the layout
+        # (Spark rejects a mismatched bucketBy append, but only after
+        # doing the work — and a caller's default would do exactly that
+        # on any index built with a non-default count)
+        from dsacord_spark.sinks.parquet import describe_bucket_spec
+
+        buckets = describe_bucket_spec(
+            spark, f"{table_name}_bands"
+        )["n_buckets"]
     if mode == "overwrite":
         # crash-consistency (r9 ADVICE): drop ALL THREE tables up front
         # and write meta LAST, so an overwrite build that dies mid-way
@@ -1870,6 +1880,13 @@ def build_minhash_index(
                 f"not match the existing index "
                 f"({meta['n']}/{meta['n_perm']}/{meta['bands']})"
             )
+        # bucket count comes from the existing table, never the caller
+        # (same rationale as build_hamming_index)
+        from dsacord_spark.sinks.parquet import describe_bucket_spec
+
+        buckets = describe_bucket_spec(
+            spark, f"{table_name}_bands"
+        )["n_buckets"]
     if mode == "overwrite":
         # crash-consistency (r9 ADVICE): drop-first + meta-LAST, so a
         # build that dies mid-way leaves no meta and every probe raises

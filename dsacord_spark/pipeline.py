@@ -112,6 +112,7 @@ def run_backfill(
     from pyspark.sql import Observation
 
     written_obs = Observation("written")
+    custom_sink = sink is not None
 
     if sink is None:
         out = cfg.landing_dir.rstrip("/") + "/decisions"
@@ -174,15 +175,20 @@ def run_backfill(
     metrics.rows_written = sink(deduped)
     # the observation sits below the quarantine filter, so the sink's own
     # action populates it — no second scan of the extraction pipeline
-    # (the reference re-reads nothing either; Q2 exactness, for free)
-    try:
-        metrics.rows_quarantined = int(dq.get["empty_uuid"])
-    except Exception:
-        # custom sinks may never act on the observed frame (so .get
-        # would block the JVM-side wait) — guarded by the custom sink's
-        # own contract; for any retrieval failure pay one explicit count
-        # of the quarantined split (exact, never a fabricated 0 — r8
-        # ADVICE); the normal default-sink path stays one-pass
+    # (the reference re-reads nothing either; Q2 exactness, for free).
+    # ONLY the default sink may consult it: Observation.get BLOCKS until
+    # some action runs over the observed lineage, and a custom sink that
+    # never executes one would hang the backfill inside the JVM wait
+    # instead of reaching any fallback (r9 ADVICE) — for custom sinks we
+    # always pay one explicit count of the quarantined split (exact,
+    # never a fabricated 0 — r8 ADVICE).
+    if custom_sink:
         metrics.rows_quarantined = quarantined.count()
+    else:
+        try:
+            metrics.rows_quarantined = int(dq.get["empty_uuid"])
+        except Exception:
+            # metrics-event loss on the default path: recount, exact
+            metrics.rows_quarantined = quarantined.count()
     metrics.elapsed_s = time.monotonic() - t0
     return metrics

@@ -116,23 +116,35 @@ def stage_day(url: str, dt: str, landing_dir: str, **kw) -> tuple[str, str | Non
     return out_path, None
 
 
-def sweep_stale_temps(landing_dir: str) -> int:
+def sweep_stale_temps(landing_dir: str, min_age_s: float = 3600.0) -> int:
     """Remove orphaned `*.zip.tmp.*` attempt files under the landing dir
     — litter from attempts killed between write and publish (the
     try/finally in stage_day cannot run for a SIGKILL). Called by
-    stage_range before any download starts, when no attempt can be
-    live; NOT called on the distributed path, where concurrent tasks on
-    other nodes may hold open temps. Temps never match read_staged_zips'
-    `*.zip` glob, so this is hygiene, not correctness."""
+    stage_range before any download starts; NOT called on the
+    distributed path, where concurrent tasks on other nodes may hold
+    open temps. Temps never match read_staged_zips' `*.zip` glob, so
+    this is hygiene, not correctness.
+
+    Only temps whose mtime is older than `min_age_s` (default 1h) are
+    removed (r9 ADVICE): a SECOND driver run sharing the landing dir may
+    have a live attempt mid-write, and an unconditional sweep would
+    unlink it under the writer — failing its os.replace and defeating
+    the unique-temp design whose point was safe concurrent attempts. An
+    orphan is by definition not being written anymore, so age is the
+    discriminator; a crashed attempt's temp is collected by the first
+    run starting an hour later."""
     removed = 0
     if not os.path.isdir(landing_dir):
         return 0
+    now = time.time()
     for root, _dirs, files in os.walk(landing_dir):
         for name in files:
             if ".zip.tmp." in name:
+                p = os.path.join(root, name)
                 try:
-                    os.unlink(os.path.join(root, name))
-                    removed += 1
+                    if now - os.path.getmtime(p) >= min_age_s:
+                        os.unlink(p)
+                        removed += 1
                 except OSError:
                     pass
     return removed

