@@ -726,9 +726,12 @@ def query_ivf_index(
         assign_cells_blas(queries, centroid_rows, "q_id", "q_vec", nprobe=nprobe)
         .withColumnRenamed("__vn", "__qn")
         .drop("probe_rank")
-        .persist()  # consumed twice: the cells collect below and the
-        # final probe join — without this the query-side BLAS assignment
-        # job runs twice per serve call
+        # consumed twice (the cells collect below and the final probe
+        # join); localCheckpoint rather than persist (r10): a serve call
+        # per query batch would otherwise leak one session-lifetime
+        # cache entry per call — checkpointed blocks are reclaimed by
+        # the ContextCleaner once the result frame goes unreachable
+        .localCheckpoint(eager=False)
     )
     cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
     corpus = (

@@ -380,13 +380,12 @@ _SELF_JOIN_BOUNDS = {
         "doc; the candidate stage is the grouped banded joiner over "
         "DISTINCT simhashes"
     ),
-    "dedup_incremental_probe": (
-        "banded+grouped (r8): batch x index candidates come from a "
-        "band equi-join over DISTINCT hashes per side (bounded by "
-        "shared-band hash pairs, never |batch| x |index|), reduced to "
-        "one row per batch hash BEFORE the single member stamp join "
-        "(per-member fan-out exactly 1; output one row per batch doc)"
-    ),
+    # dedup_incremental_probe left this registry in r10: the Hamming
+    # candidate join moved to the derived single band_key (injective
+    # encode of (band_no, band_val) — operators/dedup._with_band_key),
+    # and joining on a derived key no longer pattern-matches the
+    # detector's raw-by-raw shared-scan signature. The bound itself is
+    # unchanged (banded+grouped over DISTINCT hashes, one member stamp).
     "dedup_incremental_minhash": (
         "banded+verified (r8): batch x index candidates come from the "
         "MinHash band equi-join (bounded by shared band buckets, never "

@@ -832,6 +832,85 @@ def test_composed_epoch_sink_replay_is_byte_stable(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {idx}")
 
 
+def test_minhash_append_crash_between_tables_heals_on_retry(spark):
+    """The append write order (bands first, shingles second) is matched
+    to update_corpus_index's retry guard, which anti-joins on the
+    SHINGLES doc ids: a crash between the two appends leaves shingles
+    the incomplete table, so the retried append is NOT filtered out and
+    re-appends both — duplicate band rows collapse in the probe's
+    candidate distinct, shingles land once, and the healed index probes
+    identically to a never-crashed one. (The reverse order would filter
+    the retry on the already-written summary table and leave the
+    delta's band rows missing forever — a silent recall hole.)"""
+    from dsacord_spark.curate import update_corpus_index
+    from dsacord_spark.operators.dedup import (
+        _minhash_sig_from_ngr,
+        _shingle_frame,
+        build_minhash_index,
+        minhash_bands,
+        probe_minhash_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+         (2, "completely different corpus text about parquet lakes here")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(50, "the unique pangram about clever zebras jumping nightly")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(900, "the unique pangram about clever zebras jumping nightly"),
+         (901, "alpha bravo charlie delta echo foxtrot golf hotel"),
+         (902, "entirely unrelated text that matches nothing indexed")],
+        "doc_id long, text string",
+    )
+    try:
+        build_minhash_index(base, "doc_id", "text", "t_crash_mh",
+                            n=3, n_perm=32, bands=8, buckets=2)
+        build_minhash_index(base.union(delta), "doc_id", "text",
+                            "t_crash_ref", n=3, n_perm=32, bands=8,
+                            buckets=2)
+        # simulate the crash: the delta's BAND rows landed, its shingles
+        # did not (exactly what dies between the two appends)
+        ngr = _shingle_frame(delta, "doc_id", "text", 3)
+        (
+            minhash_bands(_minhash_sig_from_ngr(ngr, 32), 32, 8)
+            .write.format("parquet").mode("append")
+            .bucketBy(2, "band_hash").sortBy("band_hash", "band_idx")
+            .saveAsTable("t_crash_mh_bands")
+        )
+        # half-appended index: the probe must not CRASH, and must not
+        # report the delta doc (its shingles are absent, so the verify
+        # inner join drops it) — incomplete, but never wrong
+        mid = {r[0]: tuple(r) for r in probe_minhash_index(
+            spark, "t_crash_mh", batch, "doc_id", "text",
+        ).collect()}
+        assert mid[900][1] is False
+        # the RETRY of the daily loop's append: not filtered (shingles
+        # lack doc 50), so both tables complete
+        update_corpus_index(delta, "minhash", "t_crash_mh")
+        got = sorted(map(tuple, probe_minhash_index(
+            spark, "t_crash_mh", batch, "doc_id", "text",
+        ).collect()))
+        want = sorted(map(tuple, probe_minhash_index(
+            spark, "t_crash_ref", batch, "doc_id", "text",
+        ).collect()))
+        assert got == want
+        by_id = {r[0]: r for r in got}
+        assert by_id[900][1] is True and by_id[900][2] == 50
+        # and the duplicated band rows are exactly the only residue: the
+        # shingles landed once
+        assert spark.table("t_crash_mh_shingles").filter(
+            F.col("doc") == 50
+        ).count() == 1
+    finally:
+        spark.catalog.clearCache()
+        _drop_index_tables(spark, "t_crash_mh", MINHASH_SUFFIXES)
+        _drop_index_tables(spark, "t_crash_ref", MINHASH_SUFFIXES)
+
+
 def test_overwrite_build_drops_stale_meta_first(spark):
     """A crashed overwrite rebuild must not leave the PREVIOUS build's
     meta visible: build_minhash_index/build_hamming_index drop all three
