@@ -5475,3 +5475,144 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         index, batch, "doc_id", "text", n=3, n_perm=32, bands=8,
         threshold=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: the RETRY shape of the incremental probes — batch and index
+# OVERLAP (a replayed run probes against a corpus that already holds its
+# own docs) and the probe excludes self-evidence instead of reporting
+# every shared doc as a duplicate of itself. These value-oracle the
+# exclude_self semantics the daily curate loop's idempotence rests on
+# (curate.dedup_incremental; r9 verdict item 1). Batch = doc_id % 10 = 0;
+# index = doc_id % 10 <> 3, so EVERY batch doc also sits in the index
+# (and most genuine cross-duplicates remain available).
+# ---------------------------------------------------------------------------
+
+
+def _incremental_probe_selfsafe_sql() -> str:
+    from dsacord_spark.plans.analysis import _simhash_sig_ctes
+
+    # the in-memory Hamming exclusion is a member-level ANTI-JOIN of the
+    # batch's ids out of the index side (exact); the oracle states it as
+    # the WHERE on idx
+    return f"""
+    WITH {_simhash_sig_ctes('documents').strip()},
+    bat AS (SELECT s.doc, s.simhash FROM sig s WHERE s.doc % 10 = 0),
+    idx AS (SELECT s.doc, s.simhash FROM sig s
+            WHERE s.doc % 10 <> 3 AND s.doc % 10 <> 0),
+    m AS (
+      SELECT b.doc AS bdoc,
+             MIN(bit_count(xor(b.simhash, i.simhash))) AS best_h,
+             MIN(i.doc) AS mid
+      FROM bat b JOIN idx i
+        ON bit_count(xor(b.simhash, i.simhash)) <= 3
+      GROUP BY b.doc)
+    SELECT b.doc AS doc_id,
+           m.bdoc IS NOT NULL AS is_dup,
+           m.mid AS match_id,
+           CAST(m.best_h AS INT) AS best_hamming
+    FROM bat b LEFT JOIN m ON m.bdoc = b.doc
+    """
+
+
+@register(
+    "dedup_incremental_probe_selfsafe",
+    sql=_incremental_probe_selfsafe_sql(),
+    doc="dedup_incremental_probe's RETRY shape (r10): the batch (doc_id "
+    "% 10 = 0) is fully contained in the index (doc_id % 10 <> 3) — a replayed run "
+    "probing a corpus that already holds its own docs. exclude_self "
+    "anti-joins the batch's ids out of the index members, so a doc is a "
+    "dup only on OTHER-doc evidence; without it every shared doc "
+    "matches itself at Hamming 0 and a retried curate run silently "
+    "empties its kept set.",
+)
+def dedup_incremental_probe_selfsafe(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS, incremental_hamming_matches, simhash_signatures,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sig = simhash_signatures(d, "doc_id", "text").persist()
+    batch = sig.filter(F.col("doc") % 10 == 0)
+    index = sig.filter(F.col("doc") % 10 != 3)
+    return incremental_hamming_matches(
+        index, batch, "doc", "simhash",
+        n_bands=4, radius=3, hash_bits=SIMHASH_BITS, exclude_self=True,
+    ).withColumnRenamed("doc", "doc_id")
+
+
+def _incremental_minhash_selfsafe_sql(
+    n_perm: int = 32, bands: int = 8, threshold: float = 0.5
+) -> str:
+    # same interpolated banding as _incremental_minhash_sql (lockstep
+    # rule); the minhash exclusion is PAIR-level (bdoc <> idoc at the
+    # candidate stage — member-exact on both probe paths), so a shared
+    # doc can still be matched by a DIFFERENT index doc
+    from dsacord_spark.functions.hashing import _perm_constants
+    from dsacord_spark.plans.analysis import _ngr_cte, _perm_min_sql
+
+    mins = ",\n             ".join(
+        _perm_min_sql(i, a, b)
+        for i, (a, b) in enumerate(_perm_constants(n_perm))
+    )
+    band_rows = _minhash_band_rows_sql(n_perm, bands)
+    return f"""
+    WITH {_ngr_cte(3).strip()},
+    sig AS (SELECT doc, {mins} FROM ngr GROUP BY doc),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT bb.doc AS bdoc, ib.doc AS idoc
+      FROM (SELECT * FROM bands WHERE doc % 10 = 0) bb
+      JOIN (SELECT * FROM bands WHERE doc % 10 <> 3) ib
+        ON bb.band_idx = ib.band_idx AND bb.band_hash = ib.band_hash
+       AND bb.doc <> ib.doc),
+    sizes AS (SELECT doc, count(*) AS sz FROM ngr GROUP BY doc),
+    inter AS (
+      SELECT c.bdoc, c.idoc, count(*) AS i
+      FROM cand c
+      JOIN ngr a ON a.doc = c.bdoc
+      JOIN ngr b ON b.doc = c.idoc AND b.hg = a.hg
+      GROUP BY c.bdoc, c.idoc),
+    j AS (
+      SELECT i.bdoc, i.idoc,
+             CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jac
+      FROM inter i
+      JOIN sizes sa ON sa.doc = i.bdoc
+      JOIN sizes sb ON sb.doc = i.idoc),
+    m AS (
+      SELECT bdoc, MIN(idoc) AS mid, round(MAX(jac), 6) AS bj
+      FROM j WHERE jac >= {threshold} GROUP BY bdoc)
+    SELECT d.doc_id,
+           m.bdoc IS NOT NULL AS is_dup,
+           m.mid AS match_id,
+           m.bj AS best_jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN m ON m.bdoc = d.doc_id
+    """
+
+
+@register(
+    "dedup_incremental_minhash_selfsafe",
+    sql=_incremental_minhash_selfsafe_sql(),
+    doc="dedup_incremental_minhash's RETRY shape (r10): batch (doc_id % "
+    "10 = 0) is fully contained in the index (doc_id % 10 <> 3) and exclude_self drops "
+    "self pairs at the candidate stage (bdoc <> idoc — member-exact: "
+    "the per-doc band rows carry real ids on both probe paths, unlike "
+    "the Hamming index's min-id summary), so a replayed batch keeps its "
+    "docs unless ANOTHER index doc genuinely duplicates them. Oracle "
+    "reproduces banding AND exclusion bit-for-bit.",
+)
+def dedup_incremental_minhash_selfsafe(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    from dsacord_spark.operators.dedup import incremental_minhash_matches
+
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    index = d.filter(F.col("doc_id") % 10 != 3)
+    return incremental_minhash_matches(
+        index, batch, "doc_id", "text", n=3, n_perm=32, bands=8,
+        threshold=0.5, exclude_self=True,
+    )

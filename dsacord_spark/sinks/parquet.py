@@ -142,8 +142,13 @@ def append_new_decisions(
             .distinct()
             .collect()
         ]
+    # an index table without its lake is an orphan (the lake was deleted
+    # or moved): trusting it would anti-join future batches against keys
+    # whose rows no longer exist — treat it as absent so the bootstrap
+    # path below rebuilds it from the (new) lake after this write
     index_ready = (
         uuid_index_table is not None
+        and lake_exists
         and spark.catalog.tableExists(uuid_index_table)
     )
     if lake_exists:

@@ -386,6 +386,21 @@ _SELF_JOIN_BOUNDS = {
     # and joining on a derived key no longer pattern-matches the
     # detector's raw-by-raw shared-scan signature. The bound itself is
     # unchanged (banded+grouped over DISTINCT hashes, one member stamp).
+    "dedup_incremental_probe_selfsafe": (
+        "banded+grouped + member anti-join (r10): same bound as the r8 "
+        "dedup_incremental_probe declaration (band equi-join over "
+        "DISTINCT hashes per side, per-hash reduce before ONE member "
+        "stamp), plus exclude_self's anti-join of the batch ids out of "
+        "the index members — per-member fan-out <= 1 (anti-joins only "
+        "remove rows); detected here because the anti-join puts the "
+        "shared signature scan on both sides of a join again"
+    ),
+    "dedup_incremental_minhash_selfsafe": (
+        "banded+verified (r10): identical bound to "
+        "dedup_incremental_minhash below — band equi-join candidates, "
+        "exact-Jaccard verify expansion, one-row-per-batch-doc reduce — "
+        "with the bdoc <> idoc candidate filter only REMOVING pairs"
+    ),
     "dedup_incremental_minhash": (
         "banded+verified (r8): batch x index candidates come from the "
         "MinHash band equi-join (bounded by shared band buckets, never "

@@ -393,6 +393,16 @@ def test_lake_uuid_index_bounds_probe_and_stays_replay_exact(
         assert sorted(
             r[0] for r in spark.table(idx).select("uuid").collect()
         ) == sorted(r[0] for r in lake.select("uuid").collect())
+        # orphaned index (lake deleted, table left behind): must be
+        # REBUILT from the new lake, not trusted — a stale index would
+        # anti-join future batches against rows that no longer exist
+        import shutil
+
+        shutil.rmtree(out)
+        b4 = _mk_decisions(spark, range(5), "2025-01-05")
+        append_new_decisions(spark, b4, out, uuid_index_table=idx)
+        assert spark.read.parquet(out).count() == 5
+        assert spark.table(idx).count() == 5
     finally:
         spark.sql("DROP TABLE IF EXISTS t_uuidx")
 
@@ -549,6 +559,46 @@ def test_compact_index_one_file_per_bucket_and_sort_free_probes(spark):
         spark.catalog.clearCache()
         _drop_index_tables(spark, "t_cpt_mh", MINHASH_SUFFIXES)
         _drop_index_tables(spark, "t_cpt_ham", HAMMING_SUFFIXES)
+
+
+def test_curate_cli_compact_index(spark, tmp_path, capsys):
+    """`curate --compact-index TABLE` is a maintenance-only mode: no
+    --input, no dedup — it compacts the index's bucketed tables to one
+    file per bucket and reports per-table stats; invalid flag
+    combinations error out."""
+    import json
+
+    import pytest
+
+    from dsacord_spark.curate import main
+    from dsacord_spark.operators.dedup import build_minhash_index
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} words {i % 3} {i % 5} about compaction")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(100, "a delta document to fragment the buckets")],
+        "doc_id long, text string",
+    )
+    try:
+        build_minhash_index(docs, "doc_id", "text", "t_cli_cpt", buckets=2)
+        build_minhash_index(delta, "doc_id", "text", "t_cli_cpt",
+                            buckets=2, mode="append")
+        assert main(["--compact-index", "t_cli_cpt"]) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["compacted_index"] == "t_cli_cpt"
+        for s in ("bands", "shingles"):
+            assert rep["tables"][s]["files_after"] == 2, rep
+        with pytest.raises(SystemExit):
+            main(["--compact-index", "t_cli_cpt", "--input", "x.parquet"])
+        assert "maintenance-only" in capsys.readouterr().err
+        with pytest.raises(SystemExit):
+            main(["--method", "minhash"])  # neither --input nor compact
+        assert "--input is required" in capsys.readouterr().err
+    finally:
+        _drop_index_tables(spark, "t_cli_cpt", MINHASH_SUFFIXES)
 
 
 def test_read_index_meta_missing_or_empty_raises_rebuild_diagnostic(spark):
