@@ -561,6 +561,81 @@ def test_compact_index_one_file_per_bucket_and_sort_free_probes(spark):
         _drop_index_tables(spark, "t_cpt_ham", HAMMING_SUFFIXES)
 
 
+def test_curate_production_runbook_end_to_end(spark, tmp_path, capsys):
+    """The composed multi-day ops sequence the r10 features exist for,
+    through the CLI only: build the corpus index -> day-1 batch probed
+    and appended -> index COMPACTED (maintenance) -> day-2 batch probed
+    against the compacted+updated index (must drop dups of day-1
+    survivors) and appended -> day-2 RETRIED (orchestrator re-run) with
+    identical output and index state. Pins that compaction, the
+    disjoint-append guard, and self-exclusion compose — not just that
+    each works alone."""
+    import json
+
+    from dsacord_spark.curate import main
+
+    corpus = [(1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+              (2, "completely different corpus text about parquet lakes")]
+    day1 = [(100, "the unique pangram about clever zebras jumping nightly"),
+            (101, "alpha bravo charlie delta echo foxtrot golf hotel")]
+    day2 = [(200, "the unique pangram about clever zebras jumping nightly"),
+            (201, "a brand new never seen document arriving on day two")]
+    paths = {}
+    for name, rows in (("corpus", corpus), ("d1", day1), ("d2", day2)):
+        p = str(tmp_path / f"{name}.parquet")
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(p)
+        paths[name] = p
+
+    def report():
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    for method in ("minhash", "simhash"):
+        t = f"t_runbook_{method}"
+        suffixes = (HAMMING_SUFFIXES if method == "simhash"
+                    else MINHASH_SUFFIXES)
+        try:
+            assert main(["--input", paths["corpus"], "--method", method,
+                         "--build-index", t]) == 0
+            capsys.readouterr()
+            out1 = str(tmp_path / f"rb1_{method}")
+            assert main(["--input", paths["d1"], "--output", out1,
+                         "--method", method, "--index-table", t,
+                         "--update-index"]) == 0
+            r1 = report()
+            assert r1["docs_kept"] == 1 and r1["dropped_vs_index"] == 1
+            assert r1["index_appended_docs"] == 1  # doc 100
+            # maintenance between days
+            assert main(["--compact-index", t]) == 0
+            capsys.readouterr()
+            out2 = str(tmp_path / f"rb2_{method}")
+            assert main(["--input", paths["d2"], "--output", out2,
+                         "--method", method, "--index-table", t,
+                         "--update-index"]) == 0
+            r2 = report()
+            # 200 duplicates day-1 survivor 100 (only the UPDATED,
+            # now-compacted index knows it); 201 is new
+            assert r2["docs_kept"] == 1 and r2["dropped_vs_index"] == 1
+            assert r2["index_appended_docs"] == 1  # doc 201
+            kept2 = sorted(r[0] for r in spark.read.parquet(out2)
+                           .select("doc_id").collect())
+            assert kept2 == [201]
+            idx_state = _table_contents(spark, t, suffixes)
+            # the retry: same day-2 run again — byte-stable everywhere
+            assert main(["--input", paths["d2"], "--output", out2,
+                         "--method", method, "--index-table", t,
+                         "--update-index"]) == 0
+            r2r = report()
+            assert r2r["docs_kept"] == 1
+            assert r2r["index_appended_docs"] == 0
+            assert sorted(r[0] for r in spark.read.parquet(out2)
+                          .select("doc_id").collect()) == [201]
+            assert _table_contents(spark, t, suffixes) == idx_state
+        finally:
+            spark.catalog.clearCache()
+            _drop_index_tables(spark, t, suffixes)
+
+
 def test_curate_cli_compact_index(spark, tmp_path, capsys):
     """`curate --compact-index TABLE` is a maintenance-only mode: no
     --input, no dedup — it compacts the index's bucketed tables to one
