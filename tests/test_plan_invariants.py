@@ -306,6 +306,11 @@ _JOIN = re.compile(
     r"^(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"
     r"|BroadcastNestedLoopJoin|CartesianProduct)"
 )
+# Join TYPES that cannot multiply rows: anti/semi output at most one row
+# per left-side row, so they are never raw-by-raw self-joins regardless
+# of broadcast-vs-shuffle planning (which is the size estimate that made
+# declarations flip stale in r10).
+_NON_MULTIPLYING_JOIN = re.compile(r"\bLeft(Anti|Semi)\b")
 # STRONG cardinality bounds a plan can prove by itself: explicit limits,
 # a planner-certified-small broadcast side, a keyless (one-row)
 # aggregate, or a literal/range source. A KEYED aggregate is NOT here on
@@ -386,15 +391,14 @@ _SELF_JOIN_BOUNDS = {
     # and joining on a derived key no longer pattern-matches the
     # detector's raw-by-raw shared-scan signature. The bound itself is
     # unchanged (banded+grouped over DISTINCT hashes, one member stamp).
-    "dedup_incremental_probe_selfsafe": (
-        "banded+grouped + member anti-join (r10): same bound as the r8 "
-        "dedup_incremental_probe declaration (band equi-join over "
-        "DISTINCT hashes per side, per-hash reduce before ONE member "
-        "stamp), plus exclude_self's anti-join of the batch ids out of "
-        "the index members — per-member fan-out <= 1 (anti-joins only "
-        "remove rows); detected here because the anti-join puts the "
-        "shared signature scan on both sides of a join again"
-    ),
+    #
+    # dedup_incremental_probe_selfsafe left in r11: its only detected
+    # join was exclude_self's LeftAnti of the batch ids out of the index
+    # members, whose physical strategy is a size estimate (it flipped
+    # broadcast<->SMJ between the r10 close-out and the r10 judge run,
+    # going stale). Anti/semi joins never multiply rows, so the detector
+    # now skips them by TYPE (_NON_MULTIPLYING_JOIN) — deterministic
+    # regardless of planning.
     "dedup_incremental_minhash_selfsafe": (
         "banded+verified (r10): identical bound to "
         "dedup_incremental_minhash below — band equi-join candidates, "
@@ -450,6 +454,16 @@ def test_self_joins_are_bounded_or_declared(all_plans, sf_dir):
         nodes, children = _tree(p["simple"])
         for i, (_, nm) in enumerate(nodes):
             if not _JOIN.match(nm):
+                continue
+            if _NON_MULTIPLYING_JOIN.search(nm):
+                # LeftAnti/LeftSemi never multiply: output <= left-side
+                # rows by definition, whatever physical strategy the
+                # planner picks. Detecting them made the gate
+                # size-estimate-sensitive (r10: the exclude_self
+                # anti-join flipped broadcast<->SMJ with the size
+                # estimate, toggling its declaration stale). A genuinely
+                # unbounded join UNDER an anti/semi is still flagged at
+                # its own node by this same loop.
                 continue
             kids = children[i]
             if len(kids) < 2:
