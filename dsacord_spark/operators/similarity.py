@@ -740,3 +740,158 @@ def query_ivf_index(
         .withColumnRenamed("__vn", "__en")
     )
     return _probe_score_topk(corpus, probes, k, id_col, vec_col)
+
+
+def _read_ivf_meta(spark, path: str) -> dict:
+    """Load an IVF lake's sidecar metadata with the same diagnostic
+    shape as the dedup indexes' _read_index_meta: a missing sidecar is
+    'never built or a build crashed before the final meta write —
+    rebuild', never an opaque java.io stack."""
+    import json
+    import os
+
+    try:
+        return json.loads(
+            _hadoop_read_text(
+                spark, os.path.join(path, "_ivf_centroids.json")
+            )
+        )
+    except Exception as exc:
+        raise ValueError(
+            f"{path} has no readable _ivf_centroids.json sidecar — "
+            f"either no IVF index was built there, or a build crashed "
+            f"before its final meta write; rebuild with build_ivf_index "
+            f"({type(exc).__name__}: {exc})"
+        ) from exc
+
+
+def append_ivf_index(
+    spark,
+    path: str,
+    new_emb: DataFrame,
+    skip_existing: bool = True,
+) -> int:
+    """Daily-append for the IVF lake — the ANN twin of the dedup
+    indexes' update_corpus_index: new vectors are assigned to the
+    EXISTING centroids (the index's own sidecar; an append never moves
+    centroids, so every already-written cell partition stays valid and
+    a probe's directory pruning is unchanged) and appended to their
+    cell partitions. Centroids drifting away from the data they now
+    summarize is the designed trade — measure with ivf_index_stats and
+    re-train with retrain_ivf_index on the maintenance cadence.
+
+    `skip_existing=True` (default) anti-joins the batch against the
+    lake's id column first, so a replayed batch appends nothing — the
+    same retry-idempotence contract as append_new_decisions. The probe
+    is a column-pruned full-lake id scan (ReadSchema = the id column
+    only); at a lake size where that scan hurts, the bounded upgrade is
+    the same key-bucketed side index append_new_decisions grew in r10 —
+    not built until a deployment needs it (the uuid-index pattern,
+    sinks/parquet.py).
+
+    Returns the number of rows actually appended, from parquet footer
+    counts before/after (metadata-only passes; an Observation on the
+    anti-joined frame hits the known AQE empty-relation assertion on
+    zero-row appends — the append_new_decisions gotcha)."""
+    meta = _read_ivf_meta(spark, path)
+    centroid_rows = [(int(c), v) for c, v in meta["centroids"]]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    batch = new_emb.select(id_col, vec_col)
+    if skip_existing:
+        batch = batch.join(
+            spark.read.parquet(path).select(id_col), id_col, "left_anti"
+        )
+    before = spark.read.parquet(path).count()
+    assigned = assign_cells_blas(
+        batch, centroid_rows, id_col, vec_col, nprobe=1
+    ).drop("probe_rank")
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    return spark.read.parquet(path).count() - before
+
+
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Per-cell health report for an IVF lake — the drift/imbalance
+    signal that decides when appends have outgrown the trained
+    centroids: one row per cell with `n_vecs`, `mean_cos` and `min_cos`
+    (cosine of each member to its OWN centroid; falling means the cell
+    no longer summarizes its members), ordered by cell.
+
+    Retrain heuristics this feeds (documented, not enforced — the
+    thresholds are a deployment choice): imbalance max(n_vecs) /
+    mean(n_vecs) creeping up means hot cells (probe cost concentrates);
+    mean_cos trending down vs the post-(re)train baseline means drift
+    (recall at fixed nprobe decays). Pure Column algebra over ONE lake
+    scan — the centroid table is k rows broadcast onto the cell key,
+    the cosine is JVM zip_with/aggregate, no Python in the plan."""
+    meta = _read_ivf_meta(spark, path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cents = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]],
+        "cell long, __cent array<double>",
+    )
+    lake = spark.read.parquet(path).select("cell", vec_col)
+    return (
+        lake.join(F.broadcast(cents), "cell")
+        .select("cell", cosine(vec_col, "__cent").alias("__cos"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("__cos"), 6).alias("mean_cos"),
+            F.round(F.min("__cos"), 6).alias("min_cos"),
+        )
+        .orderBy("cell")
+    )
+
+
+def retrain_ivf_index(
+    spark,
+    path: str,
+    n_cells: int | None = None,
+    iters: int = 3,
+) -> dict:
+    """Re-train the IVF coarse quantizer from the lake's CURRENT
+    contents and rewrite the index atomically — the maintenance op that
+    closes the append loop (appends assign to frozen centroids;
+    after enough drift the cells stop summarizing their members and
+    fixed-nprobe recall decays).
+
+    Mechanics: read the lake's (id, vec) columns, build a fresh index
+    at `path + "__retrain"` (training + assignment read the OLD lake —
+    distinct directories, no self-overwrite), then swap rename-aside
+    exactly like compact_bucketed_table: old -> __old, __retrain ->
+    live, drop __old. A driver death mid-swap never leaves the path
+    empty-and-unrecoverable — both generations persist until the final
+    delete, and recovery is one directory rename (the docstringed
+    compact_bucketed_table story, applied to directories). `n_cells`
+    defaults to the existing index's cell count. Returns {'n_vecs',
+    'n_cells', 'cells_before'}."""
+    meta = _read_ivf_meta(spark, path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    k = int(n_cells if n_cells is not None else meta["n_cells"])
+    emb = spark.read.parquet(path).select(id_col, vec_col)
+    n_vecs = emb.count()
+    tmp, old = f"{path}__retrain", f"{path}__old"
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _p(s: str):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs = _p(path).getFileSystem(conf)
+    fs.delete(_p(tmp), True)
+    fs.delete(_p(old), True)
+    build_ivf_index(
+        emb, tmp, n_cells=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    if not fs.rename(_p(path), _p(old)):
+        raise IOError(f"retrain swap failed renaming {path} -> {old}")
+    if not fs.rename(_p(tmp), _p(path)):
+        # roll back so the index stays live under its original name
+        fs.rename(_p(old), _p(path))
+        raise IOError(f"retrain swap failed renaming {tmp} -> {path}")
+    fs.delete(_p(old), True)
+    return {
+        "n_vecs": n_vecs,
+        "n_cells": k,
+        "cells_before": int(meta["n_cells"]),
+    }

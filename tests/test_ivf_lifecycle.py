@@ -1,0 +1,176 @@
+"""IVF lake lifecycle (r11): daily append with frozen centroids,
+per-cell drift/imbalance stats, and atomic retrain — the ANN twin of
+the dedup indexes' build/probe/append/compact loop. Correctness anchor
+throughout: a query with nprobe == n_cells scans every cell partition,
+so its top-k must equal brute force over the lake's current contents,
+whatever sequence of appends/retrains produced the layout."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dsacord_spark.operators.similarity import (
+    append_ivf_index,
+    brute_force_topk,
+    build_ivf_index,
+    ivf_index_stats,
+    query_ivf_index,
+    retrain_ivf_index,
+)
+
+N_CELLS = 4
+
+
+@pytest.fixture()
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def _exhaustive(spark, path, emb, k=3):
+    """nprobe == n_cells -> every cell scanned -> must equal brute
+    force over the same corpus."""
+    got = sorted(map(tuple, query_ivf_index(
+        spark, path, _queries(emb), nprobe=N_CELLS, k=k
+    ).select("q_id", "neighbor_id", "rank").collect()))
+    corpus = spark.read.parquet(path).select("vec_id", "embedding")
+    want = sorted(map(tuple, brute_force_topk(
+        corpus, _queries(emb), k=k
+    ).select("q_id", "neighbor_id", "rank").collect()))
+    assert got == want, "exhaustive-probe != brute force"
+    return got
+
+
+def test_append_assigns_with_frozen_centroids(spark, emb, tmp_path):
+    """Append = assignment to the index's OWN centroids: the sidecar is
+    byte-stable across appends, the appended rows land in valid cell
+    partitions, and an exhaustive-probe query over the grown lake still
+    equals brute force."""
+    import json
+    import os
+
+    from dsacord_spark.operators.similarity import _hadoop_read_text
+
+    path = str(tmp_path / "ivf")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    build_ivf_index(half_a, path, n_cells=N_CELLS)
+    meta0 = _hadoop_read_text(
+        spark, os.path.join(path, "_ivf_centroids.json"))
+    n_a = spark.read.parquet(path).count()
+
+    appended = append_ivf_index(spark, path, half_b)
+    assert appended == half_b.count()
+    assert spark.read.parquet(path).count() == n_a + appended
+    # centroids untouched by the append
+    assert _hadoop_read_text(
+        spark, os.path.join(path, "_ivf_centroids.json")) == meta0
+    # every appended row sits in a trained cell partition
+    cells = {r[0] for r in
+             spark.read.parquet(path).select("cell").distinct().collect()}
+    assert cells <= set(range(N_CELLS))
+    _exhaustive(spark, path, emb)
+    # sanity on the sidecar shape the lifecycle relies on
+    meta = json.loads(meta0)
+    assert meta["n_cells"] == N_CELLS and meta["id_col"] == "vec_id"
+
+
+def test_append_is_retry_idempotent(spark, emb, tmp_path):
+    """The daily contract: replaying a batch appends 0 rows and leaves
+    query results byte-identical; skip_existing=False documents the
+    raw append-anything behavior."""
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 250), path,
+                    n_cells=N_CELLS)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    assert append_ivf_index(spark, path, batch) == batch.count()
+    before = _exhaustive(spark, path, emb)
+    assert append_ivf_index(spark, path, batch) == 0  # replay no-op
+    assert _exhaustive(spark, path, emb) == before
+    # a half-overlapping batch appends only the genuinely new rows
+    assert append_ivf_index(spark, path, emb) == 0  # all present
+
+
+def test_stats_track_growth_and_stay_jvm_side(spark, emb, tmp_path):
+    """ivf_index_stats: counts sum to the lake size, cosines are valid
+    and per-cell means never exceed 1; the plan carries NO Python eval
+    nodes (the centroid join is a broadcast of k rows, the cosine is
+    Column algebra)."""
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 250), path,
+                    n_cells=N_CELLS)
+    s0 = {r["cell"]: r for r in ivf_index_stats(spark, path).collect()}
+    assert sum(r["n_vecs"] for r in s0.values()) == \
+        spark.read.parquet(path).count()
+    append_ivf_index(spark, path, emb.filter(F.col("vec_id") >= 250))
+    s1 = {r["cell"]: r for r in ivf_index_stats(spark, path).collect()}
+    assert sum(r["n_vecs"] for r in s1.values()) == \
+        spark.read.parquet(path).count()
+    assert sum(r["n_vecs"] for r in s1.values()) > \
+        sum(r["n_vecs"] for r in s0.values())
+    for r in s1.values():
+        assert -1.0 - 1e-9 <= r["min_cos"] <= r["mean_cos"] <= 1.0 + 1e-9
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ivf_index_stats(spark, path).explain("formatted")
+    import re
+
+    assert not re.search(
+        r"BatchEvalPython|ArrowEvalPython|MapInPandas|PythonMapInArrow",
+        buf.getvalue(),
+    ), "stats plan must stay JVM-side"
+
+
+def test_retrain_swaps_atomically_and_stays_correct(spark, emb,
+                                                    tmp_path):
+    """retrain_ivf_index: after appends, retraining rewrites the lake
+    under fresh centroids with NO residue directories, preserves every
+    row, refreshes the sidecar, and the exhaustive-probe check still
+    equals brute force. The mean cosine-to-centroid must not get worse:
+    retraining re-fits the quantizer to the data appends drifted."""
+    import os
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 150), path,
+                    n_cells=N_CELLS, iters=2)
+    append_ivf_index(spark, path, emb.filter(F.col("vec_id") >= 150))
+    n_before = spark.read.parquet(path).count()
+
+    def wmean_cos(stats_rows):
+        n = sum(r["n_vecs"] for r in stats_rows)
+        return sum(r["n_vecs"] * r["mean_cos"] for r in stats_rows) / n
+
+    drifted = wmean_cos(ivf_index_stats(spark, path).collect())
+    out = retrain_ivf_index(spark, path, iters=3)
+    assert out == {"n_vecs": n_before, "n_cells": N_CELLS,
+                   "cells_before": N_CELLS}
+    assert spark.read.parquet(path).count() == n_before
+    assert not os.path.exists(path + "__retrain")
+    assert not os.path.exists(path + "__old")
+    refit = wmean_cos(ivf_index_stats(spark, path).collect())
+    assert refit >= drifted - 1e-9, (refit, drifted)
+    _exhaustive(spark, path, emb)
+    # appends keep working against the refreshed sidecar
+    assert append_ivf_index(spark, path, emb) == 0
+
+
+def test_missing_sidecar_raises_rebuild_diagnostic(spark, emb,
+                                                   tmp_path):
+    path = str(tmp_path / "noidx")
+    emb.limit(5).withColumn("cell", F.lit(0)) \
+        .write.partitionBy("cell").parquet(path)
+    with pytest.raises(ValueError, match="rebuild with build_ivf_index"):
+        append_ivf_index(spark, path, emb.limit(1))
+    with pytest.raises(ValueError, match="rebuild with build_ivf_index"):
+        ivf_index_stats(spark, path)
