@@ -1,0 +1,166 @@
+"""ANN index control CLI — the ops entry point for the IVF lake
+lifecycle, the embedding-side twin of the curate CLI's text-dedup loop
+(build / daily append / health stats / serve / retrain):
+
+    python -m dsacord_spark.annctl build   --input emb.parquet --index DIR
+                                           [--cells 16] [--iters 3]
+    python -m dsacord_spark.annctl append  --input batch.parquet --index DIR
+                                           [--no-skip-existing]
+    python -m dsacord_spark.annctl stats   --index DIR
+    python -m dsacord_spark.annctl query   --input queries.parquet
+                                           --index DIR --output DIR
+                                           [--nprobe 4] [--k 5]
+    python -m dsacord_spark.annctl retrain --index DIR [--cells N]
+                                           [--iters 3]
+
+Every subcommand prints exactly one JSON summary line (stats
+additionally prints one JSON line per cell before it), mirroring the
+curate CLI's contract so the composed daily runbook can parse both the
+same way. Column names default to the engine's embedding schema
+(vec_id / embedding) and are overridable with --id-col / --vec-col;
+`query` maps them onto the (q_id, q_vec) contract internally.
+
+The daily loop this serves: `append` every batch (retry-idempotent —
+a replayed batch reports appended=0), watch `stats` for imbalance
+(max/mean n_vecs) and drift (mean_cos falling), `retrain` on the
+maintenance cadence (atomic rename-aside swap; probes keep working
+before and after, never during a half-written index)."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(prog="annctl", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, with_input: bool):
+        if with_input:
+            sp.add_argument("--input", required=True,
+                            help="Input parquet of vectors")
+        sp.add_argument("--index", required=True,
+                        help="IVF lake directory")
+        sp.add_argument("--id-col", default="vec_id")
+        sp.add_argument("--vec-col", default="embedding")
+        sp.add_argument("--master", default=None,
+                        help="Spark master override")
+
+    b = sub.add_parser("build", help="train + materialize the IVF lake")
+    common(b, True)
+    b.add_argument("--cells", type=int, default=16)
+    b.add_argument("--iters", type=int, default=3)
+
+    ap = sub.add_parser("append", help="assign a batch to the existing "
+                                       "centroids and append")
+    common(ap, True)
+    ap.add_argument("--no-skip-existing", action="store_true",
+                    help="append without the retry-idempotence "
+                         "anti-join (raw append-anything)")
+
+    st = sub.add_parser("stats", help="per-cell drift/imbalance report")
+    common(st, False)
+
+    q = sub.add_parser("query", help="serve top-k ANN from the lake")
+    common(q, True)
+    q.add_argument("--output", required=True,
+                   help="Output parquet dir for (q_id, neighbor_id, "
+                        "rank, cos_sim)")
+    q.add_argument("--nprobe", type=int, default=4)
+    q.add_argument("--k", type=int, default=5)
+
+    rt = sub.add_parser("retrain", help="re-train centroids from the "
+                                        "lake's current contents "
+                                        "(atomic swap)")
+    common(rt, False)
+    rt.add_argument("--cells", type=int, default=None,
+                    help="new cell count (default: keep the index's)")
+    rt.add_argument("--iters", type=int, default=3)
+
+    a = p.parse_args(argv)
+    # --id-col/--vec-col only shape NEW metadata (build) or the query
+    # mapping; append/stats/retrain read them from the index's own
+    # sidecar — warn instead of silently ignoring (the curate CLI's
+    # flag-relevance rule)
+    if a.cmd in ("append", "stats", "retrain") and (
+        a.id_col != "vec_id" or a.vec_col != "embedding"
+    ):
+        print(
+            f"warning: --id-col/--vec-col have no effect with "
+            f"'{a.cmd}' — column names come from the index's own "
+            f"sidecar metadata",
+            file=sys.stderr,
+        )
+
+    from dsacord_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_stats,
+        query_ivf_index,
+        retrain_ivf_index,
+    )
+    from dsacord_spark.session import get_spark
+
+    spark = get_spark(app_name=f"dsacord-annctl-{a.cmd}", master=a.master)
+    t0 = time.perf_counter()
+
+    def done(**kw) -> int:
+        kw["elapsed_s"] = round(time.perf_counter() - t0, 2)
+        print(json.dumps(kw))
+        return 0
+
+    if a.cmd == "build":
+        emb = spark.read.parquet(a.input)
+        build_ivf_index(emb, a.index, n_cells=a.cells, iters=a.iters,
+                        id_col=a.id_col, vec_col=a.vec_col)
+        return done(built_index=a.index, cells=a.cells,
+                    n_vecs=spark.read.parquet(a.index).count())
+    if a.cmd == "append":
+        n = append_ivf_index(
+            spark, a.index, spark.read.parquet(a.input),
+            skip_existing=not a.no_skip_existing,
+        )
+        return done(appended=n, index=a.index,
+                    skip_existing=not a.no_skip_existing)
+    if a.cmd == "stats":
+        rows = ivf_index_stats(spark, a.index).collect()
+        for r in rows:
+            print(json.dumps({
+                "cell": r["cell"], "n_vecs": r["n_vecs"],
+                "mean_cos": r["mean_cos"], "min_cos": r["min_cos"],
+            }))
+        counts = [r["n_vecs"] for r in rows]
+        total = sum(counts)
+        return done(
+            index=a.index, cells=len(rows), n_vecs=total,
+            imbalance=round(max(counts) / (total / len(rows)), 3)
+            if total else None,
+            mean_cos=round(
+                sum(r["n_vecs"] * r["mean_cos"] for r in rows) / total, 6
+            ) if total else None,
+        )
+    if a.cmd == "query":
+        from pyspark.sql import functions as F
+
+        queries = spark.read.parquet(a.input).select(
+            F.col(a.id_col).alias("q_id"), F.col(a.vec_col).alias("q_vec")
+        )
+        out = query_ivf_index(spark, a.index, queries,
+                              nprobe=a.nprobe, k=a.k)
+        out.write.mode("overwrite").parquet(a.output)
+        return done(
+            index=a.index, output=a.output, nprobe=a.nprobe, k=a.k,
+            result_rows=spark.read.parquet(a.output).count(),
+        )
+    # retrain
+    info = retrain_ivf_index(spark, a.index, n_cells=a.cells,
+                             iters=a.iters)
+    return done(retrained=a.index, **info)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

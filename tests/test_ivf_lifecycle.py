@@ -174,3 +174,55 @@ def test_missing_sidecar_raises_rebuild_diagnostic(spark, emb,
         append_ivf_index(spark, path, emb.limit(1))
     with pytest.raises(ValueError, match="rebuild with build_ivf_index"):
         ivf_index_stats(spark, path)
+
+
+def test_annctl_cli_daily_loop(spark, emb, tmp_path, capsys):
+    """The composed CLI runbook end-to-end: build -> append (twice — the
+    replay must report appended=0) -> stats -> query -> retrain ->
+    query again. Every subcommand emits one parseable JSON summary
+    line; the query output equals brute force at nprobe == cells."""
+    import json
+
+    from dsacord_spark.annctl import main
+
+    root = str(tmp_path)
+    idx = f"{root}/idx"
+    emb.filter(F.col("vec_id") < 250).write.parquet(f"{root}/day0")
+    emb.filter(F.col("vec_id") >= 250).write.parquet(f"{root}/day1")
+    _queries(emb).select(
+        F.col("q_id").alias("vec_id"), F.col("q_vec").alias("embedding")
+    ).write.parquet(f"{root}/q")
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.strip().startswith("{")]
+        return [json.loads(ln) for ln in lines]
+
+    built = run("build", "--input", f"{root}/day0", "--index", idx,
+                "--cells", str(N_CELLS), "--iters", "2")[-1]
+    assert built["n_vecs"] == 250
+    a1 = run("append", "--input", f"{root}/day1", "--index", idx)[-1]
+    assert a1["appended"] == emb.filter(F.col("vec_id") >= 250).count()
+    a2 = run("append", "--input", f"{root}/day1", "--index", idx)[-1]
+    assert a2["appended"] == 0  # replay no-op, reported honestly
+    s = run("stats", "--index", idx)
+    assert len(s) == N_CELLS + 1  # one line per cell + the summary
+    assert s[-1]["n_vecs"] == emb.count() and s[-1]["imbalance"] >= 1.0
+    qr = run("query", "--input", f"{root}/q", "--index", idx,
+             "--output", f"{root}/out", "--nprobe", str(N_CELLS),
+             "--k", "3")[-1]
+    got = sorted(map(tuple, spark.read.parquet(f"{root}/out")
+                 .select("q_id", "neighbor_id", "rank").collect()))
+    want = sorted(map(tuple, brute_force_topk(
+        spark.read.parquet(idx).select("vec_id", "embedding"),
+        _queries(emb), k=3,
+    ).select("q_id", "neighbor_id", "rank").collect()))
+    assert got == want and qr["result_rows"] == len(got)
+    rt = run("retrain", "--index", idx)[-1]
+    assert rt["n_vecs"] == emb.count()
+    run("query", "--input", f"{root}/q", "--index", idx,
+        "--output", f"{root}/out2", "--nprobe", str(N_CELLS), "--k", "3")
+    got2 = sorted(map(tuple, spark.read.parquet(f"{root}/out2")
+                  .select("q_id", "neighbor_id", "rank").collect()))
+    assert got2 == want  # exhaustive probe invariant to the re-layout
