@@ -133,14 +133,21 @@ def main(argv: list[str] | None = None) -> int:
                 "cell": r["cell"], "n_vecs": r["n_vecs"],
                 "mean_cos": r["mean_cos"], "min_cos": r["min_cos"],
             }))
+        # ivf_index_stats emits every trained cell (empty ones at
+        # n_vecs=0 with null cosines), so `cells` matches the sidecar's
+        # n_cells and `imbalance` counts dead cells against the mean —
+        # a half-empty quantizer reads 2.0, not a healthy 1.0 (r11
+        # review); the weighted mean skips the null-cosine empty cells
         counts = [r["n_vecs"] for r in rows]
         total = sum(counts)
         return done(
             index=a.index, cells=len(rows), n_vecs=total,
+            empty_cells=sum(1 for c in counts if c == 0),
             imbalance=round(max(counts) / (total / len(rows)), 3)
             if total else None,
             mean_cos=round(
-                sum(r["n_vecs"] * r["mean_cos"] for r in rows) / total, 6
+                sum(r["n_vecs"] * r["mean_cos"] for r in rows
+                    if r["n_vecs"]) / total, 6
             ) if total else None,
         )
     if a.cmd == "query":

@@ -34,6 +34,7 @@ from contextlib import contextmanager
 
 _LOCK = threading.Lock()
 _LEASES: dict[str, list["_StreamLease"]] = {}
+_MAINTENANCE: dict[str, int] = {}
 
 
 class _StreamLease:
@@ -47,9 +48,20 @@ class _StreamLease:
 @contextmanager
 def stream_lease(table_name: str):
     """Register a live streaming reader of index `table_name` (base name,
-    not the per-suffix tables) for the duration of the with-block."""
+    not the per-suffix tables) for the duration of the with-block.
+    Raises if a maintenance op is currently rewriting the index — a
+    stream started mid-rewrite would plan batch 0 over files about to
+    be deleted (the reverse direction of the compaction guard; both
+    directions are decided under the one registry lock, so neither side
+    can slip in between the other's check and registration)."""
     lease = _StreamLease(table_name)
     with _LOCK:
+        if _MAINTENANCE.get(table_name):
+            raise RuntimeError(
+                f"cannot start a streaming probe of {table_name!r}: a "
+                f"maintenance rewrite (compact_index) is in progress — "
+                f"retry when it completes"
+            )
         _LEASES.setdefault(table_name, []).append(lease)
     try:
         yield lease
@@ -82,4 +94,44 @@ def blocking_leases(table_name: str) -> int:
         return sum(
             1 for lease in _LEASES.get(table_name, ())
             if not lease.at_boundary
+        )
+
+
+@contextmanager
+def maintenance_lease(table_name: str, force: bool = False):
+    """Atomically claim `table_name` for a file-rewriting maintenance op
+    (compact_index): under the ONE registry lock, verify no mid-batch
+    stream lease exists (unless `force`) and mark maintenance active, so
+    a stream starting after the check cannot race the rewrite — the
+    check-then-rewrite TOCTOU the r11 review flagged. Mid-batch leases
+    raise the refusal the caller turns into its diagnostic; leases AT a
+    boundary (the on_batch_start hook window) do not block, and a
+    stream attempting to START during the with-block is rejected by
+    stream_lease."""
+    with _LOCK:
+        blocking = sum(
+            1 for lease in _LEASES.get(table_name, ())
+            if not lease.at_boundary
+        )
+        if blocking and not force:
+            raise _MaintenanceBlocked(table_name, blocking)
+        _MAINTENANCE[table_name] = _MAINTENANCE.get(table_name, 0) + 1
+    try:
+        yield
+    finally:
+        with _LOCK:
+            n = _MAINTENANCE.get(table_name, 1) - 1
+            if n <= 0:
+                _MAINTENANCE.pop(table_name, None)
+            else:
+                _MAINTENANCE[table_name] = n
+
+
+class _MaintenanceBlocked(RuntimeError):
+    def __init__(self, table_name: str, n_blocking: int):
+        self.table_name = table_name
+        self.n_blocking = n_blocking
+        super().__init__(
+            f"{n_blocking} live streaming probe(s) hold a mid-batch "
+            f"lease on {table_name!r}"
         )

@@ -2007,22 +2007,28 @@ def compact_index(spark, table_name: str, force: bool = False) -> dict:
     from dsacord_spark import leases
     from dsacord_spark.sinks.parquet import compact_bucketed_table
 
-    n_blocking = leases.blocking_leases(table_name)
-    if n_blocking and not force:
+    try:
+        # the maintenance lease is held for the WHOLE rewrite and is
+        # acquired atomically with the mid-batch check under the one
+        # registry lock (r11 review: a check-then-rewrite gap let a
+        # stream start between them); a stream attempting to start
+        # while it is held is rejected by leases.stream_lease
+        with leases.maintenance_lease(table_name, force=force):
+            stats = {}
+            for s in ("summary", "bands", "shingles"):
+                t = f"{table_name}_{s}"
+                if spark.catalog.tableExists(t):
+                    stats[s] = compact_bucketed_table(spark, t)
+    except leases._MaintenanceBlocked as blocked:
         raise RuntimeError(
-            f"compact_index({table_name!r}) refused: {n_blocking} live "
-            f"streaming probe(s) hold a lease on this index and are "
-            f"mid-batch — a rewrite could delete files an in-flight "
-            f"probe plan still reads. Compact from the stream's "
-            f"on_batch_start hook (a safe batch boundary), wait for the "
-            f"stream to drain, or pass force=True if you know the "
-            f"readers are external."
-        )
-    stats = {}
-    for s in ("summary", "bands", "shingles"):
-        t = f"{table_name}_{s}"
-        if spark.catalog.tableExists(t):
-            stats[s] = compact_bucketed_table(spark, t)
+            f"compact_index({table_name!r}) refused: "
+            f"{blocked.n_blocking} live streaming probe(s) hold a lease "
+            f"on this index and are mid-batch — a rewrite could delete "
+            f"files an in-flight probe plan still reads. Compact from "
+            f"the stream's on_batch_start hook (a safe batch boundary), "
+            f"wait for the stream to drain, or pass force=True if you "
+            f"know the readers are external."
+        ) from None
     if not stats:
         raise ValueError(
             f"{table_name} has no index tables to compact — build it "

@@ -713,12 +713,7 @@ def query_ivf_index(
     prunes at the directory level — verified by plan test) and run the
     same score/top-k tail as the in-memory operators. Results are
     identical to `ivf_topk_kmeans` built with the same parameters."""
-    import json
-    import os
-
-    meta = json.loads(
-        _hadoop_read_text(spark, os.path.join(path, "_ivf_centroids.json"))
-    )
+    meta = _read_ivf_meta(spark, path)
     centroid_rows = [(int(c), v) for c, v in meta["centroids"]]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
 
@@ -824,13 +819,13 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     scan — the centroid table is k rows broadcast onto the cell key,
     the cosine is JVM zip_with/aggregate, no Python in the plan."""
     meta = _read_ivf_meta(spark, path)
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    vec_col = meta["vec_col"]
     cents = spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]],
         "cell long, __cent array<double>",
     )
     lake = spark.read.parquet(path).select("cell", vec_col)
-    return (
+    occupied = (
         lake.join(F.broadcast(cents), "cell")
         .select("cell", cosine(vec_col, "__cent").alias("__cos"))
         .groupBy("cell")
@@ -838,6 +833,22 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(F.avg("__cos"), 6).alias("mean_cos"),
             F.round(F.min("__cos"), 6).alias("min_cos"),
+        )
+    )
+    # EVERY trained cell gets a row (r11 review): a cell k-means left
+    # empty — or appends drained — would otherwise vanish from the
+    # report, understating imbalance (max/mean over occupied cells
+    # reads 'healthy' while half the quantizer is dead) and hiding the
+    # disagreement with the sidecar's n_cells. Empty cells report
+    # n_vecs=0 with null cosines.
+    return (
+        cents.select("cell")
+        .join(occupied, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_vecs", F.lit(0)).alias("n_vecs"),
+            "mean_cos",
+            "min_cos",
         )
         .orderBy("cell")
     )

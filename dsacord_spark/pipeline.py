@@ -131,22 +131,27 @@ def run_backfill(
 
         def sink(df: DataFrame) -> int:
             if rebuild:
-                # full-rebuild semantics: static overwrite replaces the
-                # entire decisions lake from every staged ZIP
-                write_decisions_parquet(df, out, mode="overwrite")
                 if cfg.uuid_index_table:
                     # the index was built from the PREVIOUS lake; if the
-                    # rebuild dropped uuids (changed quarantine rules,
+                    # rebuild drops uuids (changed quarantine rules,
                     # removed dumps) it would retain phantom keys with
                     # no row behind them, and the orphan guard in
                     # append_new_decisions only fires when the lake PATH
                     # is absent — subsequent daily appends would silently
                     # anti-join valid new rows away (permanent row
-                    # loss; r10 ADVICE). Drop it: the next append's
-                    # bootstrap rebuilds it from the new lake.
+                    # loss; r10 ADVICE). Drop it BEFORE the overwrite
+                    # (r11 review): drop-after left a crash window —
+                    # overwrite done, driver dead before the drop —
+                    # that recreated the phantom-key state; drop-first
+                    # is safe in every interleaving, since a missing
+                    # index merely makes the next append bootstrap it
+                    # from whatever lake exists.
                     spark.sql(
                         f"DROP TABLE IF EXISTS {cfg.uuid_index_table}"
                     )
+                # full-rebuild semantics: static overwrite replaces the
+                # entire decisions lake from every staged ZIP
+                write_decisions_parquet(df, out, mode="overwrite")
                 try:
                     return int(written_obs.get["n"])
                 except Exception:

@@ -644,7 +644,17 @@ def run_bounded_stream(
             # transform like dropDuplicatesWithinWatermark would reject a
             # batch frame); batch_transform reshapes it like the sink did
             empty = spark.createDataFrame([], transformed.schema)
-            return batch_transform(empty) if batch_transform else empty
+            if batch_transform is None:
+                return empty
+            # honor the 2-arg contract here too (r11 review): a
+            # zero-micro-batch drain with pass_batch_id=True used to
+            # call the 2-arg transform with one arg — TypeError instead
+            # of an empty result frame
+            return (
+                batch_transform(empty, 0)
+                if pass_batch_id
+                else batch_transform(empty)
+            )
         # hand the output dir to a process-lifetime location and return a
         # lazy read instead of eagerly re-materializing through the block
         # manager (same rationale as sessionize_bounded)

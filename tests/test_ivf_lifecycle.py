@@ -117,6 +117,9 @@ def test_stats_track_growth_and_stay_jvm_side(spark, emb, tmp_path):
     assert sum(r["n_vecs"] for r in s1.values()) > \
         sum(r["n_vecs"] for r in s0.values())
     for r in s1.values():
+        if r["n_vecs"] == 0:  # dead cell: reported, cosines null
+            assert r["mean_cos"] is None and r["min_cos"] is None
+            continue
         assert -1.0 - 1e-9 <= r["min_cos"] <= r["mean_cos"] <= 1.0 + 1e-9
     import io
     from contextlib import redirect_stdout
@@ -226,3 +229,66 @@ def test_annctl_cli_daily_loop(spark, emb, tmp_path, capsys):
     got2 = sorted(map(tuple, spark.read.parquet(f"{root}/out2")
                   .select("q_id", "neighbor_id", "rank").collect()))
     assert got2 == want  # exhaustive probe invariant to the re-layout
+
+
+def test_stats_report_dead_cells(spark, tmp_path, capsys):
+    """r11 review: a trained cell with NO members (k-means left it
+    empty, or appends drained it) must appear in the report at
+    n_vecs=0 / null cosines — hiding it understated imbalance (max/mean
+    over occupied cells reads 'healthy' while half the quantizer is
+    dead). Hand-write a lake whose sidecar declares 2 cells but whose
+    rows all sit in cell 0."""
+    import json
+
+    from dsacord_spark.annctl import main
+    from dsacord_spark.operators.similarity import _hadoop_write_text
+
+    path = str(tmp_path / "deadcell")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0)],
+        "vec_id long, embedding array<float>, cell long",
+    ).write.partitionBy("cell").parquet(path)
+    _hadoop_write_text(
+        spark, f"{path}/_ivf_centroids.json",
+        json.dumps({
+            "n_cells": 2, "id_col": "vec_id", "vec_col": "embedding",
+            "centroids": [[0, [1.0, 0.0]], [1, [0.0, 1.0]]],
+        }),
+    )
+    rows = {r["cell"]: r for r in ivf_index_stats(spark, path).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["n_vecs"] == 2 and rows[0]["mean_cos"] > 0.9
+    assert rows[1]["n_vecs"] == 0
+    assert rows[1]["mean_cos"] is None and rows[1]["min_cos"] is None
+    assert main(["stats", "--index", path]) == 0
+    summary = json.loads(
+        [ln for ln in capsys.readouterr().out.splitlines()
+         if ln.startswith("{")][-1])
+    assert summary["cells"] == 2 and summary["empty_cells"] == 1
+    assert summary["imbalance"] == 2.0  # max(2,0) / mean(2,0)=1 -> 2.0
+    assert summary["mean_cos"] is not None
+
+
+def test_compact_blocks_new_streams_and_streams_block_compact(spark):
+    """r11 review (TOCTOU): the mid-batch check and the maintenance
+    claim are one atomic step under the registry lock, and the guard is
+    two-directional — a stream cannot START while a maintenance rewrite
+    holds the index."""
+    from dsacord_spark import leases
+
+    with leases.maintenance_lease("t_r11_toctou"):
+        with pytest.raises(RuntimeError, match="maintenance"):
+            with leases.stream_lease("t_r11_toctou"):
+                pass
+        # an unrelated index is unaffected
+        with leases.stream_lease("t_r11_other"):
+            pass
+    # released: streams may start again
+    with leases.stream_lease("t_r11_toctou"):
+        with pytest.raises(leases._MaintenanceBlocked):
+            with leases.maintenance_lease("t_r11_toctou"):
+                pass
+        # force overrides, as compact_index(force=True) documents
+        with leases.maintenance_lease("t_r11_toctou", force=True):
+            pass
+    assert leases.blocking_leases("t_r11_toctou") == 0

@@ -351,3 +351,71 @@ def test_stream_probe_refresh_policy_validation(spark):
         spark.catalog.clearCache()
         _drop_index_tables(spark, tmh, MINHASH_SUFFIXES)
         _drop_index_tables(spark, tham, HAMMING_SUFFIXES)
+
+
+def test_in_literals_isin_parity_property(spark):
+    """Hypothesis pin for the fast literal-IN: for ANY list of int64
+    values (boundaries included), the parsed-SQL form selects exactly
+    the rows Column.isin selects. One shared frame, many filter pairs —
+    the property is pure plan semantics, so examples stay cheap."""
+    from hypothesis import given, settings, strategies as st
+
+    from dsacord_spark.operators.dedup import _in_literals
+
+    i64 = st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1)
+    df = spark.createDataFrame(
+        [(v,) for v in (-(2 ** 63), -1, 0, 1, 7, 63, 2 ** 62,
+                        2 ** 63 - 1)],
+        "k long",
+    ).cache()
+    df.count()
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(i64 | st.sampled_from(
+        [-(2 ** 63), 2 ** 63 - 1, 0, 7]), max_size=12))
+    def check(vals):
+        got = sorted(
+            r[0] for r in df.filter(_in_literals("k", vals)).collect())
+        want = sorted(
+            r[0] for r in df.filter(
+                F.col("k").isin(vals) if vals else F.lit(False)
+            ).collect())
+        assert got == want, (vals, got, want)
+
+    try:
+        check()
+    finally:
+        df.unpersist()
+
+
+def test_stream_probe_empty_batch_returns_empty_frame(spark):
+    """r11 review: a bounded stream that drains ZERO micro-batches (an
+    empty staged batch writes no data files) reaches run_bounded_stream's
+    fallback, which must honor the 2-arg batch_transform contract — it
+    used to call the probe with one arg and die with TypeError instead
+    of returning an empty, correctly-shaped result."""
+    from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS, build_hamming_index, simhash_signatures,
+    )
+    from dsacord_spark.streaming.pipeline import stream_probe_hamming_index
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    t = "t_r11_empty"
+    try:
+        sig = simhash_signatures(docs, "doc_id", "text")
+        build_hamming_index(sig, "doc", "simhash", t,
+                            n_bands=4, hash_bits=SIMHASH_BITS, buckets=2)
+        empty = sig.filter(F.lit(False))
+        out = stream_probe_hamming_index(spark, t, empty, "doc", "simhash")
+        assert out.count() == 0
+        assert out.columns == ["doc", "is_dup", "match_id", "best_hamming"]
+        # and with the snapshot policy set (the pass_batch_id path)
+        out2 = stream_probe_hamming_index(
+            spark, t, empty, "doc", "simhash", refresh_every_n_batches=2)
+        assert out2.count() == 0
+    finally:
+        spark.catalog.clearCache()
+        _drop_index_tables(spark, t, HAMMING_SUFFIXES)
