@@ -717,21 +717,26 @@ def query_ivf_index(
     centroid_rows = [(int(c), v) for c, v in meta["centroids"]]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
 
-    probes = (
+    assigned = (
         assign_cells_blas(queries, centroid_rows, "q_id", "q_vec", nprobe=nprobe)
         .withColumnRenamed("__vn", "__qn")
         .drop("probe_rank")
-        # consumed twice (the cells collect below and the final probe
-        # join); localCheckpoint rather than persist (r10): a serve call
-        # per query batch would otherwise leak one session-lifetime
-        # cache entry per call — checkpointed blocks are reclaimed by
-        # the ContextCleaner once the result frame goes unreachable
-        .localCheckpoint(eager=False)
     )
-    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    # The probe set is consumed twice (the cells list below and the
+    # final probe join) and is broadcast by the probe tail REGARDLESS —
+    # so materialize it to the driver ONCE and rebuild it as a local
+    # relation: the assignment runs exactly once, the collected rows are
+    # the same bytes the broadcast would ship, and unlike the r10
+    # localCheckpoint formulation nothing is left in the block manager
+    # for the ContextCleaner to reclaim later (the checkpoint block
+    # lingered for tens of seconds after the result frame died,
+    # tripping the persistent-RDD census — r11 review of annctl).
+    probe_rows = assigned.collect()
+    probes = spark.createDataFrame(probe_rows, assigned.schema)
+    cells = sorted({r["cell"] for r in probe_rows})
     corpus = (
         spark.read.parquet(path)
-        .filter(F.col("cell").isin(cells))
+        .filter(F.col("cell").isin(cells) if cells else F.lit(False))
         .withColumnRenamed("__vn", "__en")
     )
     return _probe_score_topk(corpus, probes, k, id_col, vec_col)

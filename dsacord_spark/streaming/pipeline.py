@@ -670,6 +670,31 @@ def run_bounded_stream(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _release_local_checkpoint(df: DataFrame | None) -> None:
+    """Deterministically unpersist a RETIRED localCheckpoint snapshot's
+    backing blocks. Dropping the Python reference and waiting for the
+    ContextCleaner is how these were released through r10 — but that
+    reclamation is ASYNC and lags nondeterministically (measured on this
+    JVM: sometimes <6s, sometimes minutes, independent of gc.collect/
+    System.gc), which (a) holds up to one full extra index snapshot in
+    executor memory between refreshes of a long-running stream and
+    (b) made the persistent-RDD census test pass or fail on GC luck.
+    The checkpointed Dataset's analyzed plan is the LogicalRDD wrapping
+    the persisted RDD; unpersist it directly (non-blocking). Only call
+    on snapshots with NO remaining consumer — a retired generation after
+    the refresh boundary, or any generation after the stream drained
+    (every micro-batch's output is already materialized by the sink).
+    Spark logs an expected 'lineage has been truncated' WARN: the
+    snapshot is dead, it will never be recomputed. Best-effort: on any
+    reflection mismatch the ContextCleaner path still applies."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def stream_probe_hamming_index(
     spark: SparkSession,
     table_name: str,
@@ -743,11 +768,15 @@ def stream_probe_hamming_index(
             # (CacheManager.recacheByPath), which silently turns the
             # snapshot back into fresh-per-append reads; checkpointed
             # blocks have no table lineage, so the snapshot holds until
-            # the NEXT boundary by construction. Blocks are reclaimed by
-            # the ContextCleaner when the previous snapshot's frames go
-            # unreachable (references dropped here). Caveat: do not
-            # compact/rewrite the index tables mid-stream — a snapshot
+            # the NEXT boundary by construction. The RETIRED generation
+            # is released eagerly (the prior batch's write completed
+            # synchronously, so it has no consumer) — see
+            # _release_local_checkpoint for why GC-driven reclamation
+            # is not enough. Caveat: do not compact/rewrite the index
+            # tables mid-stream outside the boundary hook — a snapshot
             # pins nothing on disk (see compact_index's stream guard).
+            _release_local_checkpoint(state["idx"])
+            _release_local_checkpoint(state["ib"])
             state["idx"] = spark.table(
                 f"{table_name}_summary"
             ).localCheckpoint(eager=True)
@@ -782,8 +811,11 @@ def stream_probe_hamming_index(
                 pass_batch_id=True,
             )
     finally:
-        # drop the snapshot references — the ContextCleaner reclaims
-        # the checkpointed blocks once unreachable
+        # every micro-batch's output is already materialized by the
+        # sink, so the final snapshots have no consumer — release their
+        # blocks NOW instead of hoping the ContextCleaner gets to them
+        _release_local_checkpoint(state["idx"])
+        _release_local_checkpoint(state["ib"])
         state["idx"] = state["ib"] = None
 
 
@@ -847,7 +879,10 @@ def stream_probe_minhash_index(
         if state["gen"] != gen or state["ib"] is None:
             # localCheckpoint for true snapshot semantics (see
             # stream_probe_hamming_index — persisted table frames are
-            # re-cached on any table write)
+            # re-cached on any table write); retired generation released
+            # eagerly (_release_local_checkpoint)
+            _release_local_checkpoint(state["ib"])
+            _release_local_checkpoint(state["sh"])
             state["ib"] = spark.table(
                 f"{table_name}_bands"
             ).localCheckpoint(eager=True)
@@ -894,4 +929,6 @@ def stream_probe_minhash_index(
                 pass_batch_id=True,
             )
     finally:
+        _release_local_checkpoint(state["ib"])
+        _release_local_checkpoint(state["sh"])
         state["ib"] = state["sh"] = None
