@@ -4,6 +4,7 @@ lifecycle, the embedding-side twin of the curate CLI's text-dedup loop
 
     python -m dsacord_spark.annctl build   --input emb.parquet --index DIR
                                            [--cells 16] [--iters 3]
+                                           [--id-index TABLE]
     python -m dsacord_spark.annctl append  --input batch.parquet --index DIR
                                            [--no-skip-existing]
     python -m dsacord_spark.annctl stats   --index DIR
@@ -54,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
     common(b, True)
     b.add_argument("--cells", type=int, default=16)
     b.add_argument("--iters", type=int, default=3)
+    b.add_argument("--id-index", default=None, metavar="TABLE",
+                   help="catalog table to maintain as the lake's "
+                        "id side-index: every daily append's retry "
+                        "anti-join then reads this bucketed table "
+                        "(batch-sized) instead of the full lake's id "
+                        "column (corpus-sized); retrain rebuilds it")
 
     ap = sub.add_parser("append", help="assign a batch to the existing "
                                        "centroids and append")
@@ -116,8 +123,10 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "build":
         emb = spark.read.parquet(a.input)
         build_ivf_index(emb, a.index, n_cells=a.cells, iters=a.iters,
-                        id_col=a.id_col, vec_col=a.vec_col)
+                        id_col=a.id_col, vec_col=a.vec_col,
+                        id_index_table=a.id_index)
         return done(built_index=a.index, cells=a.cells,
+                    id_index=a.id_index,
                     n_vecs=spark.read.parquet(a.index).count())
     if a.cmd == "append":
         n = append_ivf_index(
@@ -140,15 +149,23 @@ def main(argv: list[str] | None = None) -> int:
         # review); the weighted mean skips the null-cosine empty cells
         counts = [r["n_vecs"] for r in rows]
         total = sum(counts)
+        # the weighted mean runs over cells that HAVE a cosine: a cell
+        # of all zero-norm vectors is legal input (cosine is NULL via
+        # try_divide, k-means groups zero vectors together) and reports
+        # n_vecs>0 with mean_cos=None — weight by the scored rows'
+        # n_vecs only, divided by THEIR sum, not the grand total
+        # (r11 ADVICE: the n_vecs-only guard died with a TypeError)
+        scored = [r for r in rows if r["n_vecs"] and r["mean_cos"] is not None]
+        scored_n = sum(r["n_vecs"] for r in scored)
         return done(
             index=a.index, cells=len(rows), n_vecs=total,
             empty_cells=sum(1 for c in counts if c == 0),
             imbalance=round(max(counts) / (total / len(rows)), 3)
             if total else None,
             mean_cos=round(
-                sum(r["n_vecs"] * r["mean_cos"] for r in rows
-                    if r["n_vecs"]) / total, 6
-            ) if total else None,
+                sum(r["n_vecs"] * r["mean_cos"] for r in scored)
+                / scored_n, 6
+            ) if scored_n else None,
         )
     if a.cmd == "query":
         from pyspark.sql import functions as F

@@ -80,11 +80,16 @@ def _in_literals(col_name: str, vals: list) -> Column:
     pushdown, and single-column bucket pruning are byte-identical.
     Non-int values (e.g. string doc ids from external callers) fall
     back to isin — correctness first, the fast path is for the engine's
-    own long hashes/band keys/ids. Empty lists reject everything (In
-    over an empty list is NOT false in SQL)."""
+    own long hashes/band keys/ids. Ints outside int64 also fall back
+    (r11 ADVICE): a bare literal past +-2^63 parses as DECIMAL, which
+    would silently change the comparison's type coercion versus isin
+    (which errors on the unrepresentable long) — unreachable from the
+    engine's own 64-bit hashes, but this is a general helper. Empty
+    lists reject everything (In over an empty list is NOT false in
+    SQL)."""
     if not vals:
         return F.lit(False)
-    if all(type(v) is int for v in vals):
+    if all(type(v) is int and -(2**63) <= v < 2**63 for v in vals):
         return F.expr(
             "`%s` IN (%s)" % (col_name, ",".join(map(str, vals)))
         )

@@ -20,6 +20,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from dsacord_spark import leases
 from dsacord_spark.functions.vectors import cosine, dot, norm
 
 
@@ -661,6 +662,28 @@ def _hadoop_read_text(spark, path: str) -> str:
         stream.close()
 
 
+def _ivf_lease_name(path: str) -> str:
+    """Registry key for an IVF lake's maintenance/stream leases — the
+    normalized lake path, so `a/b/` and `a/b` coordinate as one index."""
+    return path.rstrip("/")
+
+
+def _bootstrap_ivf_id_index(
+    spark, path: str, id_col: str, table: str, buckets: int
+) -> None:
+    """(Re)build the IVF lake's id side-index from the lake's CURRENT
+    contents: one column-pruned full-lake id scan, written as an
+    id-bucketed id-sorted table so the daily append's retry anti-join
+    consumes it with no Exchange on the index side (the uuid-index
+    bootstrap shape, sinks/parquet.append_new_decisions)."""
+    (
+        spark.read.parquet(path).select(id_col)
+        .write.format("parquet").mode("overwrite")
+        .bucketBy(buckets, id_col).sortBy(id_col)
+        .saveAsTable(table)
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,
@@ -668,6 +691,8 @@ def build_ivf_index(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    id_index_table: str | None = None,
+    id_index_buckets: int = 16,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF index as a CELL-PARTITIONED parquet lake:
     trained centroids (kmeans_centroids), BLAS assignment, then
@@ -676,27 +701,52 @@ def build_ivf_index(
     query physically reads nprobe/n_cells of the corpus (directory-level
     skipping, before any row is touched). Centroids are persisted as
     JSON beside the data so the index is self-contained. This is the
-    serving architecture the in-memory `ivf_topk*` operators simulate."""
+    serving architecture the in-memory `ivf_topk*` operators simulate.
+
+    `id_index_table` (r12, verdict item 1): name of a catalog table to
+    maintain as the lake's id SIDE-INDEX — id-bucketed/id-sorted, the
+    uuid-index pattern from sinks/parquet.append_new_decisions. When
+    set, it is recorded in the sidecar metadata so `append_ivf_index`
+    serves its retry anti-join from the index (bounded, co-located)
+    instead of a full-lake id scan, and `retrain_ivf_index` rebuilds it
+    with the lake. The whole build holds a maintenance lease on the
+    lake path, so a concurrent `query_ivf_index` cannot plan over a
+    half-overwritten directory (r11 ADVICE)."""
     import json
     import os
 
-    centroid_rows = kmeans_centroids(
-        emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
-    )
-    assigned = assign_cells_blas(
-        emb, centroid_rows, id_col, vec_col, nprobe=1
-    ).drop("probe_rank")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
-    meta = {
-        "n_cells": n_cells,
-        "id_col": id_col,
-        "vec_col": vec_col,
-        "centroids": [(int(c), list(map(float, v))) for c, v in centroid_rows],
-    }
-    _hadoop_write_text(
-        emb.sparkSession, os.path.join(path, "_ivf_centroids.json"),
-        json.dumps(meta),
-    )
+    spark = emb.sparkSession
+    with leases.maintenance_lease(_ivf_lease_name(path)):
+        centroid_rows = kmeans_centroids(
+            emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        assigned = assign_cells_blas(
+            emb, centroid_rows, id_col, vec_col, nprobe=1
+        ).drop("probe_rank")
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+        meta = {
+            "n_cells": n_cells,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "centroids": [
+                (int(c), list(map(float, v))) for c, v in centroid_rows
+            ],
+        }
+        if id_index_table is not None:
+            meta["id_index_table"] = id_index_table
+            meta["id_index_buckets"] = int(id_index_buckets)
+        _hadoop_write_text(
+            spark, os.path.join(path, "_ivf_centroids.json"),
+            json.dumps(meta),
+        )
+        if id_index_table is not None:
+            # bootstrap AFTER the sidecar: a crash in between leaves a
+            # sidecar naming a missing table, which the next append
+            # detects and re-bootstraps (adoption path) — never a table
+            # claiming ids a half-built lake lacks
+            _bootstrap_ivf_id_index(
+                spark, path, id_col, id_index_table, id_index_buckets
+            )
     return centroid_rows
 
 
@@ -706,40 +756,61 @@ def query_ivf_index(
     queries: DataFrame,
     nprobe: int = 4,
     k: int = 5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Serve top-k ANN from a `build_ivf_index` lake: assign each query
     to its nprobe nearest cells (BLAS, centroids from the index's own
     metadata), then scan ONLY those cell partitions (`cell IN (...)`
     prunes at the directory level — verified by plan test) and run the
     same score/top-k tail as the in-memory operators. Results are
-    identical to `ivf_topk_kmeans` built with the same parameters."""
-    meta = _read_ivf_meta(spark, path)
-    centroid_rows = [(int(c), v) for c, v in meta["centroids"]]
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    identical to `ivf_topk_kmeans` built with the same parameters.
 
-    assigned = (
-        assign_cells_blas(queries, centroid_rows, "q_id", "q_vec", nprobe=nprobe)
-        .withColumnRenamed("__vn", "__qn")
-        .drop("probe_rank")
-    )
-    # The probe set is consumed twice (the cells list below and the
-    # final probe join) and is broadcast by the probe tail REGARDLESS —
-    # so materialize it to the driver ONCE and rebuild it as a local
-    # relation: the assignment runs exactly once, the collected rows are
-    # the same bytes the broadcast would ship, and unlike the r10
-    # localCheckpoint formulation nothing is left in the block manager
-    # for the ContextCleaner to reclaim later (the checkpoint block
-    # lingered for tens of seconds after the result frame died,
-    # tripping the persistent-RDD census — r11 review of annctl).
-    probe_rows = assigned.collect()
-    probes = spark.createDataFrame(probe_rows, assigned.schema)
-    cells = sorted({r["cell"] for r in probe_rows})
-    corpus = (
-        spark.read.parquet(path)
-        .filter(F.col("cell").isin(cells) if cells else F.lit(False))
-        .withColumnRenamed("__vn", "__en")
-    )
-    return _probe_score_topk(corpus, probes, k, id_col, vec_col)
+    The call holds a STREAM lease on the lake path (r12 verdict item 3):
+    a maintenance rewrite (retrain's rename-aside swap) cannot start
+    while a query is in flight, and a query started mid-rewrite is
+    refused with a retry diagnostic instead of failing mid-scan when
+    `__old` is deleted. `materialize=True` (default) makes the lease
+    actually span plan AND execute: the result — at most queries x k
+    rows, always driver-small — is computed inside the lease and
+    returned as a local relation. `materialize=False` returns the lazy
+    plan for composition; the lease then covers planning only, and the
+    caller owns executing it before any retrain (rename-aside keeps a
+    mid-swap read a retryable error, never corruption)."""
+    with leases.stream_lease(_ivf_lease_name(path)):
+        meta = _read_ivf_meta(spark, path)
+        centroid_rows = [(int(c), v) for c, v in meta["centroids"]]
+        id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+        assigned = (
+            assign_cells_blas(
+                queries, centroid_rows, "q_id", "q_vec", nprobe=nprobe
+            )
+            .withColumnRenamed("__vn", "__qn")
+            .drop("probe_rank")
+        )
+        # The probe set is consumed twice (the cells list below and the
+        # final probe join) and is broadcast by the probe tail
+        # REGARDLESS — so materialize it to the driver ONCE and rebuild
+        # it as a local relation: the assignment runs exactly once, the
+        # collected rows are the same bytes the broadcast would ship,
+        # and unlike the r10 localCheckpoint formulation nothing is left
+        # in the block manager for the ContextCleaner to reclaim later
+        # (the checkpoint block lingered for tens of seconds after the
+        # result frame died, tripping the persistent-RDD census — r11
+        # review of annctl).
+        probe_rows = assigned.collect()
+        probes = spark.createDataFrame(probe_rows, assigned.schema)
+        cells = sorted({r["cell"] for r in probe_rows})
+        corpus = (
+            spark.read.parquet(path)
+            .filter(F.col("cell").isin(cells) if cells else F.lit(False))
+            .withColumnRenamed("__vn", "__en")
+        )
+        result = _probe_score_topk(corpus, probes, k, id_col, vec_col)
+        if not materialize:
+            return result
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
 
 
 def _read_ivf_meta(spark, path: str) -> dict:
@@ -765,6 +836,45 @@ def _read_ivf_meta(spark, path: str) -> dict:
         ) from exc
 
 
+def _ivf_recover_pending(
+    spark, path: str, id_col: str, idx_table: str, marker: str, fs, jvm
+) -> None:
+    """Crash recovery for the indexed append's lake-write -> index-write
+    window: the pending marker holds the (id, cell) rows a previous
+    append INTENDED to write. For marker ids that made it into the lake
+    (read pruned to the marker's own cells — crashed-batch-sized, never
+    corpus-sized) but are missing from the index, append them to the
+    index; ids absent from the lake died before the lake write and need
+    nothing (their batch will simply be replayed). Idempotent — a crash
+    mid-recovery reruns it. The marker is deleted only after the index
+    converged."""
+    from dsacord_spark.operators.dedup import _in_literals
+    from dsacord_spark.sinks.parquet import describe_bucket_spec
+
+    pending = spark.read.parquet(marker)
+    cells = sorted(
+        r["cell"] for r in pending.select("cell").distinct().collect()
+    )
+    if cells:
+        in_lake = pending.select(id_col).join(
+            spark.read.parquet(path)
+            .filter(_in_literals("cell", [int(c) for c in cells]))
+            .select(id_col),
+            id_col,
+            "left_semi",
+        )
+        missing = in_lake.join(
+            spark.table(idx_table).select(id_col), id_col, "left_anti"
+        )
+        n_buckets = describe_bucket_spec(spark, idx_table)["n_buckets"]
+        (
+            missing.write.format("parquet").mode("append")
+            .bucketBy(n_buckets, id_col).sortBy(id_col)
+            .saveAsTable(idx_table)
+        )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(marker), True)
+
+
 def append_ivf_index(
     spark,
     path: str,
@@ -778,35 +888,130 @@ def append_ivf_index(
     a probe's directory pruning is unchanged) and appended to their
     cell partitions. Centroids drifting away from the data they now
     summarize is the designed trade — measure with ivf_index_stats and
-    re-train with retrain_ivf_index on the maintenance cadence.
+    re-train with retrain_ivf_index on the maintenance cadence. The
+    whole append holds a maintenance lease on the lake path, so it
+    cannot interleave with an in-flight query (r12 verdict item 3).
 
-    `skip_existing=True` (default) anti-joins the batch against the
-    lake's id column first, so a replayed batch appends nothing — the
-    same retry-idempotence contract as append_new_decisions. The probe
-    is a column-pruned full-lake id scan (ReadSchema = the id column
-    only); at a lake size where that scan hurts, the bounded upgrade is
-    the same key-bucketed side index append_new_decisions grew in r10 —
-    not built until a deployment needs it (the uuid-index pattern,
-    sinks/parquet.py).
+    `skip_existing=True` (default) makes a replayed batch append
+    nothing — the retry-idempotence contract of append_new_decisions.
+    Two probe tiers:
 
-    Returns the number of rows actually appended, from parquet footer
-    counts before/after (metadata-only passes; an Observation on the
-    anti-joined frame hits the known AQE empty-relation assertion on
-    zero-row appends — the append_new_decisions gotcha)."""
+    - WITHOUT an id index (no `id_index_table` at build time): the
+      batch anti-joins the lake's id column — column-pruned but
+      corpus-linear, the r11 shape. Appended count comes from footer
+      counts before/after (metadata-only; an Observation on the
+      anti-joined frame hits the known AQE empty-relation assertion on
+      zero-row appends).
+    - WITH an id index (r12 verdict item 1 — the uuid-index pattern,
+      sinks/parquet.append_new_decisions): the anti-join consumes the
+      id-bucketed side table with no Exchange on the index side, and
+      EVERY per-append cost is batch-sized — no full-lake scan, no
+      footer passes (the count is the surviving batch's own count).
+      The lake-write -> index-write crash window is closed by a
+      PENDING MARKER, not by the decisions lake's partition heal: day
+      partitions are batch-sized so a day-heal is O(day), but cell
+      partitions are corpus/n_cells-sized and a diverse batch touches
+      ALL cells, so a cell-heal would re-scan the corpus every append.
+      Instead the surviving (id, cell) rows are staged to
+      `_ivf_pending/` inside the lake dir (underscore-prefixed —
+      invisible to lake scans) BEFORE the lake write and deleted after
+      the index write; the next append replays any leftover marker
+      first (_ivf_recover_pending: crashed-batch-sized, pruned to the
+      marker's own cells). The surviving batch itself is
+      localCheckpointed so the post-lake-write index append cannot
+      re-evaluate against the just-written lake and anti-join its own
+      rows away (the CacheManager.recacheByPath gotcha that shaped the
+      decisions-lake heal); the blocks are released before returning.
+      A sidecar that names a MISSING table (crashed build bootstrap,
+      dropped table, adoption of a pre-r12 lake after a retrain wrote
+      the name) is healed here: one full-lake bootstrap scan, paid
+      once, then every later append is bounded.
+
+    `skip_existing=False` raw-appends the batch but still maintains the
+    id index (append only ids the index lacks — the index stays a SET
+    so future idempotent appends keep their contract).
+
+    Returns the number of rows actually appended."""
     meta = _read_ivf_meta(spark, path)
     centroid_rows = [(int(c), v) for c, v in meta["centroids"]]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    batch = new_emb.select(id_col, vec_col)
-    if skip_existing:
-        batch = batch.join(
-            spark.read.parquet(path).select(id_col), id_col, "left_anti"
+    idx_table = meta.get("id_index_table")
+    with leases.maintenance_lease(_ivf_lease_name(path)):
+        if idx_table is None:
+            batch = new_emb.select(id_col, vec_col)
+            if skip_existing:
+                batch = batch.join(
+                    spark.read.parquet(path).select(id_col),
+                    id_col, "left_anti",
+                )
+            before = spark.read.parquet(path).count()
+            assigned = assign_cells_blas(
+                batch, centroid_rows, id_col, vec_col, nprobe=1
+            ).drop("probe_rank")
+            assigned.write.mode("append").partitionBy("cell").parquet(path)
+            return spark.read.parquet(path).count() - before
+
+        import os
+
+        from dsacord_spark.streaming.pipeline import (
+            _release_local_checkpoint,
         )
-    before = spark.read.parquet(path).count()
-    assigned = assign_cells_blas(
-        batch, centroid_rows, id_col, vec_col, nprobe=1
-    ).drop("probe_rank")
-    assigned.write.mode("append").partitionBy("cell").parquet(path)
-    return spark.read.parquet(path).count() - before
+
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        marker = os.path.join(path, "_ivf_pending")
+        if not spark.catalog.tableExists(idx_table):
+            # adoption / crashed-bootstrap heal: one full-lake id scan,
+            # after which any leftover marker is satisfied by definition
+            # (the bootstrap read the post-crash lake)
+            _bootstrap_ivf_id_index(
+                spark, path, id_col,
+                idx_table, int(meta.get("id_index_buckets", 16)),
+            )
+            fs.delete(jvm.org.apache.hadoop.fs.Path(marker), True)
+        elif fs.exists(jvm.org.apache.hadoop.fs.Path(marker)):
+            _ivf_recover_pending(
+                spark, path, id_col, idx_table, marker, fs, jvm
+            )
+
+        batch = new_emb.select(id_col, vec_col)
+        assigned = assign_cells_blas(
+            batch, centroid_rows, id_col, vec_col, nprobe=1
+        ).drop("probe_rank")
+        if skip_existing:
+            assigned = assigned.join(
+                spark.table(idx_table).select(id_col), id_col, "left_anti"
+            )
+        survivors = assigned.localCheckpoint(eager=True)
+        try:
+            appended = survivors.count()
+            if appended == 0:
+                return 0
+            survivors.select(id_col, "cell").write.mode(
+                "overwrite"
+            ).parquet(marker)
+            survivors.write.mode("append").partitionBy("cell").parquet(path)
+            to_index = survivors.select(id_col)
+            if not skip_existing:
+                # a raw append may carry ids the index already holds
+                to_index = to_index.join(
+                    spark.table(idx_table).select(id_col),
+                    id_col, "left_anti",
+                )
+            from dsacord_spark.sinks.parquet import describe_bucket_spec
+
+            n_buckets = describe_bucket_spec(spark, idx_table)["n_buckets"]
+            (
+                to_index.write.format("parquet").mode("append")
+                .bucketBy(n_buckets, id_col).sortBy(id_col)
+                .saveAsTable(idx_table)
+            )
+            fs.delete(jvm.org.apache.hadoop.fs.Path(marker), True)
+            return appended
+        finally:
+            _release_local_checkpoint(survivors)
 
 
 def ivf_index_stats(spark, path: str) -> DataFrame:
@@ -880,32 +1085,56 @@ def retrain_ivf_index(
     delete, and recovery is one directory rename (the docstringed
     compact_bucketed_table story, applied to directories). `n_cells`
     defaults to the existing index's cell count. Returns {'n_vecs',
-    'n_cells', 'cells_before'}."""
+    'n_cells', 'cells_before'}.
+
+    The whole op holds a maintenance lease on the lake path (r12
+    verdict item 3 / r11 ADVICE): a query in flight blocks the retrain
+    (its plan references files the swap deletes), and a query arriving
+    mid-retrain is refused with a retry diagnostic — the same
+    two-directional guard compact_index <-> the stream probes use. If
+    the sidecar names an id side-index, the tmp build REBUILDS it
+    (bootstrap-overwrite from the retrained rows — the drop-or-rebuild
+    rule from the r10 rebuild's phantom-key fix; a retrain preserves
+    the id set, so the rebuilt table is content-identical, but the rule
+    is applied unconditionally so a future row-filtering retrain cannot
+    silently leave phantom keys). Any leftover `_ivf_pending` append
+    marker is satisfied by the rebuild and dropped with the old
+    generation."""
     meta = _read_ivf_meta(spark, path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    idx_table = meta.get("id_index_table")
     k = int(n_cells if n_cells is not None else meta["n_cells"])
-    emb = spark.read.parquet(path).select(id_col, vec_col)
-    n_vecs = emb.count()
-    tmp, old = f"{path}__retrain", f"{path}__old"
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
+    with leases.maintenance_lease(_ivf_lease_name(path)):
+        emb = spark.read.parquet(path).select(id_col, vec_col)
+        n_vecs = emb.count()
+        tmp, old = f"{path}__retrain", f"{path}__old"
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
 
-    def _p(s: str):
-        return jvm.org.apache.hadoop.fs.Path(s)
+        def _p(s: str):
+            return jvm.org.apache.hadoop.fs.Path(s)
 
-    fs = _p(path).getFileSystem(conf)
-    fs.delete(_p(tmp), True)
-    fs.delete(_p(old), True)
-    build_ivf_index(
-        emb, tmp, n_cells=k, iters=iters, id_col=id_col, vec_col=vec_col
-    )
-    if not fs.rename(_p(path), _p(old)):
-        raise IOError(f"retrain swap failed renaming {path} -> {old}")
-    if not fs.rename(_p(tmp), _p(path)):
-        # roll back so the index stays live under its original name
-        fs.rename(_p(old), _p(path))
-        raise IOError(f"retrain swap failed renaming {tmp} -> {path}")
-    fs.delete(_p(old), True)
+        fs = _p(path).getFileSystem(conf)
+        fs.delete(_p(tmp), True)
+        fs.delete(_p(old), True)
+        # the tmp build trains and re-assigns from the OLD lake, then
+        # bootstraps the id index from the TMP lake — the id set is
+        # identical to the live one, so the rebuilt table is correct
+        # whichever side of the swap a crash lands on. The tmp build's
+        # own maintenance lease nests under this one (the registry
+        # counts per name; tmp is a distinct name anyway).
+        build_ivf_index(
+            emb, tmp, n_cells=k, iters=iters, id_col=id_col,
+            vec_col=vec_col, id_index_table=idx_table,
+            id_index_buckets=int(meta.get("id_index_buckets", 16)),
+        )
+        if not fs.rename(_p(path), _p(old)):
+            raise IOError(f"retrain swap failed renaming {path} -> {old}")
+        if not fs.rename(_p(tmp), _p(path)):
+            # roll back so the index stays live under its original name
+            fs.rename(_p(old), _p(path))
+            raise IOError(f"retrain swap failed renaming {tmp} -> {path}")
+        fs.delete(_p(old), True)
     return {
         "n_vecs": n_vecs,
         "n_cells": k,

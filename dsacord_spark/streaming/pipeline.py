@@ -561,6 +561,36 @@ def join_event_streams(
     )
 
 
+def _shape_empty_drain(
+    spark: SparkSession,
+    schema,
+    batch_transform,
+    pass_batch_id: bool,
+    drain_transform,
+) -> DataFrame:
+    """Shape the result of a drain that produced ZERO micro-batches
+    (defensive: under availableNow even an empty staged input runs one
+    empty batch, but a sink dir can legitimately be missing if the
+    source listing came up empty). `drain_transform`, when given, wins —
+    it must build the per-batch output schema side-effect-free (r11
+    ADVICE: the index probes' per-batch path fires the on_batch_start
+    maintenance hook and eagerly localCheckpoints both index tables,
+    neither of which belongs to a batch that never ran). Otherwise the
+    per-batch transform shapes it, honoring the 2-arg contract (r11
+    review: the 1-arg call died with TypeError under
+    pass_batch_id=True)."""
+    empty = spark.createDataFrame([], schema)
+    if drain_transform is not None:
+        return drain_transform(empty)
+    if batch_transform is None:
+        return empty
+    return (
+        batch_transform(empty, 0)
+        if pass_batch_id
+        else batch_transform(empty)
+    )
+
+
 def run_bounded_stream(
     spark: SparkSession,
     df: DataFrame,
@@ -570,6 +600,7 @@ def run_bounded_stream(
     batch_transform: Callable[[DataFrame], DataFrame] | None = None,
     batch_cleanup: Callable[[], None] | None = None,
     pass_batch_id: bool = False,
+    drain_transform: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """Run a streaming transform over a BOUNDED frame and return its
     complete output as a batch DataFrame: stage the input to a temp
@@ -597,7 +628,16 @@ def run_bounded_stream(
     `pass_batch_id=True` calls `batch_transform(batch_df, batch_id)`
     with the engine's foreachBatch epoch — the RETRY-STABLE batch
     identity (an attempt counter shifts on foreachBatch retries; r10
-    ADVICE) — instead of the 1-arg form."""
+    ADVICE) — instead of the 1-arg form.
+    `drain_transform`, when given, shapes the EMPTY result of a
+    zero-micro-batch drain instead of `batch_transform(empty, 0)` —
+    for transforms whose per-batch path has side effects that must not
+    fire for a batch that never ran (the index probes' on_batch_start
+    maintenance hook could trigger a compaction, and their snapshot
+    build eagerly localCheckpoints both index tables; r11 ADVICE). It
+    receives the empty post-`transform` frame and must return a frame
+    with the same schema the per-batch path produces, built
+    side-effect-free."""
     import os
     import shutil
     import tempfile
@@ -643,17 +683,9 @@ def run_bounded_stream(
             # schema comes from the streaming plan (a streaming-only
             # transform like dropDuplicatesWithinWatermark would reject a
             # batch frame); batch_transform reshapes it like the sink did
-            empty = spark.createDataFrame([], transformed.schema)
-            if batch_transform is None:
-                return empty
-            # honor the 2-arg contract here too (r11 review): a
-            # zero-micro-batch drain with pass_batch_id=True used to
-            # call the 2-arg transform with one arg — TypeError instead
-            # of an empty result frame
-            return (
-                batch_transform(empty, 0)
-                if pass_batch_id
-                else batch_transform(empty)
+            return _shape_empty_drain(
+                spark, transformed.schema, batch_transform,
+                pass_batch_id, drain_transform,
             )
         # hand the output dir to a process-lifetime location and return a
         # lazy read instead of eagerly re-materializing through the block
@@ -799,6 +831,18 @@ def stream_probe_hamming_index(
             n_bands, radius, hash_bits, bucket_cap,
         )
 
+    def drain(empty: DataFrame) -> DataFrame:
+        # zero-micro-batch drain: shape the empty output from lazily
+        # read table frames — no on_batch_start (it may compact an
+        # index for a batch that never ran) and no eager snapshot
+        # localCheckpoints (r11 ADVICE)
+        return _hamming_probe_tail(
+            empty, id_col, hash_col,
+            spark.table(f"{table_name}_summary"),
+            spark.table(f"{table_name}_bands"),
+            n_bands, radius, hash_bits, bucket_cap,
+        )
+
     try:
         with leases.stream_lease(table_name) as lease:
             state["lease"] = lease
@@ -809,6 +853,7 @@ def stream_probe_hamming_index(
                 reader_options=reader_options or {"maxFilesPerTrigger": "1"},
                 batch_transform=probe,
                 pass_batch_id=True,
+                drain_transform=drain,
             )
     finally:
         # every micro-batch's output is already materialized by the
@@ -916,6 +961,23 @@ def stream_probe_minhash_index(
             f.unpersist()
         state["pending"].clear()
 
+    def drain(empty: DataFrame) -> DataFrame:
+        # zero-micro-batch drain: no maintenance hook, no eager
+        # snapshots, and no persist registration — the empty shingle
+        # frame is used inline (r11 ADVICE; see the Hamming twin)
+        bngr = _shingle_frame(empty, id_col, text_col, n)
+        b_sig = _minhash_sig_from_ngr(bngr, n_perm)
+        return _minhash_probe_tail(
+            empty, id_col,
+            minhash_bands(b_sig, n_perm, bands),
+            spark.table(f"{table_name}_bands"),
+            threshold, bucket_cap,
+            verify=lambda cand: _jaccard_verify_arrays(
+                cand, "bdoc", "idoc", _doc_shingle_arrays(bngr),
+                spark.table(f"{table_name}_shingles"), threshold,
+            ),
+        )
+
     try:
         with leases.stream_lease(table_name) as lease:
             state["lease"] = lease
@@ -927,6 +989,7 @@ def stream_probe_minhash_index(
                 batch_transform=probe,
                 batch_cleanup=cleanup,
                 pass_batch_id=True,
+                drain_transform=drain,
             )
     finally:
         _release_local_checkpoint(state["ib"])

@@ -4,10 +4,12 @@ after clearCache where re-runnable) to separate the flat costs from the
 corpus-linear ones.
 
 Expected shape (the design contract the numbers check):
-- append: batch-sized assignment + a column-pruned corpus id scan for
-  the retry anti-join + footer-count passes — grows only through the
-  id scan / file metadata (the documented bounded-index upgrade path
-  exists if a deployment's lake makes this hurt);
+- append (r12: id side-index built, the recommended deployment):
+  batch-sized assignment + an anti-join against the bucketed id index
+  + batch-sized marker/lake/index writes — FLAT in the corpus (the r11
+  full-lake id scan and both footer-count passes are gone from the
+  daily path); `append_unindexed_s` keeps the r11 shape measured for
+  contrast — corpus-linear through its id scan and footer counts;
 - probe (nprobe=2 of 8 cells): reads nprobe/n_cells of the corpus via
   directory pruning — sub-linear growth;
 - stats: ONE corpus scan — linear by design (it is the maintenance
@@ -76,9 +78,22 @@ def main() -> int:
                     )
                 )
             path = os.path.join(work, f"ivf_x{factor}")
+            idx_table = f"t_ivf_reh_ids_x{factor}"
             cell = {"factor": factor}
+            # r11 contrast lake: no id index -> append pays the
+            # full-lake id scan + footer counts (corpus-linear)
+            path_uidx = os.path.join(work, f"ivf_noidx_x{factor}")
+            build_ivf_index(corpus, path_uidx, n_cells=8, iters=2)
             t0 = time.perf_counter()
-            build_ivf_index(corpus, path, n_cells=8, iters=2)
+            append_ivf_index(spark, path_uidx, batch)
+            cell["append_unindexed_s"] = round(
+                time.perf_counter() - t0, 2
+            )
+            shutil.rmtree(path_uidx, ignore_errors=True)
+
+            t0 = time.perf_counter()
+            build_ivf_index(corpus, path, n_cells=8, iters=2,
+                            id_index_table=idx_table)
             cell["build_s"] = round(time.perf_counter() - t0, 2)
             t0 = time.perf_counter()
             cell["appended"] = append_ivf_index(spark, path, batch)
@@ -107,6 +122,7 @@ def main() -> int:
             results.append(cell)
             print(json.dumps(cell), flush=True)
             shutil.rmtree(path, ignore_errors=True)
+            spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
         by = {c["factor"]: c for c in results}
 
         def growth(key):
@@ -119,7 +135,8 @@ def main() -> int:
             "summary": {
                 k: {"x1": by[1][k], "x10": by[10][k], "x100": by[100][k],
                     "growth_100x": growth(k)}
-                for k in ("append_s", "probe_s_min", "stats_s_min",
+                for k in ("append_s", "append_unindexed_s",
+                          "probe_s_min", "stats_s_min",
                           "build_s", "retrain_s")
             }
         }))

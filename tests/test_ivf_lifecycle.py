@@ -203,8 +203,9 @@ def test_annctl_cli_daily_loop(spark, emb, tmp_path, capsys):
         return [json.loads(ln) for ln in lines]
 
     built = run("build", "--input", f"{root}/day0", "--index", idx,
-                "--cells", str(N_CELLS), "--iters", "2")[-1]
-    assert built["n_vecs"] == 250
+                "--cells", str(N_CELLS), "--iters", "2",
+                "--id-index", "t_annctl_ids")[-1]
+    assert built["n_vecs"] == 250 and built["id_index"] == "t_annctl_ids"
     a1 = run("append", "--input", f"{root}/day1", "--index", idx)[-1]
     assert a1["appended"] == emb.filter(F.col("vec_id") >= 250).count()
     a2 = run("append", "--input", f"{root}/day1", "--index", idx)[-1]
@@ -229,6 +230,9 @@ def test_annctl_cli_daily_loop(spark, emb, tmp_path, capsys):
     got2 = sorted(map(tuple, spark.read.parquet(f"{root}/out2")
                   .select("q_id", "neighbor_id", "rank").collect()))
     assert got2 == want  # exhaustive probe invariant to the re-layout
+    # the id side-index tracked the whole loop (append + retrain)
+    assert spark.table("t_annctl_ids").count() == emb.count()
+    spark.sql("DROP TABLE IF EXISTS t_annctl_ids")
 
 
 def test_stats_report_dead_cells(spark, tmp_path, capsys):
@@ -292,3 +296,217 @@ def test_compact_blocks_new_streams_and_streams_block_compact(spark):
         with leases.maintenance_lease("t_r11_toctou", force=True):
             pass
     assert leases.blocking_leases("t_r11_toctou") == 0
+
+
+def test_append_with_id_index_bounded_and_idempotent(spark, emb,
+                                                     tmp_path):
+    """r12 verdict item 1: with `id_index_table` set at build time, the
+    daily append keeps the full retry-idempotence contract (replay -> 0,
+    half-overlap -> only the new rows) while every per-append read is
+    batch-sized. Invariants pinned per append: the side index holds
+    exactly the lake's id set, the `_ivf_pending` marker is gone, and
+    the exhaustive probe still equals brute force."""
+    import os
+
+    idx = "t_ivf_idx_bounded"
+    path = str(tmp_path / "ivf")
+    try:
+        build_ivf_index(emb.filter(F.col("vec_id") < 250), path,
+                        n_cells=N_CELLS, id_index_table=idx)
+        assert spark.table(idx).count() == \
+            spark.read.parquet(path).count()
+
+        batch = emb.filter(F.col("vec_id") >= 250)
+        assert append_ivf_index(spark, path, batch) == batch.count()
+        assert not os.path.exists(os.path.join(path, "_ivf_pending"))
+        assert spark.table(idx).count() == \
+            spark.read.parquet(path).count()
+
+        before = _exhaustive(spark, path, emb)
+        assert append_ivf_index(spark, path, batch) == 0  # replay no-op
+        assert _exhaustive(spark, path, emb) == before
+        assert append_ivf_index(spark, path, emb) == 0  # all present
+        # index stayed a set: one row per lake row, no duplicates
+        ids = spark.table(idx)
+        assert ids.count() == ids.distinct().count() == \
+            spark.read.parquet(path).count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")
+
+
+def test_append_id_index_crash_window_recovery(spark, emb, tmp_path,
+                                               monkeypatch):
+    """The lake-write -> index-write crash window: simulate a driver
+    death AFTER the lake append but BEFORE the index append (the index
+    write raises), then replay the batch. The `_ivf_pending` marker
+    must route the replay through recovery: zero rows re-appended (no
+    duplicates), the index healed to the lake's id set, the marker
+    deleted, and the exhaustive probe equal to brute force."""
+    import os
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    idx = "t_ivf_idx_crash"
+    path = str(tmp_path / "ivf")
+    try:
+        build_ivf_index(emb.filter(F.col("vec_id") < 250), path,
+                        n_cells=N_CELLS, id_index_table=idx)
+        batch = emb.filter(F.col("vec_id") >= 250)
+
+        def boom(self, name, *a, **kw):
+            raise RuntimeError("simulated crash before index write")
+
+        with monkeypatch.context() as m:
+            m.setattr(DataFrameWriter, "saveAsTable", boom)
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                append_ivf_index(spark, path, batch)
+        # crash state: rows in the lake, marker present, index stale
+        assert os.path.exists(os.path.join(path, "_ivf_pending"))
+        assert spark.read.parquet(path).count() == 250 + batch.count()
+        assert spark.table(idx).count() == 250
+
+        assert append_ivf_index(spark, path, batch) == 0  # replay heals
+        assert not os.path.exists(os.path.join(path, "_ivf_pending"))
+        lake = spark.read.parquet(path)
+        assert lake.count() == lake.select("vec_id").distinct().count()
+        assert spark.table(idx).count() == lake.count()
+        _exhaustive(spark, path, emb)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")
+
+
+def test_retrain_rebuilds_id_index_and_appends_stay_bounded(spark, emb,
+                                                            tmp_path):
+    """retrain with an id side-index: the rebuilt table matches the
+    retrained lake's id set, the sidecar still names it, and the next
+    replayed append is still a no-op (the drop-or-rebuild rule from the
+    r10 rebuild's phantom-key fix, applied to the IVF lake)."""
+    import json
+    import os
+
+    from dsacord_spark.operators.similarity import _hadoop_read_text
+
+    idx = "t_ivf_idx_retrain"
+    path = str(tmp_path / "ivf")
+    try:
+        build_ivf_index(emb.filter(F.col("vec_id") < 250), path,
+                        n_cells=N_CELLS, id_index_table=idx)
+        batch = emb.filter(F.col("vec_id") >= 250)
+        append_ivf_index(spark, path, batch)
+        retrain_ivf_index(spark, path, iters=2)
+        meta = json.loads(_hadoop_read_text(
+            spark, os.path.join(path, "_ivf_centroids.json")))
+        assert meta["id_index_table"] == idx
+        assert spark.table(idx).count() == \
+            spark.read.parquet(path).count()
+        assert append_ivf_index(spark, path, batch) == 0  # still replay-safe
+        assert append_ivf_index(spark, path, emb) == 0
+        _exhaustive(spark, path, emb)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")
+
+
+def test_append_adopts_missing_id_index(spark, emb, tmp_path):
+    """A sidecar that names a MISSING table (crashed build bootstrap, or
+    the table was dropped) is healed by the next append: one bootstrap
+    scan, then the bounded path — and the append itself stays exact."""
+    idx = "t_ivf_idx_adopt"
+    path = str(tmp_path / "ivf")
+    try:
+        build_ivf_index(emb.filter(F.col("vec_id") < 250), path,
+                        n_cells=N_CELLS, id_index_table=idx)
+        spark.sql(f"DROP TABLE {idx}")  # simulate the crashed bootstrap
+        batch = emb.filter(F.col("vec_id") >= 250)
+        assert append_ivf_index(spark, path, batch) == batch.count()
+        assert spark.table(idx).count() == \
+            spark.read.parquet(path).count()
+        assert append_ivf_index(spark, path, batch) == 0
+        _exhaustive(spark, path, emb)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")
+
+
+def test_query_retrain_append_interleaving_guard(spark, emb, tmp_path):
+    """r12 verdict item 3: the IVF lifecycle coordinates through the
+    lease registry. A stream lease (an in-flight query) blocks retrain
+    AND append before they mutate anything; a maintenance lease (an
+    in-flight retrain/append) refuses a new query with a retry
+    diagnostic — both directions through the REAL lifecycle functions."""
+    import os
+
+    from dsacord_spark import leases
+    from dsacord_spark.operators.similarity import (
+        _hadoop_read_text,
+        _ivf_lease_name,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 250), path,
+                    n_cells=N_CELLS)
+    sidecar = os.path.join(path, "_ivf_centroids.json")
+    meta0 = _hadoop_read_text(spark, sidecar)
+    name = _ivf_lease_name(path)
+    batch = emb.filter(F.col("vec_id") >= 250)
+
+    with leases.stream_lease(name):  # an in-flight query's lease
+        with pytest.raises(leases._MaintenanceBlocked):
+            retrain_ivf_index(spark, path)
+        with pytest.raises(leases._MaintenanceBlocked):
+            append_ivf_index(spark, path, batch)
+    # neither refused op touched the lake
+    assert _hadoop_read_text(spark, sidecar) == meta0
+    assert spark.read.parquet(path).count() == 250
+
+    with leases.maintenance_lease(name):  # an in-flight rewrite
+        with pytest.raises(RuntimeError, match="maintenance"):
+            query_ivf_index(spark, path, _queries(emb), nprobe=1, k=1)
+    # released: the full lifecycle proceeds
+    assert append_ivf_index(spark, path, batch) == batch.count()
+    _exhaustive(spark, path, emb)
+
+
+def test_append_id_index_probe_plan_is_bounded(spark, emb, tmp_path):
+    """Plan pin for the bounded daily probe (the join append_ivf_index
+    builds): the id side-index feeds its anti-join as a bucketed scan
+    with NO Exchange between them, and the probe plan contains NO scan
+    of the lake directory at all — the full-lake id read the r11 shape
+    paid is gone from the daily path."""
+    import io as _io
+    import re
+    from contextlib import redirect_stdout
+
+    from dsacord_spark.operators.similarity import (
+        _read_ivf_meta,
+        assign_cells_blas,
+    )
+    from tests.test_scale_plans import _parents_until_join
+
+    idx = "t_ivf_idx_plan"
+    path = str(tmp_path / "ivf")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        build_ivf_index(emb, path, n_cells=N_CELLS, id_index_table=idx)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        meta = _read_ivf_meta(spark, path)
+        batch = emb.limit(50).select("vec_id", "embedding")
+        assigned = assign_cells_blas(
+            batch, [(int(c), v) for c, v in meta["centroids"]],
+            "vec_id", "embedding", nprobe=1,
+        ).drop("probe_rank")
+        probed = assigned.join(
+            spark.table(idx).select("vec_id"), "vec_id", "left_anti"
+        )
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            probed.explain("formatted")
+        plan = buf.getvalue()
+        assert plan.count("Bucketed: true") == 1, plan
+        chain = _parents_until_join(plan, idx)
+        assert not any("Exchange" in c for c in chain), chain
+        # no lake read anywhere in the probe (the other scan in the
+        # plan is the batch's own parquet input): the lake directory
+        # never appears as a scan location
+        assert path not in plan, re.findall(r"Location[^\n]*", plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")

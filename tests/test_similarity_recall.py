@@ -258,7 +258,10 @@ def test_persisted_ivf_index_prunes_partitions_and_matches_inmemory(
     )
     path = str(tmp_path / "ivf")
     build_ivf_index(e, path, n_cells=16, iters=3)
-    served = query_ivf_index(spark, path, q, nprobe=4, k=5)
+    # materialize=False: the plan pin below needs the LAZY serving plan
+    # (the default local-relation result has no scan to inspect)
+    served = query_ivf_index(spark, path, q, nprobe=4, k=5,
+                             materialize=False)
     mem = ivf_topk_kmeans(e, q, n_cells=16, nprobe=4, k=5, iters=3)
     assert sorted(map(tuple, served.collect())) == sorted(map(tuple, mem.collect()))
 
