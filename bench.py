@@ -252,6 +252,41 @@ print(json.dumps({"elapsed": time.perf_counter() - t0}))
 """
 
 
+# Fixed cross-round comparison panel (r11 verdict item 2): the r11
+# driver snapshot showed 2x single-run wobble on join_equi_agg with zero
+# code change on that path — only ingest self-adjudicated. These five
+# cover the shapes cross-round claims cite: a shuffle join+agg, a cube,
+# a top-k sort, the window-dedup, and an incremental index probe.
+_AB_PANEL = [
+    "join_equi_agg",
+    "agg_cube",
+    "sort_topk",
+    "dedup_keep_latest",
+    "dedup_incremental_probe_selfsafe",
+]
+
+_AB_PANEL_SCRIPT = """
+import json, sys, time
+sf_dir, cpus, names = sys.argv[1], int(sys.argv[2]), json.loads(sys.argv[3])
+from dsacord_spark.session import get_spark
+from dsacord_spark.plans.catalog import specs
+spark = get_spark(app_name="dsacord-ab-panel", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus)
+reg = specs()
+names = [n for n in names if n in reg]
+for n in names:  # warm pass: JVM, footer caches, codegen
+    reg[n].fn(spark, sf_dir).count()
+spark.catalog.clearCache()
+out = {}
+for n in names:  # timed exactly like the main sweep: plan + count
+    t0 = time.perf_counter()
+    reg[n].fn(spark, sf_dir).count()
+    out[n] = round(time.perf_counter() - t0, 4)
+    spark.catalog.clearCache()
+print(json.dumps({"panel": out}))
+"""
+
+
 def _run_ab(commit: str, sf_dir: str, cpus: int) -> dict:
     """Cross-round A/B adjudication (r9 verdict item 6): the r9 bench
     swing burned a judging session proving host noise, because BENCH
@@ -262,7 +297,18 @@ def _run_ab(commit: str, sf_dir: str, cpus: int) -> dict:
     min-of-3 per side — a same-window, same-fixture comparison that a
     cross-round swing can be checked against directly. Each rep pays its
     own JVM startup + explicit warm-up identically on both sides; only
-    the post-warm-up dataflow is timed."""
+    the post-warm-up dataflow is timed.
+
+    r12 (verdict item 2) extends the same discipline past ingest to the
+    fixed _AB_PANEL of catalog queries: per panel-rep one subprocess per
+    side runs the whole panel (warm pass, then timed pass mirroring the
+    main sweep's plan+count), interleaved cur/prior x3, and the result
+    carries per-QUERY min-of-3 ratios — so a cross-round wobble on any
+    panel query can be adjudicated same-window instead of by comparing
+    two rounds' single-run snapshots. Panel queries missing from either
+    tree's catalog are skipped on both sides (names are append-only, so
+    this only happens when A/B-ing across the round that introduced
+    one)."""
     import shutil
     import subprocess
     import tempfile
@@ -302,14 +348,47 @@ def _run_ab(commit: str, sf_dir: str, cpus: int) -> dict:
             finally:
                 shutil.rmtree(out_dir, ignore_errors=True)
 
+        def one_panel_rep(tree: str) -> dict[str, float]:
+            env = dict(os.environ, PYTHONPATH=tree)
+            r = subprocess.run(
+                [sys.executable, "-c", _AB_PANEL_SCRIPT, sf_dir,
+                 str(cpus), json.dumps(_AB_PANEL)],
+                capture_output=True, text=True, cwd=tree, env=env,
+                timeout=1200,
+            )
+            if r.returncode != 0:
+                raise RuntimeError(
+                    f"ab panel rep in {tree} failed: {r.stderr[-500:]}"
+                )
+            return json.loads(r.stdout.strip().splitlines()[-1])["panel"]
+
         reps: dict[str, list[float]] = {"current": [], "prior": []}
         loads: dict[str, list[float]] = {"current": [], "prior": []}
-        for _ in range(3):
-            for label, tree in (("current", repo), ("prior", wt)):
+        panel_reps: dict[str, list[dict]] = {"current": [], "prior": []}
+        for i in range(3):
+            # alternate which side runs first (r12): the second runner
+            # of every pair reads a page cache the first just warmed and
+            # a co-tenant load that decayed — a FIXED order hands one
+            # side a systematic edge (measured ~1.3x apparent regression
+            # on a no-change query, inverted to 0.89x by swapping order)
+            pair = (("current", repo), ("prior", wt))
+            for label, tree in pair if i % 2 == 0 else pair[::-1]:
                 e, load1m = one_rep(tree)
                 reps[label].append(round(e, 3))
                 loads[label].append(round(load1m, 2))
+                panel_reps[label].append(one_panel_rep(tree))
         cur, pri = min(reps["current"]), min(reps["prior"])
+        panel: dict[str, dict] = {}
+        for q in _AB_PANEL:
+            cur_q = [p[q] for p in panel_reps["current"] if q in p]
+            pri_q = [p[q] for p in panel_reps["prior"] if q in p]
+            if not cur_q or not pri_q:
+                continue  # absent from one tree's catalog
+            panel[q] = {
+                "current_min_s": min(cur_q),
+                "prior_min_s": min(pri_q),
+                "ratio": round(min(cur_q) / min(pri_q), 3),
+            }
         return {
             "commit": commit,
             "fixture_rows": rows_in,
@@ -320,8 +399,11 @@ def _run_ab(commit: str, sf_dir: str, cpus: int) -> dict:
             "current_min_s": cur,
             "prior_min_s": pri,
             "ratio_current_over_prior": round(cur / pri, 3),
-            "method": "interleaved cur/prior x3, min-of-3, one subprocess "
-                      "per rep (own JVM + warm-up), shared fixture",
+            "panel": panel,
+            "method": "interleaved cur/prior x3 (order alternates per "
+                      "iteration — page-cache/load-decay bias), min-of-3, "
+                      "one subprocess per rep (own JVM + warm-up), shared "
+                      "fixture; panel: same interleave, per-query min-of-3",
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -365,7 +447,9 @@ def main() -> None:
             {"metric": "ingest_ab", "value": ab["ratio_current_over_prior"],
              "unit": "ratio", "commit": commit,
              "current_min_s": ab["current_min_s"],
-             "prior_min_s": ab["prior_min_s"]},
+             "prior_min_s": ab["prior_min_s"],
+             "panel_ratios": {q: p["ratio"]
+                              for q, p in ab["panel"].items()}},
             separators=(",", ":"),
         ))
         return

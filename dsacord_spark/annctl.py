@@ -8,6 +8,8 @@ lifecycle, the embedding-side twin of the curate CLI's text-dedup loop
     python -m dsacord_spark.annctl append  --input batch.parquet --index DIR
                                            [--no-skip-existing]
     python -m dsacord_spark.annctl stats   --index DIR
+                                           [--retrain-if EXPR]
+                                           [--retrain-iters 3]
     python -m dsacord_spark.annctl query   --input queries.parquet
                                            --index DIR --output DIR
                                            [--nprobe 4] [--k 5]
@@ -25,13 +27,54 @@ The daily loop this serves: `append` every batch (retry-idempotent —
 a replayed batch reports appended=0), watch `stats` for imbalance
 (max/mean n_vecs) and drift (mean_cos falling), `retrain` on the
 maintenance cadence (atomic rename-aside swap; probes keep working
-before and after, never during a half-written index)."""
+before and after, never during a half-written index). `stats
+--retrain-if 'imbalance>2.0 or mean_cos<0.9'` closes that loop in one
+runbook line: the report decides, the same retrain acts, and the
+summary JSON records `retrain_triggered` (plus the retrain's own
+summary when it fired) so the runbook's history is auditable."""
 
 from __future__ import annotations
 
 import json
+import re
 import sys
 import time
+
+_TRIGGER_OPS = {
+    "<": lambda a, b: a < b, ">": lambda a, b: a > b,
+    "<=": lambda a, b: a <= b, ">=": lambda a, b: a >= b,
+    "==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+}
+
+
+def eval_retrain_trigger(expr: str, summary: dict) -> bool:
+    """Evaluate a `--retrain-if` expression against the stats summary —
+    a deliberately tiny grammar (comparison clauses joined by and/or,
+    or binds last; no parentheses, no eval) so a runbook line stays
+    auditable. Unknown metric names raise (a typo must not silently
+    never-trigger); a metric whose VALUE is null (e.g. mean_cos on an
+    all-empty lake) makes its clause false — absence of evidence never
+    triggers maintenance."""
+    def clause(s: str) -> bool:
+        m = re.fullmatch(
+            r"\s*([A-Za-z_]\w*)\s*(<=|>=|==|!=|<|>)\s*"
+            r"(-?\d+(?:\.\d+)?)\s*", s)
+        if not m:
+            raise ValueError(f"bad --retrain-if clause: {s!r}")
+        name, op, lit = m.groups()
+        if name not in summary:
+            raise ValueError(
+                f"unknown metric {name!r} in --retrain-if; have "
+                f"{sorted(summary)}")
+        val = summary[name]
+        if val is None:
+            return False
+        return _TRIGGER_OPS[op](float(val), float(lit))
+
+    return any(
+        all(clause(c) for c in re.split(r"\s+and\s+", conj))
+        for conj in re.split(r"\s+or\s+", expr)
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -71,6 +114,16 @@ def main(argv: list[str] | None = None) -> int:
 
     st = sub.add_parser("stats", help="per-cell drift/imbalance report")
     common(st, False)
+    st.add_argument("--retrain-if", default=None, metavar="EXPR",
+                    help="close the maintenance loop: retrain when the "
+                         "summary satisfies EXPR, e.g. "
+                         "'imbalance>2.0 or mean_cos<0.9'. Clauses are "
+                         "<metric><op><number> over the summary fields "
+                         "(imbalance, mean_cos, n_vecs, empty_cells, "
+                         "cells) joined with and/or (or binds last); a "
+                         "null metric never triggers")
+    st.add_argument("--retrain-iters", type=int, default=3,
+                    help="k-means iterations for a triggered retrain")
 
     q = sub.add_parser("query", help="serve top-k ANN from the lake")
     common(q, True)
@@ -157,7 +210,7 @@ def main(argv: list[str] | None = None) -> int:
         # (r11 ADVICE: the n_vecs-only guard died with a TypeError)
         scored = [r for r in rows if r["n_vecs"] and r["mean_cos"] is not None]
         scored_n = sum(r["n_vecs"] for r in scored)
-        return done(
+        summary = dict(
             index=a.index, cells=len(rows), n_vecs=total,
             empty_cells=sum(1 for c in counts if c == 0),
             imbalance=round(max(counts) / (total / len(rows)), 3)
@@ -167,6 +220,19 @@ def main(argv: list[str] | None = None) -> int:
                 / scored_n, 6
             ) if scored_n else None,
         )
+        if a.retrain_if is not None:
+            # the trigger that closes the maintenance loop (r11 verdict
+            # item 7): the stats report DECIDES, the same atomic-swap
+            # retrain ACTS — one runbook line instead of a human reading
+            # drift numbers
+            summary["retrain_triggered"] = eval_retrain_trigger(
+                a.retrain_if, summary
+            )
+            if summary["retrain_triggered"]:
+                summary["retrain"] = retrain_ivf_index(
+                    spark, a.index, iters=a.retrain_iters
+                )
+        return done(**summary)
     if a.cmd == "query":
         from pyspark.sql import functions as F
 

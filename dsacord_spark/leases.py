@@ -19,12 +19,19 @@ makes that interleaving explicit:
 - compact_index refuses (raises) while any lease is live and NOT at a
   boundary, unless forced.
 
-Scope: leases are per-process (this driver). A second driver compacting
-the same warehouse is not visible here — the composed daily runbook is
-sequential within one driver, which is the deployment this guards. The
-rename-aside swap in sinks/parquet.compact_bucketed_table independently
-guarantees the TABLE always exists; this registry guards the narrower
-live-file-list race.
+Scope: the REGISTRY leases are per-process (this driver) — they guard
+the in-flight-plan race between threads of one driver. Cross-PROCESS
+coordination (r12 verdict item 4: a second driver compacting the same
+warehouse) is the job of `fs_maintenance_marker` below: a filesystem
+claim file beside the guarded directory, atomically created
+(FileSystem.createNewFile — exclusive on HDFS and local FS; on object
+stores without atomic create it degrades to advisory), carrying
+holder diagnostics (op, pid, host, claim time). The rewriting ops
+(compact_index, build/append/retrain_ivf_index) take BOTH: registry
+lease for in-process readers, marker for other drivers. The rename-
+aside swap in sinks/parquet.compact_bucketed_table independently
+guarantees the TABLE always exists; these guards close the narrower
+live-file-list and double-append races.
 """
 
 from __future__ import annotations
@@ -135,3 +142,108 @@ class _MaintenanceBlocked(RuntimeError):
             f"{n_blocking} live streaming probe(s) hold a mid-batch "
             f"lease on {table_name!r}"
         )
+
+
+class MaintenanceMarkerHeld(RuntimeError):
+    """Another DRIVER holds the filesystem maintenance marker for this
+    location. Carries the holder's self-description so the operator can
+    decide: wait, investigate the named pid/host, or (if the holder is
+    known dead) re-run with force=True / delete the marker file."""
+
+    def __init__(self, base: str, holder: dict, age_s: float):
+        self.base = base
+        self.holder = holder
+        self.age_s = age_s
+        super().__init__(
+            f"maintenance marker already held for {base!r}: "
+            f"{holder.get('op', '?')} by pid {holder.get('pid', '?')}@"
+            f"{holder.get('host', '?')}, claimed {age_s:.0f}s ago. "
+            f"Another driver is rewriting this index; wait for it, or "
+            f"if it crashed pass force=True (or delete "
+            f"{_marker_path(base)}) to take over."
+        )
+
+
+def _marker_path(base: str) -> str:
+    """The claim file lives BESIDE the guarded directory (the
+    `__retrain`/`__old` sibling convention), never inside it: rename-
+    aside swaps rename the directory itself mid-op, and a marker inside
+    would vanish with it — opening the exact takeover window it
+    exists to close."""
+    return base.rstrip("/") + "__maintenance.json"
+
+
+@contextmanager
+def fs_maintenance_marker(
+    spark,
+    base: str,
+    op: str,
+    stale_after_s: float = 3600.0,
+    force: bool = False,
+):
+    """Cross-PROCESS maintenance claim on the directory `base` (an index
+    table location or an IVF lake path): atomically create the sibling
+    marker file, write holder diagnostics into it, delete it on exit —
+    success or raise. If the marker already exists: raise
+    MaintenanceMarkerHeld while it is fresh; take it over once it is
+    older than `stale_after_s` (the crash-recovery path — a driver that
+    died mid-rewrite leaves its marker behind, and rename-aside keeps
+    the data recoverable, so after the staleness window the next
+    maintainer proceeds and the stale claim is replaced by its own).
+    `force=True` takes over regardless of age. Two drivers racing the
+    takeover are serialized by the same atomic create: exactly one
+    createNewFile succeeds, the loser gets MaintenanceMarkerHeld.
+
+    This guards DRIVERS from each other; in-process readers are the
+    registry leases' job — callers hold both."""
+    import json
+    import os
+    import socket
+    import time
+
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(_marker_path(base))
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def read_holder() -> dict:
+        try:
+            stream = fs.open(marker)
+            try:
+                util = jvm.org.apache.commons.io.IOUtils
+                return json.loads(
+                    bytes(util.toByteArray(stream)).decode("utf-8")
+                )
+            finally:
+                stream.close()
+        except Exception:
+            return {}
+
+    if force:
+        fs.delete(marker, False)
+    if not fs.createNewFile(marker):
+        holder = read_holder()
+        age = time.time() - float(holder.get("epoch_s", 0))
+        if age <= stale_after_s:
+            raise MaintenanceMarkerHeld(base, holder, age)
+        # stale claim: the holder crashed mid-rewrite; take over. The
+        # delete+create pair is racy only against another TAKEOVER, and
+        # that race is settled by createNewFile: one winner.
+        fs.delete(marker, False)
+        if not fs.createNewFile(marker):
+            raise MaintenanceMarkerHeld(base, read_holder(), 0.0)
+    try:
+        # only the claimant reaches this overwrite: every other driver's
+        # createNewFile failed above
+        out = fs.create(marker, True)
+        try:
+            out.write(bytearray(json.dumps({
+                "op": op,
+                "pid": os.getpid(),
+                "host": socket.gethostname(),
+                "epoch_s": time.time(),
+            }).encode("utf-8")))
+        finally:
+            out.close()
+        yield
+    finally:
+        fs.delete(marker, False)

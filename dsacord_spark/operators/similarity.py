@@ -716,7 +716,8 @@ def build_ivf_index(
     import os
 
     spark = emb.sparkSession
-    with leases.maintenance_lease(_ivf_lease_name(path)):
+    with leases.maintenance_lease(_ivf_lease_name(path)), \
+            leases.fs_maintenance_marker(spark, path, "build_ivf_index"):
         centroid_rows = kmeans_centroids(
             emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
         )
@@ -936,7 +937,8 @@ def append_ivf_index(
     centroid_rows = [(int(c), v) for c, v in meta["centroids"]]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     idx_table = meta.get("id_index_table")
-    with leases.maintenance_lease(_ivf_lease_name(path)):
+    with leases.maintenance_lease(_ivf_lease_name(path)), \
+            leases.fs_maintenance_marker(spark, path, "append_ivf_index"):
         if idx_table is None:
             batch = new_emb.select(id_col, vec_col)
             if skip_existing:
@@ -1104,7 +1106,8 @@ def retrain_ivf_index(
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     idx_table = meta.get("id_index_table")
     k = int(n_cells if n_cells is not None else meta["n_cells"])
-    with leases.maintenance_lease(_ivf_lease_name(path)):
+    with leases.maintenance_lease(_ivf_lease_name(path)), \
+            leases.fs_maintenance_marker(spark, path, "retrain_ivf_index"):
         emb = spark.read.parquet(path).select(id_col, vec_col)
         n_vecs = emb.count()
         tmp, old = f"{path}__retrain", f"{path}__old"

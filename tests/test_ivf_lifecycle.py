@@ -510,3 +510,86 @@ def test_append_id_index_probe_plan_is_bounded(spark, emb, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {idx}")
+
+
+def test_retrain_trigger_expression_semantics():
+    """The --retrain-if mini-grammar: and binds tighter than or, null
+    metrics never trigger, unknown metrics and malformed clauses raise
+    (a typo must not silently never-trigger)."""
+    from dsacord_spark.annctl import eval_retrain_trigger as ev
+
+    s = {"imbalance": 2.5, "mean_cos": 0.95, "n_vecs": 100,
+         "empty_cells": 0, "cells": 4}
+    assert ev("imbalance>2.0", s)
+    assert not ev("mean_cos<0.9", s)
+    assert ev("imbalance>2.0 or mean_cos<0.9", s)
+    assert not ev("imbalance>2.0 and mean_cos<0.9", s)
+    # or binds last: (A and B) or C
+    assert ev("imbalance>2.0 and mean_cos<0.9 or n_vecs>=100", s)
+    assert ev("empty_cells==0", s) and ev("cells!=5", s)
+    assert not ev("mean_cos<0.9", {**s, "mean_cos": None})  # null: false
+    with pytest.raises(ValueError, match="unknown metric"):
+        ev("imblance>2.0", s)
+    with pytest.raises(ValueError, match="bad --retrain-if clause"):
+        ev("imbalance >> 2", s)
+
+
+def test_annctl_stats_retrain_if_closes_the_loop(spark, tmp_path,
+                                                 capsys):
+    """r12 verdict item 7: `annctl stats --retrain-if EXPR` acts on the
+    drift report. A drifted lake (every vector crowded into one of two
+    trained cells -> imbalance 2.0) triggers the retrain and records it
+    in the summary; a healthy lake does not, and its sidecar stays
+    byte-identical."""
+    import json
+
+    from dsacord_spark.annctl import main
+    from dsacord_spark.operators.similarity import (
+        _hadoop_read_text,
+        _hadoop_write_text,
+    )
+
+    def mk_lake(path, rows):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, cell long",
+        ).write.partitionBy("cell").parquet(path)
+        _hadoop_write_text(
+            spark, f"{path}/_ivf_centroids.json",
+            json.dumps({
+                "n_cells": 2, "id_col": "vec_id",
+                "vec_col": "embedding",
+                "centroids": [[0, [1.0, 0.0]], [1, [0.0, 1.0]]],
+            }),
+        )
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        return [json.loads(ln) for ln in
+                capsys.readouterr().out.splitlines()
+                if ln.startswith("{")][-1]
+
+    rule = "imbalance>1.5 or mean_cos<0.8"
+
+    healthy = str(tmp_path / "healthy")
+    mk_lake(healthy, [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+                      (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1)])
+    meta0 = _hadoop_read_text(spark, f"{healthy}/_ivf_centroids.json")
+    s = run("stats", "--index", healthy, "--retrain-if", rule)
+    assert s["retrain_triggered"] is False and "retrain" not in s
+    assert _hadoop_read_text(
+        spark, f"{healthy}/_ivf_centroids.json") == meta0
+
+    drifted = str(tmp_path / "drifted")  # all appends piled into cell 0
+    mk_lake(drifted, [(1, [1.0, 0.0], 0), (2, [0.7, 0.7], 0),
+                      (3, [0.6, 0.8], 0), (4, [0.8, 0.6], 0)])
+    meta0 = _hadoop_read_text(spark, f"{drifted}/_ivf_centroids.json")
+    s = run("stats", "--index", drifted, "--retrain-if", rule,
+            "--retrain-iters", "2")
+    assert s["imbalance"] == 2.0 and s["retrain_triggered"] is True
+    assert s["retrain"]["n_vecs"] == 4 and s["retrain"]["n_cells"] == 2
+    # the retrain re-fit the quantizer: sidecar rewritten, lake intact,
+    # and the re-read report is balanced again
+    assert _hadoop_read_text(
+        spark, f"{drifted}/_ivf_centroids.json") != meta0
+    s2 = run("stats", "--index", drifted, "--retrain-if", rule)
+    assert s2["n_vecs"] == 4 and s2["retrain_triggered"] is False

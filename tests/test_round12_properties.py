@@ -171,3 +171,125 @@ def test_ivf_lease_names_normalize_trailing_slash():
         with pytest.raises(leases._MaintenanceBlocked):
             with leases.maintenance_lease(_ivf_lease_name("/tmp/ivf_x")):
                 pass
+
+
+_SECOND_DRIVER = """
+import sys
+from dsacord_spark.session import get_spark
+from dsacord_spark import leases
+spark = get_spark(app_name="second-driver", master="local[1]",
+                  shuffle_partitions=1)
+try:
+    with leases.fs_maintenance_marker(spark, sys.argv[1], "compact"):
+        print("CLAIMED")
+except leases.MaintenanceMarkerHeld as exc:
+    print("REFUSED", exc)
+"""
+
+
+def test_fs_marker_blocks_second_driver(spark, tmp_path):
+    """r12 verdict item 4, the two-session pin: while THIS driver holds
+    the filesystem maintenance marker, a genuinely separate driver
+    process attempting the same maintenance refuses with the holder's
+    diagnostics; once released, the second driver claims cleanly."""
+    import os
+    import subprocess
+    import sys
+
+    from dsacord_spark import leases
+
+    base = str(tmp_path / "guarded")
+    os.makedirs(base)
+
+    def second_driver():
+        r = subprocess.run(
+            [sys.executable, "-c", _SECOND_DRIVER, base],
+            capture_output=True, text=True, timeout=300,
+            cwd=str(tmp_path), env=dict(os.environ, PYTHONPATH="/root/repo"),
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        return r.stdout
+
+    with leases.fs_maintenance_marker(spark, base, "compact_index(t)"):
+        out = second_driver()
+        assert "REFUSED" in out and "compact_index(t)" in out
+        assert str(os.getpid()) in out  # holder diagnostics, not a bare no
+    assert "CLAIMED" in second_driver()  # cleared on success
+
+
+def test_fs_marker_crash_takeover_and_compact_integration(spark, sf_dir,
+                                                          tmp_path):
+    """The marker's lifecycle through the real compactor: compact_index
+    refuses while another driver's FRESH marker exists, takes over a
+    STALE one (the crashed-driver recovery path), and always deletes
+    its own marker on exit."""
+    import json
+    import os
+    import time
+
+    from dsacord_spark import leases
+    from dsacord_spark.operators.dedup import (
+        _table_location,
+        build_hamming_index,
+        compact_index,
+    )
+
+    t = "t_r12_marker_compact"
+    try:
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.xxhash64("text").alias("h"))
+            .limit(60)
+        )
+        build_hamming_index(docs, "doc_id", "h", t)
+        loc = _table_location(spark, f"{t}_summary")
+        # the catalog reports a file: URI; the local-FS assertions below
+        # need the bare path
+        marker = leases._marker_path(loc).removeprefix("file:")
+
+        with leases.fs_maintenance_marker(spark, loc, "other-driver"):
+            with pytest.raises(leases.MaintenanceMarkerHeld,
+                               match="other-driver"):
+                compact_index(spark, t)
+        assert not os.path.exists(marker)  # refusal left no residue
+
+        # a crashed driver's stale claim: old epoch -> taken over
+        with open(marker, "w") as fh:
+            json.dump({"op": "died-mid-rewrite", "pid": 1, "host": "x",
+                       "epoch_s": time.time() - 7200}, fh)
+        stats = compact_index(spark, t)  # default staleness 3600s
+        assert stats and not os.path.exists(marker)
+    finally:
+        for suffix in ("_summary", "_bands", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+
+
+def test_fs_marker_guards_ivf_lifecycle(spark, sf_dir, tmp_path):
+    """build/append/retrain refuse while another driver's marker is
+    fresh on the lake path — and leave the lake untouched."""
+    from dsacord_spark import leases
+    from dsacord_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        retrain_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 250), path, n_cells=4)
+    n0 = spark.read.parquet(path).count()
+    with leases.fs_maintenance_marker(spark, path, "other-driver"):
+        with pytest.raises(leases.MaintenanceMarkerHeld):
+            append_ivf_index(
+                spark, path, emb.filter(F.col("vec_id") >= 250))
+        with pytest.raises(leases.MaintenanceMarkerHeld):
+            retrain_ivf_index(spark, path)
+        with pytest.raises(leases.MaintenanceMarkerHeld):
+            build_ivf_index(emb, path, n_cells=4)
+    assert spark.read.parquet(path).count() == n0
+    # released: the daily op proceeds
+    assert append_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") >= 250)
+    ) == emb.filter(F.col("vec_id") >= 250).count()
