@@ -224,6 +224,7 @@ def compact_partitions(
     path: str,
     partition_col: str = "dt",
     target_file_bytes: int = 128 << 20,
+    force: bool = False,
 ) -> dict:
     """Small-file compaction for a `{partition_col}=...` parquet lake —
     the maintenance op every incremental day-partitioned sink needs at
@@ -235,13 +236,32 @@ def compact_partitions(
     job: read only the fragmented partitions, salt each to its own
     target file count, and dynamic-partition-overwrite them in place —
     healthy partitions are never read or rewritten. Returns a stats
-    dict; no-op (no job at all) when nothing is fragmented."""
+    dict; no-op (no job at all) when nothing is fragmented.
+
+    The rewrite holds the cross-process filesystem maintenance marker
+    (leases.fs_maintenance_marker, r12): a second driver compacting the
+    same lake refuses with the holder's diagnostics instead of both
+    overwriting the same partitions; `force=True` takes a marker over
+    (e.g. after a crashed compactor, before its staleness window)."""
+    from dsacord_spark import leases
+
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
 
+    with leases.fs_maintenance_marker(
+        spark, path, "compact_partitions", force=force
+    ):
+        return _compact_partitions_locked(
+            spark, path, partition_col, target_file_bytes, jvm, fs, hpath
+        )
+
+
+def _compact_partitions_locked(
+    spark, path, partition_col, target_file_bytes, jvm, fs, hpath
+) -> dict:
     plan: dict[str, int] = {}
     files_before = 0
     for st in fs.listStatus(hpath):

@@ -995,3 +995,68 @@ def stream_probe_minhash_index(
         _release_local_checkpoint(state["ib"])
         _release_local_checkpoint(state["sh"])
         state["ib"] = state["sh"] = None
+
+
+def stream_probe_ivf_index(
+    spark: SparkSession,
+    path: str,
+    query_stream: DataFrame,
+    nprobe: int = 4,
+    k: int = 5,
+    reader_options: dict[str, str] | None = None,
+    on_batch_start: Callable[[int], None] | None = None,
+) -> DataFrame:
+    """The ANN twin of stream_probe_hamming_index (r12, closing the
+    verdict's "any future streaming ANN probe" clause): micro-batches of
+    query vectors (q_id, q_vec) are served top-k from a persisted
+    build_ivf_index lake inside foreachBatch. Each micro-batch re-reads
+    the lake's sidecar and cell partitions (maximum freshness — an
+    append from the boundary hook is visible to the NEXT batch), assigns
+    its own queries to cells, and scans only the probed cell partitions
+    (directory pruning) — probe cost tracks the micro-batch, never the
+    corpus. Per-query results are independent of batching, so the
+    drained output equals the batch query_ivf_index over the same
+    queries (parity pinned in tests/test_ivf_lifecycle.py).
+
+    The stream holds a lease on the lake path for its lifetime:
+    append/retrain/build refuse mid-batch and are safe from the
+    `on_batch_start(i)` hook — the batch boundary, where no probe plan
+    is in flight and the lease is marked non-blocking (the compaction
+    interlock contract, applied to the ANN lake). The zero-micro-batch
+    drain shapes its empty output from the lazy serving plan — no hook,
+    no collects."""
+    from dsacord_spark.operators.similarity import (
+        _ivf_lease_name,
+        query_ivf_index,
+    )
+
+    state: dict = {}
+
+    def probe(b: DataFrame, batch_id: int) -> DataFrame:
+        if on_batch_start is not None:
+            # boundary window: maintenance (append_ivf_index /
+            # retrain_ivf_index) invoked synchronously from the hook is
+            # safe — see stream_probe_hamming_index
+            with leases.at_boundary(state["lease"]):
+                on_batch_start(batch_id)
+        # materialize=True: the batch's result (<= rows x k, always
+        # batch-small) is computed inside this batch's own stream lease,
+        # so nothing lazy outlives the boundary
+        return query_ivf_index(spark, path, b, nprobe=nprobe, k=k)
+
+    def drain(empty: DataFrame) -> DataFrame:
+        return query_ivf_index(
+            spark, path, empty, nprobe=nprobe, k=k, materialize=False
+        )
+
+    with leases.stream_lease(_ivf_lease_name(path)) as lease:
+        state["lease"] = lease
+        return run_bounded_stream(
+            spark,
+            query_stream,
+            lambda s: s,
+            reader_options=reader_options or {"maxFilesPerTrigger": "1"},
+            batch_transform=probe,
+            pass_batch_id=True,
+            drain_transform=drain,
+        )

@@ -593,3 +593,73 @@ def test_annctl_stats_retrain_if_closes_the_loop(spark, tmp_path,
         spark, f"{drifted}/_ivf_centroids.json") != meta0
     s2 = run("stats", "--index", drifted, "--retrain-if", rule)
     assert s2["n_vecs"] == 4 and s2["retrain_triggered"] is False
+
+
+def test_stream_probe_ivf_matches_batch_query(spark, emb, tmp_path):
+    """stream_probe_ivf_index (r12): query vectors arriving as a stream,
+    served per micro-batch from the persisted lake. Per-query results
+    are batching-independent, so the drained output must equal the
+    batch query_ivf_index over the same queries — and maintenance
+    driven from the on_batch_start boundary hook (a daily append before
+    batch 0) is visible to every batch."""
+    from dsacord_spark.streaming.pipeline import stream_probe_ivf_index
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 250), path,
+                    n_cells=N_CELLS)
+    late = emb.filter(F.col("vec_id") >= 250)
+    hooked: list[int] = []
+
+    def hook(batch_id: int) -> None:
+        hooked.append(batch_id)
+        if batch_id == 0:
+            # maintenance from the boundary: the lease is non-blocking
+            # here, so the daily append completes synchronously and
+            # every batch (including this one) probes the grown lake
+            assert append_ivf_index(spark, path, late) == late.count()
+
+    q = _queries(emb)
+    got = sorted(map(tuple, stream_probe_ivf_index(
+        spark, path, q, nprobe=N_CELLS, k=3, on_batch_start=hook,
+    ).select("q_id", "neighbor_id", "rank").collect()))
+    assert hooked and hooked[0] == 0
+    want = sorted(map(tuple, query_ivf_index(
+        spark, path, q, nprobe=N_CELLS, k=3,
+    ).select("q_id", "neighbor_id", "rank").collect()))
+    assert got == want
+    # and the exhaustive-probe == brute-force anchor over the grown lake
+    _exhaustive(spark, path, emb)
+
+
+def test_stream_probe_ivf_blocks_maintenance_mid_stream(spark, emb,
+                                                        tmp_path):
+    """While the ANN stream lease is live (not at a boundary), a
+    maintenance op refuses — the stream cannot have the lake swapped
+    out from under an in-flight probe plan."""
+    from dsacord_spark import leases
+    from dsacord_spark.operators.similarity import _ivf_lease_name
+    from dsacord_spark.streaming.pipeline import stream_probe_ivf_index
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < 250), path,
+                    n_cells=N_CELLS)
+    refusals: list[str] = []
+
+    def hostile_hook(batch_id: int) -> None:
+        # simulate a SECOND thread's maintenance attempt arriving while
+        # the stream is mid-batch: leave the boundary window first
+        lease = leases._LEASES[_ivf_lease_name(path)][0]
+        lease.at_boundary = False
+        try:
+            retrain_ivf_index(spark, path)
+        except leases._MaintenanceBlocked:
+            refusals.append("blocked")
+        finally:
+            lease.at_boundary = True
+
+    out = stream_probe_ivf_index(
+        spark, path, _queries(emb), nprobe=1, k=1,
+        on_batch_start=hostile_hook,
+    )
+    assert out.count() > 0
+    assert refusals, "mid-batch retrain was not refused"
