@@ -93,6 +93,10 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--vec-col", default="embedding")
         sp.add_argument("--master", default=None,
                         help="Spark master override")
+        sp.add_argument("--force", action="store_true",
+                        help="take over another driver's maintenance "
+                             "marker (use when its holder is known "
+                             "dead; see MaintenanceMarkerHeld)")
 
     b = sub.add_parser("build", help="train + materialize the IVF lake")
     common(b, True)
@@ -177,14 +181,14 @@ def main(argv: list[str] | None = None) -> int:
         emb = spark.read.parquet(a.input)
         build_ivf_index(emb, a.index, n_cells=a.cells, iters=a.iters,
                         id_col=a.id_col, vec_col=a.vec_col,
-                        id_index_table=a.id_index)
+                        id_index_table=a.id_index, force=a.force)
         return done(built_index=a.index, cells=a.cells,
                     id_index=a.id_index,
                     n_vecs=spark.read.parquet(a.index).count())
     if a.cmd == "append":
         n = append_ivf_index(
             spark, a.index, spark.read.parquet(a.input),
-            skip_existing=not a.no_skip_existing,
+            skip_existing=not a.no_skip_existing, force=a.force,
         )
         return done(appended=n, index=a.index,
                     skip_existing=not a.no_skip_existing)
@@ -230,25 +234,36 @@ def main(argv: list[str] | None = None) -> int:
             )
             if summary["retrain_triggered"]:
                 summary["retrain"] = retrain_ivf_index(
-                    spark, a.index, iters=a.retrain_iters
+                    spark, a.index, iters=a.retrain_iters, force=a.force
                 )
         return done(**summary)
     if a.cmd == "query":
         from pyspark.sql import functions as F
 
+        from dsacord_spark import leases
+        from dsacord_spark.operators.similarity import _ivf_lease_name
+
         queries = spark.read.parquet(a.input).select(
             F.col(a.id_col).alias("q_id"), F.col(a.vec_col).alias("q_vec")
         )
-        out = query_ivf_index(spark, a.index, queries,
-                              nprobe=a.nprobe, k=a.k)
-        out.write.mode("overwrite").parquet(a.output)
+        # materialize=False + an explicit stream lease spanning plan AND
+        # the distributed write: an offline query frame can be millions
+        # of rows, so the result must never funnel through the driver
+        # (r12 review) — the lease still keeps a retrain from swapping
+        # files under the in-flight scan (stream_lease is re-entrant:
+        # query_ivf_index's own lease nests under this one)
+        with leases.stream_lease(_ivf_lease_name(a.index)):
+            out = query_ivf_index(spark, a.index, queries,
+                                  nprobe=a.nprobe, k=a.k,
+                                  materialize=False)
+            out.write.mode("overwrite").parquet(a.output)
         return done(
             index=a.index, output=a.output, nprobe=a.nprobe, k=a.k,
             result_rows=spark.read.parquet(a.output).count(),
         )
     # retrain
     info = retrain_ivf_index(spark, a.index, n_cells=a.cells,
-                             iters=a.iters)
+                             iters=a.iters, force=a.force)
     return done(retrained=a.index, **info)
 
 

@@ -194,6 +194,17 @@ def fs_maintenance_marker(
     takeover are serialized by the same atomic create: exactly one
     createNewFile succeeds, the loser gets MaintenanceMarkerHeld.
 
+    Staleness is judged from the marker FILE's modification time, never
+    from its JSON payload (r12 review: an empty or half-written payload
+    would read as epoch 0 -> "1970, stale" -> instant takeover of a
+    marker another driver claimed microseconds ago; mtime is set by the
+    same createNewFile that claimed it, so the unreadable-payload window
+    is fresh by construction). While the with-block runs, a daemon
+    heartbeat rewrites the payload every stale_after_s/4 (r12 review:
+    without it, a legitimately long rewrite outlives its own staleness
+    window and gets usurped mid-op) — so takeover happens only when the
+    holder has been genuinely silent for the full window.
+
     This guards DRIVERS from each other; in-process readers are the
     registry leases' job — callers hold both."""
     import json
@@ -201,49 +212,76 @@ def fs_maintenance_marker(
     import socket
     import time
 
+    from dsacord_spark.hadoopfs import hadoop_read_text
+
     jvm = spark._jvm
-    marker = jvm.org.apache.hadoop.fs.Path(_marker_path(base))
+    marker_str = _marker_path(base)
+    marker = jvm.org.apache.hadoop.fs.Path(marker_str)
     fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
 
     def read_holder() -> dict:
         try:
-            stream = fs.open(marker)
-            try:
-                util = jvm.org.apache.commons.io.IOUtils
-                return json.loads(
-                    bytes(util.toByteArray(stream)).decode("utf-8")
-                )
-            finally:
-                stream.close()
+            return json.loads(hadoop_read_text(spark, marker_str))
         except Exception:
             return {}
+
+    def marker_age_s() -> float:
+        # mtime, refreshed by the holder's heartbeat writes
+        return time.time() - fs.getFileStatus(
+            marker
+        ).getModificationTime() / 1000.0
+
+    def write_holder() -> None:
+        from dsacord_spark.hadoopfs import hadoop_write_text
+
+        hadoop_write_text(spark, marker_str, json.dumps({
+            "op": op,
+            "pid": os.getpid(),
+            "host": socket.gethostname(),
+            "epoch_s": time.time(),
+        }))
 
     if force:
         fs.delete(marker, False)
     if not fs.createNewFile(marker):
-        holder = read_holder()
-        age = time.time() - float(holder.get("epoch_s", 0))
-        if age <= stale_after_s:
-            raise MaintenanceMarkerHeld(base, holder, age)
-        # stale claim: the holder crashed mid-rewrite; take over. The
-        # delete+create pair is racy only against another TAKEOVER, and
-        # that race is settled by createNewFile: one winner.
-        fs.delete(marker, False)
-        if not fs.createNewFile(marker):
-            raise MaintenanceMarkerHeld(base, read_holder(), 0.0)
+        try:
+            age = marker_age_s()
+        except Exception:
+            # the marker vanished between create and stat (holder just
+            # released); one retry settles it
+            if not fs.createNewFile(marker):
+                raise MaintenanceMarkerHeld(base, read_holder(), 0.0)
+            age = None
+        if age is not None:
+            if age <= stale_after_s:
+                raise MaintenanceMarkerHeld(base, read_holder(), age)
+            # stale claim: the holder has been silent past its heartbeat
+            # window; take over. The delete+create pair is racy only
+            # against another TAKEOVER, settled by createNewFile: one
+            # winner.
+            fs.delete(marker, False)
+            if not fs.createNewFile(marker):
+                raise MaintenanceMarkerHeld(base, read_holder(), 0.0)
+    stop = threading.Event()
+
+    def _heartbeat() -> None:
+        while not stop.wait(max(stale_after_s / 4.0, 5.0)):
+            try:
+                write_holder()
+            except Exception:
+                pass  # best-effort; the next beat retries
+
+    hb = threading.Thread(
+        target=_heartbeat, name=f"marker-heartbeat-{op}", daemon=True
+    )
     try:
         # only the claimant reaches this overwrite: every other driver's
         # createNewFile failed above
-        out = fs.create(marker, True)
-        try:
-            out.write(bytearray(json.dumps({
-                "op": op,
-                "pid": os.getpid(),
-                "host": socket.gethostname(),
-                "epoch_s": time.time(),
-            }).encode("utf-8")))
-        finally:
-            out.close()
+        write_holder()
+        hb.start()
         yield
     finally:
+        stop.set()
+        if hb.ident is not None:  # started
+            hb.join(timeout=5.0)
         fs.delete(marker, False)

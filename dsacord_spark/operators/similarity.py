@@ -23,6 +23,14 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 from dsacord_spark import leases
 from dsacord_spark.functions.vectors import cosine, dot, norm
 
+# sidecar I/O shared with leases.py's maintenance markers (r12 review:
+# two line-identical copies had started to drift); the old private
+# names stay as aliases for the existing import sites
+from dsacord_spark.hadoopfs import (
+    hadoop_read_text as _hadoop_read_text,
+    hadoop_write_text as _hadoop_write_text,
+)
+
 
 def _pair_cos(dot_col: F.Column, norm_a: F.Column, norm_b: F.Column) -> F.Column:
     """Cosine from a per-pair dot and PRE-COMPUTED per-vector norms.
@@ -636,30 +644,6 @@ def ivf_topk_kmeans(
     return _probe_score_topk(assigned, probes, k, id_col, vec_col)
 
 
-def _hadoop_write_text(spark, path: str, text: str) -> None:
-    """Write a small text file through the Hadoop FS API so index
-    sidecars work on any Spark-reachable filesystem (hdfs://, s3a://),
-    not only local paths."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(hpath, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-
-
-def _hadoop_read_text(spark, path: str) -> str:
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.open(hpath)
-    try:
-        util = jvm.org.apache.commons.io.IOUtils
-        return bytes(util.toByteArray(stream)).decode("utf-8")
-    finally:
-        stream.close()
 
 
 def _ivf_lease_name(path: str) -> str:
@@ -693,6 +677,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_index_table: str | None = None,
     id_index_buckets: int = 16,
+    force: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF index as a CELL-PARTITIONED parquet lake:
     trained centroids (kmeans_centroids), BLAS assignment, then
@@ -717,7 +702,8 @@ def build_ivf_index(
 
     spark = emb.sparkSession
     with leases.maintenance_lease(_ivf_lease_name(path)), \
-            leases.fs_maintenance_marker(spark, path, "build_ivf_index"):
+            leases.fs_maintenance_marker(
+                spark, path, "build_ivf_index", force=force):
         centroid_rows = kmeans_centroids(
             emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
         )
@@ -771,12 +757,17 @@ def query_ivf_index(
     while a query is in flight, and a query started mid-rewrite is
     refused with a retry diagnostic instead of failing mid-scan when
     `__old` is deleted. `materialize=True` (default) makes the lease
-    actually span plan AND execute: the result — at most queries x k
-    rows, always driver-small — is computed inside the lease and
-    returned as a local relation. `materialize=False` returns the lazy
-    plan for composition; the lease then covers planning only, and the
-    caller owns executing it before any retrain (rename-aside keeps a
-    mid-swap read a retryable error, never corruption)."""
+    actually span plan AND execute: the result is computed inside the
+    lease and returned as a local relation — sized for the SERVING
+    shape (a query batch x k rows through the driver). For OFFLINE
+    query frames (millions of rows), use `materialize=False` — the
+    result stays a distributed plan the caller writes/consumes without
+    a driver funnel — and wrap plan+execution in your own
+    `leases.stream_lease` if a concurrent retrain is possible
+    (stream_lease is re-entrant; annctl's query subcommand is the
+    reference caller). With `materialize=False` and no caller lease,
+    the lease covers planning only; rename-aside keeps a mid-swap read
+    a retryable error, never corruption."""
     with leases.stream_lease(_ivf_lease_name(path)):
         meta = _read_ivf_meta(spark, path)
         centroid_rows = [(int(c), v) for c, v in meta["centroids"]]
@@ -852,10 +843,22 @@ def _ivf_recover_pending(
     from dsacord_spark.operators.dedup import _in_literals
     from dsacord_spark.sinks.parquet import describe_bucket_spec
 
-    pending = spark.read.parquet(marker)
-    cells = sorted(
-        r["cell"] for r in pending.select("cell").distinct().collect()
-    )
+    try:
+        pending = spark.read.parquet(marker)
+        cells = sorted(
+            r["cell"] for r in pending.select("cell").distinct().collect()
+        )
+    except Exception:
+        # an unreadable marker means the crash happened DURING the
+        # marker write itself (only _temporary/ contents, no schema) —
+        # which precedes the lake write by construction (recovery
+        # deletes any prior marker before a new one is staged), so
+        # there is nothing to recover: discard and let the batch replay
+        # normally. Without this, a crash mid-marker-write bricked
+        # every subsequent append on the same AnalysisException
+        # (r12 review).
+        fs.delete(jvm.org.apache.hadoop.fs.Path(marker), True)
+        return
     if cells:
         in_lake = pending.select(id_col).join(
             spark.read.parquet(path)
@@ -881,6 +884,7 @@ def append_ivf_index(
     path: str,
     new_emb: DataFrame,
     skip_existing: bool = True,
+    force: bool = False,
 ) -> int:
     """Daily-append for the IVF lake — the ANN twin of the dedup
     indexes' update_corpus_index: new vectors are assigned to the
@@ -938,7 +942,8 @@ def append_ivf_index(
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     idx_table = meta.get("id_index_table")
     with leases.maintenance_lease(_ivf_lease_name(path)), \
-            leases.fs_maintenance_marker(spark, path, "append_ivf_index"):
+            leases.fs_maintenance_marker(
+                spark, path, "append_ivf_index", force=force):
         if idx_table is None:
             batch = new_emb.select(id_col, vec_col)
             if skip_existing:
@@ -1071,6 +1076,7 @@ def retrain_ivf_index(
     path: str,
     n_cells: int | None = None,
     iters: int = 3,
+    force: bool = False,
 ) -> dict:
     """Re-train the IVF coarse quantizer from the lake's CURRENT
     contents and rewrite the index atomically — the maintenance op that
@@ -1107,7 +1113,8 @@ def retrain_ivf_index(
     idx_table = meta.get("id_index_table")
     k = int(n_cells if n_cells is not None else meta["n_cells"])
     with leases.maintenance_lease(_ivf_lease_name(path)), \
-            leases.fs_maintenance_marker(spark, path, "retrain_ivf_index"):
+            leases.fs_maintenance_marker(
+                spark, path, "retrain_ivf_index", force=force):
         emb = spark.read.parquet(path).select(id_col, vec_col)
         n_vecs = emb.count()
         tmp, old = f"{path}__retrain", f"{path}__old"

@@ -253,12 +253,22 @@ def test_fs_marker_crash_takeover_and_compact_integration(spark, sf_dir,
                 compact_index(spark, t)
         assert not os.path.exists(marker)  # refusal left no residue
 
-        # a crashed driver's stale claim: old epoch -> taken over
+        # a crashed driver's stale claim: staleness is judged from the
+        # file's mtime (the holder's heartbeat refreshes it while
+        # alive), so age the FILE, not just the payload
         with open(marker, "w") as fh:
             json.dump({"op": "died-mid-rewrite", "pid": 1, "host": "x",
                        "epoch_s": time.time() - 7200}, fh)
+        os.utime(marker, (time.time() - 7200, time.time() - 7200))
         stats = compact_index(spark, t)  # default staleness 3600s
         assert stats and not os.path.exists(marker)
+        # an UNREADABLE but fresh marker (half-written payload) is a
+        # live claim, never "1970, stale" (r12 review)
+        with open(marker, "w") as fh:
+            fh.write("")
+        with pytest.raises(leases.MaintenanceMarkerHeld):
+            compact_index(spark, t)
+        os.remove(marker)
     finally:
         for suffix in ("_summary", "_bands", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
@@ -293,3 +303,50 @@ def test_fs_marker_guards_ivf_lifecycle(spark, sf_dir, tmp_path):
     assert append_ivf_index(
         spark, path, emb.filter(F.col("vec_id") >= 250)
     ) == emb.filter(F.col("vec_id") >= 250).count()
+
+
+def test_pruned_minhash_probe_three_tiers_value_identical(
+    spark, sf_dir, monkeypatch
+):
+    """r11 verdict item 5 follow-through: the pruned probe's three
+    tiers — pairs fit (local cand), pairs overflow but distinct ids fit
+    (the near-dup-burst regime the r11 shape served), both overflow
+    (full shingle scan) — must all return exactly the unpruned result.
+    The limit is shrunk to force each tier on a small fixture."""
+    from dsacord_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    t = "t_r12_tiers"
+    try:
+        dedup.build_minhash_index(docs, "doc_id", "text", t)
+        # replayed batch fully contained in the index: every doc pairs
+        # with at least itself -> plenty of candidate pairs
+        batch = docs.limit(40)
+        want = sorted(map(tuple, dedup.probe_minhash_index(
+            spark, t, batch, "doc_id", "text", prune=False,
+        ).collect()))
+        n_pairs_ok = sorted(map(tuple, dedup.probe_minhash_index(
+            spark, t, batch, "doc_id", "text", prune=True,
+        ).collect()))
+        assert n_pairs_ok == want  # tier 1: pairs fit
+        with monkeypatch.context() as m:
+            m.setattr(dedup, "_PROBE_PRUNE_LIMIT", 41)
+            # 40 batch docs pair with themselves (+ near-dups) -> pairs
+            # can exceed 41 only if near-dups exist; distinct ids <= 80.
+            # Either way the result must not change.
+            tier2 = sorted(map(tuple, dedup.probe_minhash_index(
+                spark, t, batch, "doc_id", "text", prune=True,
+            ).collect()))
+            assert tier2 == want
+            m.setattr(dedup, "_PROBE_PRUNE_LIMIT", 1)
+            tier3 = sorted(map(tuple, dedup.probe_minhash_index(
+                spark, t, batch, "doc_id", "text", prune=True,
+            ).collect()))
+            assert tier3 == want  # tier 3: everything overflows
+    finally:
+        for suffix in ("_bands", "_shingles", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
