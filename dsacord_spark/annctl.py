@@ -5,6 +5,7 @@ lifecycle, the embedding-side twin of the curate CLI's text-dedup loop
     python -m dsacord_spark.annctl build   --input emb.parquet --index DIR
                                            [--cells 16] [--iters 3]
                                            [--id-index TABLE]
+                                           [--quantize]
     python -m dsacord_spark.annctl append  --input batch.parquet --index DIR
                                            [--no-skip-existing]
     python -m dsacord_spark.annctl stats   --index DIR
@@ -13,6 +14,7 @@ lifecycle, the embedding-side twin of the curate CLI's text-dedup loop
     python -m dsacord_spark.annctl query   --input queries.parquet
                                            --index DIR --output DIR
                                            [--nprobe 4] [--k 5]
+                                           [--shortlist N]
     python -m dsacord_spark.annctl retrain --index DIR [--cells N]
                                            [--iters 3]
 
@@ -102,6 +104,11 @@ def main(argv: list[str] | None = None) -> int:
     common(b, True)
     b.add_argument("--cells", type=int, default=16)
     b.add_argument("--iters", type=int, default=3)
+    b.add_argument("--quantize", action="store_true",
+                   help="store an int8 SQ8 column beside each vector "
+                        "so `query --shortlist N` can serve a coarse "
+                        "integer-dot pass over ~1/4 the vector bytes "
+                        "with an exact rerank of only the shortlist")
     b.add_argument("--id-index", default=None, metavar="TABLE",
                    help="catalog table to maintain as the lake's "
                         "id side-index: every daily append's retry "
@@ -136,6 +143,10 @@ def main(argv: list[str] | None = None) -> int:
                         "rank, cos_sim)")
     q.add_argument("--nprobe", type=int, default=4)
     q.add_argument("--k", type=int, default=5)
+    q.add_argument("--shortlist", type=int, default=None,
+                   help="serve via the quantized two-phase probe "
+                        "(requires build --quantize): coarse int8 "
+                        "top-N then exact rerank")
 
     rt = sub.add_parser("retrain", help="re-train centroids from the "
                                         "lake's current contents "
@@ -181,7 +192,8 @@ def main(argv: list[str] | None = None) -> int:
         emb = spark.read.parquet(a.input)
         build_ivf_index(emb, a.index, n_cells=a.cells, iters=a.iters,
                         id_col=a.id_col, vec_col=a.vec_col,
-                        id_index_table=a.id_index, force=a.force)
+                        id_index_table=a.id_index, force=a.force,
+                        quantize=a.quantize)
         return done(built_index=a.index, cells=a.cells,
                     id_index=a.id_index,
                     n_vecs=spark.read.parquet(a.index).count())
@@ -255,7 +267,8 @@ def main(argv: list[str] | None = None) -> int:
         with leases.stream_lease(_ivf_lease_name(a.index)):
             out = query_ivf_index(spark, a.index, queries,
                                   nprobe=a.nprobe, k=a.k,
-                                  materialize=False)
+                                  materialize=False,
+                                  shortlist=a.shortlist)
             out.write.mode("overwrite").parquet(a.output)
         return done(
             index=a.index, output=a.output, nprobe=a.nprobe, k=a.k,

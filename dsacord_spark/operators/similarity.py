@@ -652,6 +652,31 @@ def _ivf_lease_name(path: str) -> str:
     return path.rstrip("/")
 
 
+def _q8(vec: Column) -> Column:
+    """int8 scalar quantization of a unit-normalized vector:
+    round(v_i/||v|| * 127) as tinyint (the SQ8 shape the in-memory
+    `ann_quantized_rerank` entry oracles). Zero-norm vectors quantize
+    to NULL (try_divide) and rank last in any quantized shortlist —
+    consistent with their NULL exact cosine."""
+    n = norm(vec)
+    return F.transform(
+        vec,
+        lambda x: F.round(
+            F.try_divide(x.cast("double") * 127.0, n), 0
+        ).cast("tinyint"),
+    )
+
+
+def _q8_dot(a: Column, b: Column) -> Column:
+    """Integer dot product of two int8-quantized vectors (exact in
+    long arithmetic — no float rounding in the coarse score)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def _bootstrap_ivf_id_index(
     spark, path: str, id_col: str, table: str, buckets: int
 ) -> None:
@@ -678,6 +703,7 @@ def build_ivf_index(
     id_index_table: str | None = None,
     id_index_buckets: int = 16,
     force: bool = False,
+    quantize: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF index as a CELL-PARTITIONED parquet lake:
     trained centroids (kmeans_centroids), BLAS assignment, then
@@ -696,7 +722,16 @@ def build_ivf_index(
     instead of a full-lake id scan, and `retrain_ivf_index` rebuilds it
     with the lake. The whole build holds a maintenance lease on the
     lake path, so a concurrent `query_ivf_index` cannot plan over a
-    half-overwritten directory (r11 ADVICE)."""
+    half-overwritten directory (r11 ADVICE).
+
+    `quantize=True` (r12) additionally stores an int8 `__q8` column
+    (SQ8: round(v/||v||*127)) beside each vector, recorded in the
+    sidecar. `query_ivf_index(shortlist=N)` then serves a two-phase
+    probe — integer-dot shortlist over the 1-byte/dim column, exact
+    rerank over only the shortlist's rows — so the scan-dominated
+    serving path reads ~1/4 of the vector bytes. Rows inside each cell
+    file are sorted by id (local sort, no extra shuffle) so the
+    rerank's id IN-filter skips row groups via footer min/max stats."""
     import json
     import os
 
@@ -710,7 +745,15 @@ def build_ivf_index(
         assigned = assign_cells_blas(
             emb, centroid_rows, id_col, vec_col, nprobe=1
         ).drop("probe_rank")
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+        if quantize:
+            assigned = assigned.withColumn("__q8", _q8(F.col(vec_col)))
+        # id-sorted rows within each cell file: local sort, no extra
+        # shuffle; gives the quantized rerank's id IN-filter row-group
+        # skipping and costs nothing for the plain path (the decisions
+        # lake's cluster_within_files_by precedent)
+        assigned.sortWithinPartitions("cell", id_col).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(path)
         meta = {
             "n_cells": n_cells,
             "id_col": id_col,
@@ -719,6 +762,8 @@ def build_ivf_index(
                 (int(c), list(map(float, v))) for c, v in centroid_rows
             ],
         }
+        if quantize:
+            meta["quantized"] = True
         if id_index_table is not None:
             meta["id_index_table"] = id_index_table
             meta["id_index_buckets"] = int(id_index_buckets)
@@ -744,6 +789,7 @@ def query_ivf_index(
     nprobe: int = 4,
     k: int = 5,
     materialize: bool = True,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """Serve top-k ANN from a `build_ivf_index` lake: assign each query
     to its nprobe nearest cells (BLAS, centroids from the index's own
@@ -767,11 +813,28 @@ def query_ivf_index(
     (stream_lease is re-entrant; annctl's query subcommand is the
     reference caller). With `materialize=False` and no caller lease,
     the lease covers planning only; rename-aside keeps a mid-swap read
-    a retryable error, never corruption."""
+    a retryable error, never corruption.
+
+    `shortlist=N` (r12; requires a `build_ivf_index(quantize=True)`
+    lake) serves the probe in two phases: an integer-dot COARSE pass
+    over the probed cells reading only the int8 `__q8` column (~1/4
+    the vector bytes — plan-pinned column pruning) keeps the top-N
+    candidates per query, then an exact-cosine RERANK reads the full
+    vectors of ONLY those candidates (id IN-filter over the build's
+    id-sorted cell files — row-group skipping). Approximate by
+    construction: a true neighbor quantized out of the shortlist is
+    lost (recall pinned by test; N >= probed-corpus size degenerates
+    to the exact result). The shortlist ids are collected between the
+    phases — queries x N rows, bounded by the serving contract."""
     with leases.stream_lease(_ivf_lease_name(path)):
         meta = _read_ivf_meta(spark, path)
         centroid_rows = [(int(c), v) for c, v in meta["centroids"]]
         id_col, vec_col = meta["id_col"], meta["vec_col"]
+        if shortlist is not None and not meta.get("quantized"):
+            raise ValueError(
+                f"shortlist={shortlist} needs a quantized lake — "
+                f"rebuild {path} with build_ivf_index(quantize=True)"
+            )
 
         assigned = (
             assign_cells_blas(
@@ -780,6 +843,8 @@ def query_ivf_index(
             .withColumnRenamed("__vn", "__qn")
             .drop("probe_rank")
         )
+        if shortlist is not None:
+            assigned = assigned.withColumn("__qq8", _q8(F.col("q_vec")))
         # The probe set is consumed twice (the cells list below and the
         # final probe join) and is broadcast by the probe tail
         # REGARDLESS — so materialize it to the driver ONCE and rebuild
@@ -793,16 +858,109 @@ def query_ivf_index(
         probe_rows = assigned.collect()
         probes = spark.createDataFrame(probe_rows, assigned.schema)
         cells = sorted({r["cell"] for r in probe_rows})
-        corpus = (
-            spark.read.parquet(path)
-            .filter(F.col("cell").isin(cells) if cells else F.lit(False))
-            .withColumnRenamed("__vn", "__en")
+        cell_filter = (
+            F.col("cell").isin(cells) if cells else F.lit(False)
         )
-        result = _probe_score_topk(corpus, probes, k, id_col, vec_col)
+        if shortlist is None:
+            corpus = (
+                spark.read.parquet(path)
+                .filter(cell_filter)
+                .withColumnRenamed("__vn", "__en")
+            )
+            result = _probe_score_topk(corpus, probes, k, id_col, vec_col)
+        else:
+            result = _quantized_probe(
+                spark, path, probes, cells, cell_filter,
+                shortlist, k, id_col, vec_col,
+            )
         if not materialize:
             return result
         rows = result.collect()
         return spark.createDataFrame(rows, result.schema)
+
+
+def _quantized_probe(
+    spark,
+    path: str,
+    probes: DataFrame,
+    cells: list,
+    cell_filter: Column,
+    shortlist: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Two-phase SQ8 serving (see query_ivf_index): coarse integer-dot
+    shortlist over the 1-byte/dim `__q8` column, exact-cosine rerank
+    over only the shortlist rows. Ties in the coarse score break on
+    neighbor id (ascending) — deterministic shortlists, same total
+    order as the in-memory ann_quantized_rerank entry."""
+    from dsacord_spark.operators.dedup import _in_literals
+
+    coarse_scan = (
+        spark.read.parquet(path)
+        .filter(cell_filter)
+        .select(id_col, "cell", "__q8")
+    )
+    swin = W.partitionBy("q_id").orderBy(
+        F.col("__qdot").desc(), F.col(id_col).asc()
+    )
+    shortlisted = (
+        F.broadcast(probes.select("q_id", "cell", "__qq8"))
+        .join(coarse_scan, "cell")
+        .filter(F.col("q_id") != F.col(id_col))
+        .select(
+            "q_id",
+            F.col(id_col),
+            _q8_dot(F.col("__qq8"), F.col("__q8")).alias("__qdot"),
+        )
+        .withColumn("__srn", F.row_number().over(swin))
+        .filter(F.col("__srn") <= shortlist)
+        .select("q_id", id_col)
+    )
+    # bounded by contract: |queries| x shortlist rows — the ids become
+    # literals for the rerank's row-group-skipping scan and the pairs a
+    # local relation (the pruned-probe pattern)
+    pairs = shortlisted.collect()
+    cand_ids = sorted({r[id_col] for r in pairs})
+    rerank_scan = (
+        spark.read.parquet(path)
+        .filter(cell_filter)
+        .filter(_in_literals(id_col, cand_ids))
+        .select(id_col, vec_col, F.col("__vn").alias("__en"))
+    )
+    cand = (
+        spark.createDataFrame(pairs, shortlisted.schema)
+        .join(
+            # probes carries one row per (q_id, probed cell); the
+            # rerank needs each query ONCE
+            F.broadcast(
+                probes.select("q_id", "q_vec", "__qn")
+                .dropDuplicates(["q_id"])
+            ),
+            "q_id",
+        )
+        .join(rerank_scan, id_col)
+    )
+    scored = cand.select(
+        "q_id",
+        F.col(id_col).alias("neighbor_id"),
+        _pair_cos(
+            dot(F.col("q_vec"), F.col(vec_col)),
+            F.col("__qn"), F.col("__en"),
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "neighbor_id", "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
 
 
 def _read_ivf_meta(spark, path: str) -> dict:
@@ -955,7 +1113,13 @@ def append_ivf_index(
             assigned = assign_cells_blas(
                 batch, centroid_rows, id_col, vec_col, nprobe=1
             ).drop("probe_rank")
-            assigned.write.mode("append").partitionBy("cell").parquet(path)
+            if meta.get("quantized"):
+                assigned = assigned.withColumn(
+                    "__q8", _q8(F.col(vec_col))
+                )
+            assigned.sortWithinPartitions("cell", id_col).write.mode(
+                "append"
+            ).partitionBy("cell").parquet(path)
             return spark.read.parquet(path).count() - before
 
         import os
@@ -987,6 +1151,8 @@ def append_ivf_index(
         assigned = assign_cells_blas(
             batch, centroid_rows, id_col, vec_col, nprobe=1
         ).drop("probe_rank")
+        if meta.get("quantized"):
+            assigned = assigned.withColumn("__q8", _q8(F.col(vec_col)))
         if skip_existing:
             assigned = assigned.join(
                 spark.table(idx_table).select(id_col), id_col, "left_anti"
@@ -999,7 +1165,9 @@ def append_ivf_index(
             survivors.select(id_col, "cell").write.mode(
                 "overwrite"
             ).parquet(marker)
-            survivors.write.mode("append").partitionBy("cell").parquet(path)
+            survivors.sortWithinPartitions("cell", id_col).write.mode(
+                "append"
+            ).partitionBy("cell").parquet(path)
             to_index = survivors.select(id_col)
             if not skip_existing:
                 # a raw append may carry ids the index already holds
@@ -1137,6 +1305,7 @@ def retrain_ivf_index(
             emb, tmp, n_cells=k, iters=iters, id_col=id_col,
             vec_col=vec_col, id_index_table=idx_table,
             id_index_buckets=int(meta.get("id_index_buckets", 16)),
+            quantize=bool(meta.get("quantized")),
         )
         if not fs.rename(_p(path), _p(old)):
             raise IOError(f"retrain swap failed renaming {path} -> {old}")

@@ -663,3 +663,90 @@ def test_stream_probe_ivf_blocks_maintenance_mid_stream(spark, emb,
     )
     assert out.count() > 0
     assert refusals, "mid-batch retrain was not refused"
+
+
+def test_quantized_lake_serving(spark, emb, tmp_path):
+    """r12 SQ8 serving: a quantize=True lake stores an int8 `__q8`
+    column; `query_ivf_index(shortlist=N)` serves coarse-int8 +
+    exact-rerank. With the shortlist covering the probed corpus the
+    result is EXACTLY brute force (the approximation vanishes); at a
+    tight shortlist the top-1 neighbor survives quantization for most
+    queries (recall floor pinned on the deterministic fixture). The
+    daily loop (append with frozen centroids, retrain) preserves the
+    quantized column and flag."""
+    path = str(tmp_path / "ivfq")
+    build_ivf_index(emb.filter(F.col("vec_id") < 250), path,
+                    n_cells=N_CELLS, quantize=True)
+    schema = dict(spark.read.parquet(path).dtypes)
+    assert schema["__q8"] == "array<tinyint>"
+
+    q = _queries(emb)
+
+    def served(shortlist, k=3):
+        return sorted(map(tuple, query_ivf_index(
+            spark, path, q, nprobe=N_CELLS, k=k, shortlist=shortlist,
+        ).select("q_id", "neighbor_id", "rank").collect()))
+
+    def exact(k=3):
+        corpus = spark.read.parquet(path).select("vec_id", "embedding")
+        return sorted(map(tuple, brute_force_topk(
+            corpus, q, k=k
+        ).select("q_id", "neighbor_id", "rank").collect()))
+
+    assert served(shortlist=100_000) == exact()  # degenerates to exact
+
+    tight = served(shortlist=20)
+    want = exact()
+    top1_want = {(r[0], r[1]) for r in want if r[2] == 1}
+    top1_got = {(r[0], r[1]) for r in tight if r[2] == 1}
+    recall1 = len(top1_want & top1_got) / len(top1_want)
+    assert recall1 >= 0.8, recall1  # deterministic fixture
+
+    # daily loop keeps the quantized column flowing
+    batch = emb.filter(F.col("vec_id") >= 250)
+    assert append_ivf_index(spark, path, batch) == batch.count()
+    assert append_ivf_index(spark, path, batch) == 0
+    assert dict(spark.read.parquet(path).dtypes)["__q8"] == \
+        "array<tinyint>"
+    assert served(shortlist=100_000) == exact()  # over the grown lake
+    retrain_ivf_index(spark, path, iters=2)
+    assert dict(spark.read.parquet(path).dtypes)["__q8"] == \
+        "array<tinyint>"
+    assert served(shortlist=100_000) == exact()
+
+    # a plain lake refuses the quantized path with a rebuild diagnostic
+    plain = str(tmp_path / "plain")
+    build_ivf_index(emb.limit(50), plain, n_cells=2)
+    with pytest.raises(ValueError, match="quantize=True"):
+        query_ivf_index(spark, plain, q, shortlist=10)
+
+
+def test_quantized_lake_with_id_index_append(spark, emb, tmp_path):
+    """The two r12 lake options compose: a quantized lake with an id
+    side-index appends through the marker protocol carrying `__q8`,
+    stays replay-idempotent, and serves exactly at a covering
+    shortlist."""
+    idx = "t_ivf_q_idx"
+    path = str(tmp_path / "ivfqi")
+    try:
+        build_ivf_index(emb.filter(F.col("vec_id") < 250), path,
+                        n_cells=N_CELLS, quantize=True,
+                        id_index_table=idx)
+        batch = emb.filter(F.col("vec_id") >= 250)
+        assert append_ivf_index(spark, path, batch) == batch.count()
+        assert append_ivf_index(spark, path, batch) == 0
+        assert dict(spark.read.parquet(path).dtypes)["__q8"] == \
+            "array<tinyint>"
+        assert spark.table(idx).count() == \
+            spark.read.parquet(path).count()
+        q = _queries(emb)
+        got = sorted(map(tuple, query_ivf_index(
+            spark, path, q, nprobe=N_CELLS, k=3, shortlist=100_000,
+        ).select("q_id", "neighbor_id", "rank").collect()))
+        want = sorted(map(tuple, brute_force_topk(
+            spark.read.parquet(path).select("vec_id", "embedding"),
+            q, k=3,
+        ).select("q_id", "neighbor_id", "rank").collect()))
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")

@@ -350,3 +350,31 @@ def test_pruned_minhash_probe_three_tiers_value_identical(
     finally:
         for suffix in ("_bands", "_shingles", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+
+
+def test_fs_marker_heartbeat_keeps_long_ops_unusurpable(spark, tmp_path):
+    """A legitimately long-running rewrite must never be usurped: the
+    holder's heartbeat refreshes the marker's mtime every
+    stale_after_s/4, so a competitor that arrives AFTER the staleness
+    window has elapsed since the claim still sees a fresh file and
+    refuses. (Without the heartbeat, any op longer than stale_after_s
+    lost its marker mid-rewrite — r12 review.)"""
+    import os
+    import time
+
+    from dsacord_spark import leases
+
+    base = str(tmp_path / "longop")
+    os.makedirs(base)
+    with leases.fs_maintenance_marker(spark, base, "slow-retrain",
+                                      stale_after_s=8.0):
+        time.sleep(12)  # well past the claim's own staleness window
+        with pytest.raises(leases.MaintenanceMarkerHeld,
+                           match="slow-retrain"):
+            with leases.fs_maintenance_marker(spark, base, "usurper",
+                                              stale_after_s=8.0):
+                pass
+    # released cleanly after the long op
+    with leases.fs_maintenance_marker(spark, base, "next",
+                                      stale_after_s=8.0):
+        pass
