@@ -750,3 +750,30 @@ def test_quantized_lake_with_id_index_append(spark, emb, tmp_path):
         assert got == want
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {idx}")
+
+
+def test_quantized_rerank_plan_prunes_columns(spark, emb, tmp_path):
+    """Plan pin for the SQ8 serving split: the RERANK plan (what
+    materialize=False returns — the coarse phase already ran inside the
+    call) reads only (id, vec, __vn) — never the `__q8` coarse column —
+    and carries the shortlist's literal id IN-filter down to the scan
+    (PushedFilters + row-group skipping over the id-sorted files)."""
+    import io as _io
+    import re
+    from contextlib import redirect_stdout
+
+    path = str(tmp_path / "ivfq")
+    build_ivf_index(emb.filter(F.col("vec_id") < 250), path,
+                    n_cells=N_CELLS, quantize=True)
+    served = query_ivf_index(
+        spark, path, _queries(emb), nprobe=N_CELLS, k=3,
+        shortlist=10, materialize=False,
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and not any("__q8" in s for s in schemas), schemas
+    assert any("vec_id" in s and "embedding" in s for s in schemas)
+    assert re.search(r"PushedFilters: \[[^\]]*[Ii]n\(vec_id", plan), plan
