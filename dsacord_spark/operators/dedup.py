@@ -528,30 +528,43 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     iff sum over tokens of (+1 if bit b of token-hash else -1) > 0 —
     equivalently iff 2 * |{token hashes with bit b set}| > n_tokens.
 
-    Computed per row with higher-order array functions (hash each token
-    once, then one filter-count per bit): zero shuffles, one codegen
-    projection. The previous explode + 60-expression groupBy formulation
-    shuffled n_docs x n_tokens rows to compute a per-document value —
-    at corpus scale that shuffle IS the cost of the operator. Empty
-    docs are dropped, matching the explode formulation's semantics."""
-    hs = F.transform(F.array_distinct(tokens(text_col)), lambda t: md5_long(t))
-    base = df.select(F.col(id_col).alias("doc"), hs.alias("hs")).filter(
-        F.size(F.col("hs")) > 0
+    r12 formulation (guide §4.1/§2.3, measured): explode the distinct
+    tokens, hash each ONCE in its own projection (md5 must not be
+    inlined into 60 bit-extract expressions — the round-1 slice()
+    lesson), then ONE map-side-combined groupBy(doc) with 60 codegen'd
+    `sum((h >> b) & 1)` columns plus a count. The r4 higher-order
+    formulation (60 interpreted `filter(hs, ...)` passes, each
+    materializing a filtered array per row) was zero-shuffle but ran
+    OUTSIDE whole-stage codegen: measured 58 executor-core-seconds for
+    5,000 docs (curate_keep_selection profile); this form computes the
+    identical per-bit counts in codegen. The shuffle it introduces is
+    the per-DOC partial-aggregate rows (61 longs/doc, combined map-side
+    — exploded rows of one doc sit in one scan task), i.e. the same
+    order of bytes as the operator's own output, not n_docs x n_tokens:
+    the r4 docstring's objection was to the pre-combiner explode
+    shuffle, which partial aggregation removes. Empty docs are dropped
+    (explode emits no rows), matching the r4 filter(size>0) semantics;
+    md5-colliding distinct tokens still count twice on both forms."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("__t"),
     )
-    n = F.size(F.col("hs"))
+    hashed = tok.select("doc", md5_long(F.col("__t")).alias("__h"))
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.shiftright(F.col("__h"), bit).bitwiseAND(F.lit(1))).alias(
+            f"__b{bit}"
+        )
+        for bit in range(SIMHASH_BITS)
+    ]
+    g = hashed.groupBy("doc").agg(*aggs)
+    n = F.col("__n")
     sim = None
     for bit in range(SIMHASH_BITS):
-        nset = F.size(
-            F.filter(
-                F.col("hs"),
-                lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1,
-            )
-        )
-        term = F.when(nset * 2 > n, F.lit(1 << bit).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        term = F.when(
+            F.col(f"__b{bit}") * 2 > n, F.lit(1 << bit).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
-    return base.select("doc", sim.alias("simhash"))
+    return g.select("doc", sim.alias("simhash"))
 
 
 def simhash_pairs(

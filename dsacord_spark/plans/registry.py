@@ -21,6 +21,8 @@ bit-for-bit between engines):
 
 from __future__ import annotations
 
+import contextvars
+import functools
 import os
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -73,16 +75,105 @@ def register(name: str, sql: str | None, doc: str = ""):
                 f"{fn.__name__!r} takes {n_required} required parameter(s)"
             )
         for existing in _REGISTRY.values():
-            if existing.fn is fn:
+            if getattr(existing.fn, "__wrapped__", existing.fn) is fn:
                 raise ValueError(
                     f"function {fn.__name__!r} already registered as "
                     f"{existing.name!r}; refusing to alias it as {name!r} "
                     "(stacked @register decorators?)"
                 )
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, sql=sql, doc=doc)
+
+        @functools.wraps(fn)
+        def entry_fn(*args, **kwargs):
+            # Bracket the plan build with the entry name so table()'s
+            # per-entry scan fan-out (below) knows who is asking. Reset
+            # in finally so nested registered-entry calls restore the
+            # caller's name (ContextVar tokens nest correctly).
+            token = _ACTIVE_ENTRY.set(name)
+            try:
+                return fn(*args, **kwargs)
+            finally:
+                _ACTIVE_ENTRY.reset(token)
+
+        _REGISTRY[name] = QuerySpec(name=name, fn=entry_fn, sql=sql, doc=doc)
         return fn
 
     return deco
+
+
+# --- scan fan-out (r12 optimization, guide §2.5 "input skew: one huge
+# unsplittable file ... repartition immediately after the read") ---------
+# Every testdata table is a SINGLE-row-group parquet file, and a parquet
+# row group cannot be split across tasks: every catalog query therefore
+# ran at parallelism 1 from the scan to its first exchange (measured:
+# corpus_novelty_curve spent 6.3s in a 1-task stage on local[32]).
+# Size-gated hash repartition on the table's lead (key) column restores
+# scan parallelism for small inputs. Scale-adaptive by construction: at
+# 100 TB the input is over the byte gate (and already splits into
+# thousands of natural scan partitions), so the repartition vanishes —
+# no constant tuned for local mode leaks into cluster plans. Hash (not
+# round-robin) partitioning keeps the exchange deterministic under task
+# retry (guide §2.5 SPARK-38388) and skips round-robin's
+# sortBeforeRepartition local sort.
+#
+# Fan-out is PER-ENTRY OPT-IN, not global: an interleaved full-catalog
+# A/B (215 entries, alternating min-of-2 per side,
+# plans/r12/fanout_ab_all.json) measured it bimodal — derivation-heavy
+# entries (shingling / hashing / blob decode dominating the scan stage)
+# win 0.2-3.4s each, while plain scan→agg entries lose the exchange's
+# fixed ~0.1-0.3s and blob-shuffling multimodal entries lose 1-3s.
+# _FANOUT_ENTRIES is the measured winner set (save >= 0.2s AND ratio
+# <= 0.9 in that A/B), refined by a second interleaved min-of-3 confirm
+# A/B after the r12 simhash reformulation
+# (plans/r12/fanout_ab_confirm.json) which dropped four entries whose
+# win reversed or went neutral under the new signature plan
+# (dedup_simhash_bucket_load, dedup_simhash_radius_calibration,
+# multimodal_resize, session_stateful). register() brackets each
+# entry's plan build with its name so table() can consult the set.
+# Anything outside the registry (CLI, streaming helpers, operators
+# called directly) never fans out.
+_FANOUT_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_MAX_BYTES", 256 << 20))
+_FANOUT_MIN_BYTES = 64 << 10  # dim tables (nation/region/supplier) stay 1-task
+
+_FANOUT_ENTRIES = frozenset({
+    "ann_quantized_rerank",
+    "basket_part_pairs_topk",
+    "corpus_novelty_curve",
+    "decontaminate_bloom",
+    "decontaminate_train_test",
+    "dedup_components",
+    "dedup_embedding_blocked",
+    "dedup_incremental_probe",
+    "dedup_incremental_probe_selfsafe",
+    "dedup_jaccard_band_histogram",
+    "dedup_keep_canonical",
+    "dedup_minhash_bucket_load",
+    "dedup_minhash_calibration",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "source_overlap_matrix",
+    "text_bigram_lm_fluency",
+    "text_boilerplate_coverage",
+    "text_containment_pairs",
+})
+
+_ACTIVE_ENTRY: contextvars.ContextVar[str | None] = contextvars.ContextVar(
+    "dsacord_active_entry", default=None
+)
+
+
+def _fanout_small(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    if os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "1") == "0":
+        return df
+    if _ACTIVE_ENTRY.get() not in _FANOUT_ENTRIES:
+        return df
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if not (_FANOUT_MIN_BYTES <= size < _FANOUT_MAX_BYTES) or cores <= 1:
+        return df
+    return df.repartition(cores, df.columns[0])
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -106,7 +197,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _fanout_small(spark.read.parquet(path), spark, path)
         if isinstance(df.schema["ts"].dataType, LongType):
             # legacy nanos-long read of TIMESTAMP(NANOS)
             return (
@@ -121,7 +212,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .withColumn("ts_us", F.unix_micros(F.col("ts")))
             .withColumn("ts_ns", F.expr("ts_us * CAST(1000 AS BIGINT)"))
         )
-    return spark.read.parquet(path)
+    return _fanout_small(spark.read.parquet(path), spark, path)
 
 
 def get_registry() -> dict[str, QuerySpec]:

@@ -359,16 +359,16 @@ _SELF_JOIN_BOUNDS = {
         "#sources (a small dimension), so fan-out per token is "
         "#sources^2/2, linear in distinct tokens"
     ),
-    "dedup_simhash_clusters": (
-        "label-stamp: the flagged join matches each member row to the "
-        "hash->canonical map (one row per DISTINCT hash — built from "
-        "per-hash MIN aggregates and hash-level components), so "
-        "per-member fan-out is exactly 1 and output is one row per "
-        "input doc (the O(n) cluster-mode contract; members are "
-        "shuffled exactly once, by hash). Keyed aggregates "
-        "deliberately don't auto-pass, so the gate flags the shape by "
-        "design"
-    ),
+    # dedup_simhash_clusters left this registry in r12: the
+    # simhash_signatures reformulation (explode + map-side-combined
+    # per-bit aggregate, operators/dedup.py) changed the physical shape
+    # of the signature subtree — the hash-level candidate join now
+    # plans as a BroadcastHashJoin at sf0.001, and that
+    # BroadcastExchange is a strong bound on the stamp join's map-side
+    # path, so the detector no longer pattern-matches it as a raw
+    # self-join. The bound itself is unchanged: the stamp join matches
+    # each member row to a one-row-per-DISTINCT-hash map, per-member
+    # fan-out exactly 1, output one row per input doc.
     "multimodal_phash_clusters": (
         "label-stamp: same unique-per-hash map join as "
         "dedup_simhash_clusters over the dHash member table — one "
@@ -376,15 +376,13 @@ _SELF_JOIN_BOUNDS = {
         "candidate stage is the grouped banded joiner over DISTINCT "
         "dHashes"
     ),
-    "curate_keep_selection": (
-        "label-stamp x2 (r8): dedup_corpus joins each member to (a) the "
-        "hash->cluster map (one row per DISTINCT hash, from "
-        "hash_cluster_assignments) and (b) the cluster->keep map (one "
-        "row per cluster, from the map-side-combined min_by aggregate) "
-        "— per-member fan-out exactly 1 in both, output one row per "
-        "doc; the candidate stage is the grouped banded joiner over "
-        "DISTINCT simhashes"
-    ),
+    # curate_keep_selection left this registry in r12 for the same
+    # reason as dedup_simhash_clusters (directly above): the r12
+    # simhash_signatures reformulation re-planned the signature subtree
+    # with a broadcast-bounded hash-map path, so its two label-stamp
+    # joins (member -> hash->cluster map, member -> cluster->keep map;
+    # per-member fan-out exactly 1 in both, declared here since r8) no
+    # longer match the detector's raw-by-raw signature.
     # dedup_incremental_probe left this registry in r10: the Hamming
     # candidate join moved to the derived single band_key (injective
     # encode of (band_no, band_val) — operators/dedup._with_band_key),

@@ -378,3 +378,124 @@ def test_fs_marker_heartbeat_keeps_long_ops_unusurpable(spark, tmp_path):
     with leases.fs_maintenance_marker(spark, base, "next",
                                       stale_after_s=8.0):
         pass
+
+
+def test_simhash_signatures_matches_python_reference(spark):
+    """r12 perf reformulation (explode + map-side-combined per-bit
+    aggregate, operators/dedup.py): the signature VALUES are the
+    operator's contract — pin them against an independent pure-Python
+    replica of the spec (distinct whitespace tokens, 60-bit md5-prefix
+    hash, per-bit majority 2*nset > n, empty docs dropped), so any
+    future re-plan must keep results identical. Also pin the plan
+    shape the optimization bought: one partial/final HashAggregate
+    pair (map-side combine), no interpreted higher-order filter()."""
+    import hashlib
+
+    from dsacord_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_signatures,
+    )
+
+    rows = [
+        ("a", "the quick brown fox the quick"),  # dup tokens -> distinct
+        ("b", "  lorem   ipsum\tdolor \n sit  "),  # ragged whitespace
+        ("c", ""),  # empty -> dropped
+        ("d", "   \t "),  # whitespace-only -> dropped
+        ("e", "solo"),  # single token
+        ("f", "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sig = simhash_signatures(df, "doc_id", "text")
+    got = {r["doc"]: r["simhash"] for r in sig.collect()}
+
+    def ref(text: str) -> int | None:
+        toks = {t for t in text.strip().split() if t}
+        if not toks:
+            return None
+        hv = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for t in toks
+        ]
+        out = 0
+        for bit in range(SIMHASH_BITS):
+            if 2 * sum((h >> bit) & 1 for h in hv) > len(hv):
+                out |= 1 << bit
+        return out
+
+    expect = {
+        doc: ref(text) for doc, text in rows if ref(text) is not None
+    }
+    assert got == expect
+
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, (
+        "expected a partial/final HashAggregate pair (map-side combine)"
+    )
+    # the tokenizer's single whitespace filter() is fine (it appears in
+    # the pre- and post-AQE plan prints); the retired formulation had 60
+    # per-bit filter(hs, ...) lambdas
+    assert plan.count("lambdafunction") < SIMHASH_BITS / 2, (
+        "interpreted higher-order per-bit filter() is back in the plan"
+    )
+
+
+def test_scan_fanout_is_per_entry_size_gated(spark, sf_dir, monkeypatch):
+    """r12 scan fan-out (plans/registry.py:_fanout_small): testdata
+    tables are single-row-group parquet (unsplittable -> 1-task scan
+    stages), so allowlisted entries hash-repartition right after the
+    read. Pin every gate: fires ONLY inside an allowlisted registered
+    entry, ONLY between the byte gates, honors the env kill switch,
+    uses deterministic hash partitioning (SPARK-38388), and register()
+    restores the active-entry bracket after the build."""
+    from dsacord_spark.plans import registry
+    from dsacord_spark.plans.catalog import specs
+
+    emb_path = f"{sf_dir}/embeddings.parquet"  # ~190 KiB: inside gates
+    dim_path = f"{sf_dir}/nation.parquet"  # < 64 KiB floor
+    cores = spark.sparkContext.defaultParallelism
+    raw = spark.read.parquet(emb_path)
+    base_parts = raw.rdd.getNumPartitions()
+
+    def parts(df):
+        return df.rdd.getNumPartitions()
+
+    # outside any registered entry: never fans out
+    assert registry._ACTIVE_ENTRY.get() is None
+    assert parts(registry._fanout_small(raw, spark, emb_path)) == base_parts
+
+    tok = registry._ACTIVE_ENTRY.set("dedup_embedding_blocked")
+    try:
+        fanned = registry._fanout_small(raw, spark, emb_path)
+        assert parts(fanned) == cores
+        plan = fanned._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning" in plan  # deterministic under retry
+        # dimension tables below the floor stay single-task
+        dim = spark.read.parquet(dim_path)
+        assert parts(registry._fanout_small(dim, spark, dim_path)) == parts(
+            spark.read.parquet(dim_path)
+        )
+        # env kill switch
+        monkeypatch.setenv("SPARK_GRAFT_SCAN_FANOUT", "0")
+        assert parts(registry._fanout_small(raw, spark, emb_path)) == base_parts
+        monkeypatch.delenv("SPARK_GRAFT_SCAN_FANOUT")
+        # above the max gate (scale-adaptive: big inputs split naturally)
+        monkeypatch.setattr(registry, "_FANOUT_MAX_BYTES", 1024)
+        assert parts(registry._fanout_small(raw, spark, emb_path)) == base_parts
+        monkeypatch.setattr(registry, "_FANOUT_MAX_BYTES", 256 << 20)
+    finally:
+        registry._ACTIVE_ENTRY.reset(tok)
+
+    # a non-allowlisted entry never fans out
+    tok = registry._ACTIVE_ENTRY.set("dedup_exact")
+    try:
+        assert parts(registry._fanout_small(raw, spark, emb_path)) == base_parts
+    finally:
+        registry._ACTIVE_ENTRY.reset(tok)
+
+    # end-to-end through the registry bracket: the allowlisted entry's
+    # built plan carries the repartition exchange, and the bracket is
+    # restored afterwards
+    df = specs()["dedup_embedding_blocked"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+    assert registry._ACTIVE_ENTRY.get() is None
