@@ -24,6 +24,7 @@ from __future__ import annotations
 import contextvars
 import functools
 import os
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -161,19 +162,41 @@ _ACTIVE_ENTRY: contextvars.ContextVar[str | None] = contextvars.ContextVar(
 )
 
 
-def _fanout_small(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+def _fanout_wanted(spark: SparkSession, path: str) -> bool:
     if os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "1") == "0":
-        return df
+        return False
     if _ACTIVE_ENTRY.get() not in _FANOUT_ENTRIES:
-        return df
+        return False
     try:
         size = os.path.getsize(path)
     except OSError:
+        return False
+    if not (_FANOUT_MIN_BYTES <= size < _FANOUT_MAX_BYTES):
+        return False
+    return spark.sparkContext.defaultParallelism > 1
+
+
+def _fanout_small(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    if not _fanout_wanted(spark, path):
         return df
-    cores = spark.sparkContext.defaultParallelism
-    if not (_FANOUT_MIN_BYTES <= size < _FANOUT_MAX_BYTES) or cores <= 1:
-        return df
-    return df.repartition(cores, df.columns[0])
+    return df.repartition(
+        spark.sparkContext.defaultParallelism, df.columns[0]
+    )
+
+
+# --- table-plan memo (r12 optimization, guide §7.3 driver-side cost) ----
+# spark.read.parquet costs ~100ms on this host (driver footer read + py4j
+# round-trips) and the catalog's 215 entries call table() several hundred
+# times per sweep. The memo caches the LAZY DataFrame plan per session —
+# never materialized data, so every action still computes from the
+# parquet inputs; it is plan-object reuse inside one process, not result
+# caching. Keyed on (sf_dir, name, fan-out decision) so allowlisted and
+# plain variants stay distinct; per-session via WeakKeyDictionary so a
+# stopped session's plans are collectable and a fresh session never sees
+# another session's JVM references.
+_TABLE_PLANS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -187,17 +210,38 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     matching DuckDB's timestamp order), ts_us (long microseconds, for
     interval arithmetic = DuckDB epoch_us), and ts (micro timestamp, for
     formatting/windowing = DuckDB CAST(ts AS TIMESTAMP))."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    fan = _fanout_wanted(spark, path)
+    cache = _TABLE_PLANS.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name, fan)
+    df = cache.get(key)
+    if df is None:
+        df = _build_table(spark, sf_dir, name, path, fan)
+        cache[key] = df
+    return df
+
+
+def _build_table(
+    spark: SparkSession, sf_dir: str, name: str, path: str, fan: bool
+) -> DataFrame:
     # the driver runs catalog queries in ITS OWN SparkSession; timestamp
     # string rendering (every *_ts_str output) follows the session
     # timezone, so pin it here rather than trusting session defaults
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = os.path.join(sf_dir, f"{name}.parquet")
+
+    def maybe_fan(df: DataFrame) -> DataFrame:
+        if not fan:
+            return df
+        return df.repartition(
+            spark.sparkContext.defaultParallelism, df.columns[0]
+        )
+
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = _fanout_small(spark.read.parquet(path), spark, path)
+        df = maybe_fan(spark.read.parquet(path))
         if isinstance(df.schema["ts"].dataType, LongType):
             # legacy nanos-long read of TIMESTAMP(NANOS)
             return (
@@ -212,7 +256,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .withColumn("ts_us", F.unix_micros(F.col("ts")))
             .withColumn("ts_ns", F.expr("ts_us * CAST(1000 AS BIGINT)"))
         )
-    return _fanout_small(spark.read.parquet(path), spark, path)
+    return maybe_fan(spark.read.parquet(path))
 
 
 def get_registry() -> dict[str, QuerySpec]:

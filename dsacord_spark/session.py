@@ -58,6 +58,16 @@ def get_spark(
         # metadata max-probes) and is the interop-standard encoding
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r12 (guide §7.3, driver-side planning): PySpark 4's DataFrame
+        # debugging wraps EVERY DataFrame/Column method to ship the
+        # Python call site to the JVM — a conf RPC plus origin set/clear
+        # per call, i.e. 3+ extra py4j round-trips per method. Measured
+        # (interleaved min-of-3 subprocess A/B): expression-heavy plan
+        # builds drop 20-38% with it off (dedup_incremental_probe 1.44
+        # -> 0.89s). Costs only the Python call-site line in error
+        # messages; error classes are unchanged. Off by default here,
+        # overridable via extra_conf.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # default 10k Arrow records/batch halves nested-zip extraction
         # throughput on wide string rows; 100k keeps per-core batch memory
         # ~tens of MB while amortizing the Python<->JVM transfer
