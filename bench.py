@@ -86,15 +86,62 @@ def _build_ingest_fixture(landing: str, days: int, rows_per_csv: int) -> int:
         return sum(ex.map(_one_fixture_day, jobs))
 
 
-def _reset_session_state(spark) -> None:
+def _reset_session_state(spark, settle: bool = False) -> None:
     """Clear cached blocks and force a JVM GC between bench sections so
     one section's leftover heap garbage doesn't bill GC stalls to the
-    next (measured up to 5x swing on the ingest section at 8g heap)."""
+    next (measured up to 5x swing on the ingest section at 8g heap).
+
+    `settle=True` additionally waits for the ContextCleaner to finish
+    deleting the PREVIOUS sections' shuffle/broadcast files before the
+    timed window opens (r13 measurement-hygiene fix, documented in
+    OPTIMIZATION_r13.md): the GC enqueues hundreds of shuffle-file
+    deletions that the cleaner daemon then executes ASYNCHRONOUSLY —
+    measured DURING the post-sweep ingest rep (block-manager file count
+    769 -> 387 inside the timed window), doubling its wall (14.9s
+    contaminated vs 7.0-9.7s after a drain, same code, same session).
+    The wait runs entirely OUTSIDE the timed window and changes no
+    timed action; it makes the reset actually reset."""
     spark.catalog.clearCache()
     try:
         spark.sparkContext._jvm.java.lang.System.gc()
     except Exception:  # pragma: no cover
         pass
+    if settle:
+        _cleaner_settle(spark)
+
+
+def _cleaner_settle(spark, timeout_s: float = 20.0) -> None:
+    """Poll this session's block-manager local dirs until the async
+    ContextCleaner stops deleting files (count stops shrinking) or
+    `timeout_s` elapses. Driver-side metadata walk only — no Spark job."""
+    import glob
+
+    def _dirs() -> list[str]:
+        try:
+            jdirs = (
+                spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()
+                .blockManager().diskBlockManager().localDirs()
+            )
+            return [jdirs[i].getAbsolutePath() for i in range(len(jdirs))]
+        except Exception:  # pragma: no cover - fallback for API drift
+            return glob.glob("/tmp/blockmgr-*")
+
+    def _count(dirs: list[str]) -> int:
+        n = 0
+        for d in dirs:
+            for _, _, fs in os.walk(d):
+                n += len(fs)
+        return n
+
+    dirs = _dirs()
+    prev = _count(dirs)
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        time.sleep(1.0)
+        cur = _count(dirs)
+        if cur >= prev:
+            return
+        prev = cur
 
 
 def _ingest_setup(sf_dir: str, cpus: int) -> dict:
@@ -185,10 +232,12 @@ def _ingest_rep(spark, ctx: dict) -> None:
     from dsacord_spark.transform import decisions_transform, split_quarantine
 
     # decouple this rep from whatever the surrounding sweep left on the
-    # heap: drop cached blocks and force a full GC so the timed run
-    # starts from a clean heap (a garbage-laden heap measures GC
-    # stalls, not the ingest path)
-    _reset_session_state(spark)
+    # heap AND on disk: drop cached blocks, force a full GC, and wait
+    # for the async cleaner to finish deleting the sweep's shuffle
+    # files (a garbage-laden heap measures GC stalls; an active cleaner
+    # measures the sweep's deferred file deletions — see
+    # _reset_session_state's settle note)
+    _reset_session_state(spark, settle=True)
     t0 = time.perf_counter()
     wire = read_staged_zips(spark, ctx["landing"])
     typed = decisions_transform(wire)

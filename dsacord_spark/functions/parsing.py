@@ -61,13 +61,37 @@ def parse_array_field(col: Column | str) -> Column:
     them, landing in the singleton fallback on both sides). Non-'['
     values go straight to the singleton fallback the failed parse would
     have produced. Parity verified cell-exact on a 24-case battery incl.
-    every whitespace prefix; mismatches: 0."""
+    every whitespace prefix; mismatches: 0.
+
+    r13 optimization (guide §4.1, measured): the overwhelmingly common
+    dump shape is a FLAT array of plain strings (no escapes, no control
+    chars) — for cells matching that exact shape, `regexp_extract_all`
+    of the quoted segments replaces the Jackson parse (7-column noop
+    select over the bench fixture: 2.89s -> 1.96s, min-of-3). The
+    simple-shape gate is strict so the two parsers cannot diverge:
+    elements must contain no '\"', no backslash (no JSON escapes to
+    decode) and no raw control chars < 0x20 (Jackson REJECTS those by
+    default — allowUnquotedControlChars=false — and falls back to the
+    singleton, so they must not take the fast path), with only JSON
+    whitespace between tokens. On a gated cell the extraction yields
+    exactly Jackson's element list (raw bytes between quotes, in
+    order, including empty strings and the empty array). Everything
+    else falls through to the r12 Jackson path unchanged. Parity
+    re-verified cell-exact on the widened battery in
+    tests/test_parsing.py / test_round13_properties.py."""
     c = _c(col)
     parsed = F.from_json(c, "array<string>")
+    simple = (
+        r'^[ \t\r\n]*\[[ \t\r\n]*("[^"\\\x00-\x1f]*"[ \t\r\n]*'
+        r'(,[ \t\r\n]*"[^"\\\x00-\x1f]*"[ \t\r\n]*)*)?\][ \t\r\n]*$'
+    )
+    fast = F.regexp_extract_all(c, F.lit(r'"([^"\\]*)"'), 1)
     return F.when(c == F.lit(""), F.lit(None).cast("array<string>")).otherwise(
-        F.when(
-            c.rlike("^[ \t\r\n]*\\["), F.coalesce(parsed, F.array(c))
-        ).otherwise(F.array(c))
+        F.when(c.rlike(simple), fast).otherwise(
+            F.when(
+                c.rlike("^[ \t\r\n]*\\["), F.coalesce(parsed, F.array(c))
+            ).otherwise(F.array(c))
+        )
     )
 
 

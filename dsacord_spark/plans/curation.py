@@ -635,8 +635,15 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep_rate"),
         )
     )
+    # the admission filter reads only (doc_id, source, lang) — joining
+    # the RAW table instead of `toks` drops the second tokenize+size
+    # pass over every document (r13, guide §2.3 "project before": the
+    # tokenization subtree was evaluated twice, once for the rate
+    # aggregate and once here, and the second evaluation's output column
+    # was never used)
     kept = (
-        toks.join(F.broadcast(rates), ["source", "lang"])
+        d.select("doc_id", "source", "lang")
+        .join(F.broadcast(rates), ["source", "lang"])
         .filter(
             md5_long(F.col("doc_id").cast("string")) % F.lit(1000000)
             < F.col("keep_rate") * 1000000

@@ -176,12 +176,22 @@ def _fanout_wanted(spark: SparkSession, path: str) -> bool:
     return spark.sparkContext.defaultParallelism > 1
 
 
-def _fanout_small(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
-    if not _fanout_wanted(spark, path):
-        return df
+def _apply_fanout(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """THE one fan-out repartition shape — hash on the lead column into
+    defaultParallelism partitions. Called by both the production path
+    (_build_table, after _fanout_wanted has decided) and the test
+    surface (_fanout_small), so the tested repartition IS the one
+    table() runs (r12 ADVICE: the former duplicate closure meant gate
+    tests exercised a copy)."""
     return df.repartition(
         spark.sparkContext.defaultParallelism, df.columns[0]
     )
+
+
+def _fanout_small(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    if not _fanout_wanted(spark, path):
+        return df
+    return _apply_fanout(df, spark)
 
 
 # --- table-plan memo (r12 optimization, guide §7.3 driver-side cost) ----
@@ -209,7 +219,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     three views: ts_ns (long, full precision — use for ordering, exactly
     matching DuckDB's timestamp order), ts_us (long microseconds, for
     interval arithmetic = DuckDB epoch_us), and ts (micro timestamp, for
-    formatting/windowing = DuckDB CAST(ts AS TIMESTAMP))."""
+    formatting/windowing = DuckDB CAST(ts AS TIMESTAMP)).
+
+    Memoization caveats (r12 ADVICE, both latent — no current entry
+    trips them): (1) repeated table() calls return the IDENTICAL
+    DataFrame object, so an entry joining a table to itself via two
+    table() calls with column-reference conditions (df1[c] == df2[c])
+    would raise AMBIGUOUS_SELF_JOIN — alias each side
+    (table(...).alias("a")) in such entries. (2) the UTC session
+    timezone is pinned on memo MISS (_build_table) and at session
+    construction (get_spark); code that mutates the session timezone
+    between entries would affect *_ts_str renders of memo-hit plans at
+    action time — don't."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     fan = _fanout_wanted(spark, path)
     cache = _TABLE_PLANS.setdefault(spark, {})
@@ -230,11 +251,7 @@ def _build_table(
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def maybe_fan(df: DataFrame) -> DataFrame:
-        if not fan:
-            return df
-        return df.repartition(
-            spark.sparkContext.defaultParallelism, df.columns[0]
-        )
+        return _apply_fanout(df, spark) if fan else df
 
     if name == "events":
         from pyspark.sql import functions as F

@@ -547,29 +547,69 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    # Three ntile(5) scores, each from the distributed _global_rank + the
-    # ntile closed form (three range-partitioned rank passes over the
-    # per-customer frame instead of three unpartitioned windows — at
-    # 100 TB that frame is user-population-sized).
-    # persisted: the three rank passes each range-sample + shuffle this
-    # frame; uncached, every pass re-runs the orders scan + aggregate
+    # Three ntile(5) scores from ONE distributed rank pass (r13, guide
+    # §2: the r12 shape chained three _global_rank passes — three range
+    # shuffles + three boundary samplings + three persists over a frame
+    # that widened each pass, 33 jobs / 148 stages of AQE waves at
+    # sf0.1). Melt each customer into three (dim, sort_key) rows where
+    # sort_key orders ascending within its dimension:
+    #   dim 0: recency_days            (ASC  — cast to double, exact)
+    #   dim 1: -frequency              (DESC == negated ASC; counts are
+    #                                   exact in double below 2^53)
+    #   dim 2: -CAST(monetary AS DOUBLE) (the oracle's own DESC double
+    #                                   ordering, negated; negation is
+    #                                   exact in IEEE754 and ties stay
+    #                                   ties)
+    # then ONE _global_rank over (dim, sort_key, o_custkey). Dimensions
+    # are contiguous blocks of exactly n_cust rows under that total
+    # order, so rank-within-dim = global_rank - dim * n_cust, and the
+    # ntile closed form is unchanged. Still no unpartitioned windows —
+    # the same two-pass prefix-sum shape, just 3x the (narrow) rows in
+    # one shuffle instead of 3 shuffles of a widening frame.
+    # persisted: the melt and the n_tot count both consume cust;
+    # uncached, each would re-run the orders scan + aggregate.
     cust = cust.persist()
     n_tot = cust.agg(F.count(F.lit(1)).alias("n_cust"))
-    scored = cust
-    for score_col, order in (
-        ("r_score", [F.col("recency_days").asc(), F.col("o_custkey").asc()]),
-        ("f_score", [F.col("frequency").desc(), F.col("o_custkey").asc()]),
-        ("m_score",
-         [F.col("monetary").cast("double").desc(), F.col("o_custkey").asc()]),
-    ):
-        scored = _global_rank(scored, order, score_col)
-    scored = scored.crossJoin(F.broadcast(n_tot)).select(
+    melted = cust.select(
+        "o_custkey",
         "monetary",
-        _ntile_bucket(F.col("r_score"), F.col("n_cust"), 5).alias("r_score"),
-        _ntile_bucket(F.col("f_score"), F.col("n_cust"), 5).alias("f_score"),
-        _ntile_bucket(F.col("m_score"), F.col("n_cust"), 5).alias("m_score"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("dim"),
+                    F.col("recency_days").cast("double").alias("sk"),
+                ),
+                F.struct(
+                    F.lit(1).alias("dim"),
+                    (-F.col("frequency").cast("double")).alias("sk"),
+                ),
+                F.struct(
+                    F.lit(2).alias("dim"),
+                    (-F.col("monetary").cast("double")).alias("sk"),
+                ),
+            )
+        ).alias("d"),
+    ).select("o_custkey", "monetary", F.col("d.dim").alias("dim"), F.col("d.sk").alias("sk"))
+    ranked = _global_rank(
+        melted,
+        [F.col("dim").asc(), F.col("sk").asc(), F.col("o_custkey").asc()],
+        "gr",
     )
-    return scored.groupBy("r_score", "f_score", "m_score").agg(
+    scored = ranked.crossJoin(F.broadcast(n_tot)).withColumn(
+        "score",
+        _ntile_bucket(
+            F.col("gr") - F.col("dim").cast("bigint") * F.col("n_cust"),
+            F.col("n_cust"),
+            5,
+        ),
+    )
+    pivoted = scored.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("dim") == 0, F.col("score"))).alias("r_score"),
+        F.max(F.when(F.col("dim") == 1, F.col("score"))).alias("f_score"),
+        F.max(F.when(F.col("dim") == 2, F.col("score"))).alias("m_score"),
+        F.max("monetary").alias("monetary"),
+    )
+    return pivoted.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary").cast("double").alias("segment_revenue"),
     )
@@ -1245,6 +1285,11 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # harness family boundary like every catalog persist. Local wall is
     # parity (the shingle cache absorbs recomputes at sf0.1); at corpus
     # scale the avoided recomputes are full-index aggregate passes.
+    # (r13 note: a grouped collect_list pair-generation variant was
+    # A/B'd and measured SLOWER — 1.67s -> 2.08s interleaved min-of-3 —
+    # so the self-join over the sig-persist-backed bands stays; the
+    # banding itself recomputes from the cached signature, which is
+    # cheap md5 column algebra.)
     sig = minhash_signatures(d, "doc_id", "text", 3, n_perm).persist()
     bands_df = minhash_bands(sig, n_perm, bands)
     a, b = bands_df.alias("a"), bands_df.alias("b")

@@ -1,4 +1,5 @@
-"""Dump explain("formatted") for named catalog queries to plans/r12/.
+"""Dump explain("formatted") for named catalog queries to plans/<round>
+(round dir from $SPARK_GRAFT_PLANS_ROUND, default r13).
 
 Usage: python scripts/plan_dump.py <suffix> [name ...]
 With no names: the default audit set (headline + slowest). Driver-side
@@ -27,7 +28,8 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
 
     from dsacord_spark.plans.catalog import specs
