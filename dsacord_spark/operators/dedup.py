@@ -366,11 +366,23 @@ def _minhash_sig_from_ngr(ngr: DataFrame, n_perm: int) -> DataFrame:
     minhash_signatures and build_minhash_index (which reuses its already-
     computed shingle frame instead of shingling twice) both call it."""
     ngr = ngr.withColumn("h", F.col("hg") % F.lit(2_147_483_647))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(2_147_483_647)).alias(f"m{i}")
-        for i, (a, b) in enumerate(_perm_constants(n_perm))
-    ]
-    return ngr.groupBy("doc").agg(*aggs)
+    # All n_perm permutation mins in ONE SQL expression string (array of
+    # aggregates), unpacked back to the m{i} schema in one selectExpr —
+    # r13 driver-side cost fix (guide §7.3): 2 py4j calls instead of
+    # ~8 * n_perm, ~99 -> ~15 ms per plan build. The per-permutation
+    # arithmetic string `min((a * h + b) % 2147483647)` parses to the
+    # identical Catalyst expression as the historical Column form
+    # (INT literal * BIGINT h promotes to BIGINT on both paths), so
+    # signatures — and the oracle lockstep via _perm_min_sql — are
+    # bit-identical (r13 form-equivalence test).
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % 2147483647)"
+        for a, b in _perm_constants(n_perm)
+    )
+    g = ngr.groupBy("doc").agg(F.expr(f"array({mins})").alias("__ms"))
+    return g.selectExpr(
+        "doc", *[f"__ms[{i}] AS m{i}" for i in range(n_perm)]
+    )
 
 
 def minhash_signatures(
@@ -394,24 +406,26 @@ def minhash_bands(sig: DataFrame, n_perm: int, bands: int) -> DataFrame:
     oracle SQL mirrors it via _minhash_band_rows_sql interpolation
     (plans/reports.py); a second copy would silently break lockstep."""
     rows_per_band = n_perm // bands
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("band_idx"),
-            md5_long(
-                F.concat_ws(
-                    ",",
-                    F.lit(j),
-                    *[
-                        F.col(f"m{j * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("band_hash"),
+    # One SQL expression string for the whole band-struct array (r13
+    # driver-side cost fix, guide §7.3 — ~1 py4j call instead of
+    # ~12 per band). Each struct is the md5_long of the same
+    # concat_ws(',', band_idx, m...) the historical Column form built:
+    # integer args to concat_ws implicitly render to the same decimal
+    # strings on both paths, and CONV(SUBSTR(MD5 .. is md5_long's own
+    # definition (functions/hashing.py header), so band hashes — and
+    # the _minhash_band_rows_sql oracle lockstep — are bit-identical.
+    band_structs = ", ".join(
+        f"struct({j} AS band_idx, "
+        "CAST(CONV(SUBSTR(MD5(concat_ws(',', "
+        + ", ".join(
+            [str(j)]
+            + [f"m{j * rows_per_band + r}" for r in range(rows_per_band)]
         )
+        + ")), 1, 15), 16, 10) AS BIGINT) AS band_hash)"
         for j in range(bands)
-    ]
+    )
     return sig.select(
-        F.col("doc"), F.explode(F.array(*band_structs)).alias("b")
+        F.col("doc"), F.explode(F.expr(f"array({band_structs})")).alias("b")
     ).select("doc", "b.band_idx", "b.band_hash")
 
 
@@ -575,21 +589,30 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.explode(F.array_distinct(tokens(text_col))).alias("__t"),
     )
     hashed = tok.select("doc", md5_long(F.col("__t")).alias("__h"))
-    aggs = [F.count(F.lit(1)).alias("__n")] + [
-        F.sum(F.shiftright(F.col("__h"), bit).bitwiseAND(F.lit(1))).alias(
-            f"__b{bit}"
-        )
+    # The 60 bit-count sums and the 60-term signature fold are built as
+    # TWO SQL expression strings instead of ~800 per-Column py4j calls
+    # (r13, guide §7.3 driver-side cost: 320 -> ~35 ms per plan build,
+    # measured — this helper is built by ~19 catalog entries, and on a
+    # cluster driver that plan churn serializes). The parsed expressions
+    # are the SAME Catalyst operators as the historical Column-API form
+    # (shiftright / & / sum; CASE WHEN over the per-bit sums with
+    # BIGINT-cast power-of-two literals, left-associative +), so the
+    # values — and the codegen'd aggregate — are bit-identical; pinned
+    # by test_simhash_signatures_matches_python_reference and the
+    # r13 form-equivalence test.
+    sums = ", ".join(
+        f"sum(shiftright(__h, {bit}) & 1)" for bit in range(SIMHASH_BITS)
+    )
+    g = hashed.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.expr(f"array({sums})").alias("__bs"),
+    )
+    terms = " + ".join(
+        f"(CASE WHEN __bs[{bit}] * 2 > __n THEN CAST({1 << bit} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
         for bit in range(SIMHASH_BITS)
-    ]
-    g = hashed.groupBy("doc").agg(*aggs)
-    n = F.col("__n")
-    sim = None
-    for bit in range(SIMHASH_BITS):
-        term = F.when(
-            F.col(f"__b{bit}") * 2 > n, F.lit(1 << bit).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    return g.select("doc", sim.alias("simhash"))
+    )
+    return g.select("doc", F.expr(terms).alias("simhash"))
 
 
 def simhash_pairs(

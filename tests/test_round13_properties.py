@@ -235,3 +235,98 @@ def test_cleaner_settle_returns_quickly(spark):
     _cleaner_settle(spark, timeout_s=5.0)
     # a quiescent session's file count is stable after one poll tick
     assert time.monotonic() - t0 < 5.5
+
+
+# ---------------------------------------------------------------------------
+# r13 driver-side plan-build fix: the simhash/minhash signature and band
+# builders now assemble their per-bit/per-permutation expression lists as
+# SQL strings (one py4j call) instead of hundreds of Column-API calls.
+# These tests pin the new forms against the HISTORICAL Column-API forms,
+# built inline, on a frame with ties, empty docs and multi-token docs —
+# any parse/coercion divergence (literal typing, CASE vs when, concat_ws
+# int rendering) shows up as a value mismatch here before the oracle.
+# ---------------------------------------------------------------------------
+
+
+def _docs_frame(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta"),
+        (3, ""),              # empty: must emit NO signature row
+        (4, "zeta"),
+        (5, "alpha beta gamma delta"),  # exact dup of doc 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_simhash_sql_form_matches_column_form(spark):
+    from dsacord_spark.functions.hashing import md5_long
+    from dsacord_spark.functions.text import tokens
+    from dsacord_spark.operators.dedup import SIMHASH_BITS, simhash_signatures
+
+    d = _docs_frame(spark)
+    got = {r["doc"]: r["simhash"]
+           for r in simhash_signatures(d, "doc_id", "text").collect()}
+
+    # historical Column-API form, verbatim (pre-r13)
+    tok = d.select(F.col("doc_id").alias("doc"),
+                   F.explode(F.array_distinct(tokens("text"))).alias("__t"))
+    hashed = tok.select("doc", md5_long(F.col("__t")).alias("__h"))
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    g = hashed.groupBy("doc").agg(*aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        t = F.when(F.col(f"__b{b}") * 2 > F.col("__n"),
+                   F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = t if sim is None else sim + t
+    ref = {r["doc"]: r["simhash"]
+           for r in g.select("doc", sim.alias("simhash")).collect()}
+
+    assert got == ref and 3 not in got and got[1] == got[5]
+
+
+def test_minhash_sql_form_matches_column_form(spark):
+    from dsacord_spark.functions.hashing import _perm_constants
+    from dsacord_spark.operators.dedup import (
+        _minhash_sig_from_ngr, _shingle_index, minhash_bands,
+    )
+
+    d = _docs_frame(spark)
+    n_perm, bands = 32, 8
+    ngr = _shingle_index(d, "doc_id", "text", 2)
+    sig = _minhash_sig_from_ngr(ngr, n_perm)
+    got = {r["doc"]: tuple(r[f"m{i}"] for i in range(n_perm))
+           for r in sig.collect()}
+
+    # historical Column-API form, verbatim (pre-r13)
+    h = ngr.withColumn("h", F.col("hg") % F.lit(2_147_483_647))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(2_147_483_647)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_constants(n_perm))
+    ]
+    ref_sig = h.groupBy("doc").agg(*aggs)
+    ref = {r["doc"]: tuple(r[f"m{i}"] for i in range(n_perm))
+           for r in ref_sig.collect()}
+    assert got == ref and got  # non-empty
+
+    # band rows: new SQL-array form vs historical struct-array form
+    from dsacord_spark.functions.hashing import md5_long
+    got_b = {tuple(r) for r in minhash_bands(sig, n_perm, bands).collect()}
+    rpb = n_perm // bands
+    structs = [
+        F.struct(
+            F.lit(j).alias("band_idx"),
+            md5_long(F.concat_ws(
+                ",", F.lit(j),
+                *[F.col(f"m{j * rpb + r}") for r in range(rpb)],
+            )).alias("band_hash"),
+        )
+        for j in range(bands)
+    ]
+    ref_b = {tuple(r) for r in ref_sig.select(
+        F.col("doc"), F.explode(F.array(*structs)).alias("b")
+    ).select("doc", "b.band_idx", "b.band_hash").collect()}
+    assert got_b == ref_b and got_b
