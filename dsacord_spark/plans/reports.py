@@ -5422,22 +5422,36 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dsacord_spark.streaming.pipeline import run_bounded_stream
 
     d = table(spark, sf_dir, "documents")
-    sig = simhash_signatures(d, "doc_id", "text").persist()
+    # the index side is computed ONCE (the r8 review caught the closure
+    # re-running the summary groupBy per micro-batch against the doc's
+    # 'index computed once' claim). r13: eager localCheckpoint instead
+    # of persist (guide §5 "cheaper way to cut lineage") — a persisted
+    # frame still carries its FULL logical plan, and foreachBatch
+    # re-analyzes the probe plan per micro-batch, so every batch re-paid
+    # the analyzer walk over the 60-sum signature subtree (~340 ms/plan
+    # build measured). Truncating lineage makes the per-batch plan
+    # shallow: interleaved same-session A/B min-of-3 3.48 -> 2.90s
+    # (0.83x, all reps better, output parity exact). The checkpoint
+    # blocks are batch-sized, unreferenced once the entry returns (the
+    # stream's output is staged through parquet), and reclaimed by the
+    # ContextCleaner — the cache-hygiene tests are baseline-relative
+    # for exactly this class of blocks. Fault-tolerance trade per §5:
+    # at production scale the per-hash summary is a persisted lake
+    # table (build_hamming_index), not a recomputable lineage.
+    sig = simhash_signatures(d, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
     batch = sig.filter(F.col("doc") % 10 == 0).repartition(4)
-    # the index side is computed ONCE and persisted (the r8 review
-    # caught the closure re-running the summary groupBy per micro-batch
-    # against the doc's 'index computed once' claim): each micro-batch
-    # pays only its own banding plus a scan of these hash-sized frames
     idx_min = (
         sig.filter(F.col("doc") % 10 != 0)
         .select(F.col("doc").alias("_iid"), F.col("simhash").alias("_ih"))
         .groupBy("_ih")
         .agg(F.min("_iid").alias("_i_min"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     ib = _band_rows(
         idx_min.select(F.col("_ih").alias("_h")), "_h", 4, SIMHASH_BITS
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     def probe(b: DataFrame) -> DataFrame:
         return _hamming_probe_tail(
